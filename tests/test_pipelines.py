@@ -1,0 +1,265 @@
+"""End-to-end stage-CLI integration tests on synthetic data.
+
+This is the rebuild's analog of the reference's Unity synthetic-GT harness
+(SURVEY.md §4): synthesize records, run every stage CLI in tmp dirs, check
+output schemas and quality invariants.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+rng = np.random.default_rng(21)
+
+
+def _write_stage_cfg(tmp_path: Path, name: str, body: str) -> Path:
+    cdir = tmp_path / "configs"
+    cdir.mkdir(exist_ok=True)
+    (cdir / f"{name}.yaml").write_text(body)
+    return cdir
+
+
+def make_synthetic_person(tmp_path: Path, T=40, persons=("p01",)):
+    """Two-view .npz records with consistent COCO keypoints."""
+    from skix.io import PTInfo, save_pt_info
+
+    root = tmp_path / "pt"
+    for person in persons:
+        pdir = root / person
+        pdir.mkdir(parents=True)
+        base = rng.uniform(400, 1500, size=(1, 17, 2)) + rng.normal(
+            size=(T, 17, 2)).cumsum(0) * 2
+        for view in ("osmo_1", "osmo_2"):
+            kpts = base + rng.normal(size=base.shape) * 1.5
+            score = np.clip(rng.random((T, 17)) * 0.4 + 0.6, 0, 1)
+            info = PTInfo(
+                video_name=view, video_path=f"/x/{view}.mp4", frame_count=T,
+                img_shape=(1080, 1920), fps=30.0, duration=T / 30.0,
+                d2_keypoints=np.concatenate(
+                    [kpts, score[..., None]], -1).astype(np.float32),
+                d2_keypoints_score=score.astype(np.float32),
+            )
+            save_pt_info(pdir / f"{view}.npz", info)
+    return root
+
+
+class TestVideoPose3DCLI:
+    def test_end_to_end(self, tmp_path):
+        from skix.pipelines.videopose3d import main
+
+        pt_root = make_synthetic_person(tmp_path)
+        out_root = tmp_path / "out"
+        cdir = _write_stage_cfg(tmp_path, "videopose3d", f"""
+paths:
+  pt_root: {pt_root}
+  out_root: {out_root}
+checkpoint: null
+kpt_source: detectron2
+filter_widths: [3, 3, 3]
+channels: 64
+test_time_augmentation: true
+fuse_tau: 0.08
+""")
+        main([f"--config-dir={cdir}"])
+        fused = np.load(out_root / "p01" / "p01_fused.npz")
+        assert fused["fused"].shape == (40, 17, 3)
+        assert np.all(np.isfinite(fused["fused"]))
+        summary = json.loads((out_root / "summary.json").read_text())
+        assert "p01" in summary
+        assert (out_root / "p01" / "p01_metrics.json").exists()
+
+
+class TestTriangulationCLI:
+    def test_end_to_end(self, tmp_path):
+        from skix.io import PTInfo, save_pt_info
+        from skix.pipelines.triangulation import main, default_K
+        from skix.geometry.rotations import rotvec_to_matrix
+
+        rng = np.random.default_rng(7)
+        # geometrically consistent two-view observations of a moving skeleton
+        T = 12
+        K = default_K()
+        R = np.asarray(rotvec_to_matrix(jnp.asarray([0.03, 0.35, 0.01])))
+        t = np.array([-6.0, 0.2, 1.0])
+        # skier translating across the scene so pooled correspondences span a
+        # wide image region (well-conditioned epipolar geometry)
+        drift = np.linspace(-4, 4, T)[:, None, None] * np.array([1.0, 0.3, 0.6])
+        X = rng.normal(size=(T, 17, 3)) * 1.5 + drift + np.array([0, 0, 14.0])
+
+        def proj(Xw, Rm, tv):
+            Xc = Xw @ Rm.T + tv
+            uv = Xc[..., :2] / Xc[..., 2:]
+            return uv * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+
+        pt_root = tmp_path / "pt" / "p01"
+        pt_root.mkdir(parents=True)
+        for name, (Rm, tv) in (("osmo_1", (np.eye(3), np.zeros(3))),
+                               ("osmo_2", (R, t))):
+            kpts = proj(X, Rm, tv).astype(np.float32)
+            score = np.ones((T, 17), np.float32)
+            info = PTInfo(video_name=name, frame_count=T, img_shape=(1080, 1920),
+                          fps=30.0, duration=T / 30.0,
+                          d2_keypoints=np.concatenate(
+                              [kpts, score[..., None]], -1),
+                          d2_keypoints_score=score)
+            save_pt_info(pt_root / f"{name}.npz", info)
+
+        out_root = tmp_path / "tri_out"
+        cdir = _write_stage_cfg(tmp_path, "triangulation", f"""
+paths:
+  pt_root: {tmp_path / 'pt'}
+  out_root: {out_root}
+kpt_source: detectron2
+baseline_m: {np.linalg.norm(t)}
+methods: [kpt]
+K:
+  - [1116.93, 0.0, 955.77]
+  - [0.0, 1117.33, 538.91]
+  - [0.0, 0.0, 1.0]
+dist: null
+""")
+        main([f"--config-dir={cdir}"])
+        doc = json.loads((out_root / "p01" / "joints_3d_kpt.json").read_text())
+        assert len(doc["frames"]) == T
+        got = np.array([f["joints_3d"] for f in doc["frames"]])
+        # geometry is exact → relative pose + DLT must land close to truth
+        err = np.linalg.norm(got - X, axis=-1).mean()
+        assert err < 1.0, f"mean 3D error {err}"
+        assert (out_root / "p01" / "p01_poses.csv").exists()
+        assert (out_root / "p01" / "joints_3d_kpt_smoothed.npy").exists()
+
+
+class TestFuseAngleMetricsCLIs:
+    def _make_fused_inputs(self, tmp_path, T=60):
+        """Left/right MHR-70-style 3D sequences of the same moving pose."""
+        rng = np.random.default_rng(8)
+        in_root = tmp_path / "sam3d"
+        base = rng.normal(size=(T, 70, 3)).cumsum(0) * 0.02
+        from skix.geometry.rotations import rotvec_to_matrix
+
+        R = np.asarray(rotvec_to_matrix(jnp.asarray([0.1, 0.5, -0.05])))
+        for person in ("p01",):
+            pdir = in_root / person
+            pdir.mkdir(parents=True)
+            np.save(pdir / "left_view.npy",
+                    (base + rng.normal(size=base.shape) * 0.01).astype(np.float32))
+            np.save(pdir / "right_view.npy",
+                    (base @ R.T + 1.0 + rng.normal(size=base.shape) * 0.01
+                     ).astype(np.float32))
+        return in_root
+
+    def test_fuse_then_angle_then_metrics(self, tmp_path):
+        from skix.pipelines.fuse import main as fuse_main
+        from skix.pipelines.angle import main as angle_main
+        from skix.pipelines.metrics import main as metrics_main
+
+        in_root = self._make_fused_inputs(tmp_path)
+        fused_root = tmp_path / "fused"
+        cdir = _write_stage_cfg(tmp_path, "fuse", f"""
+paths:
+  in_root: {in_root}
+  out_root: {fused_root}
+sigma_px: 12.0
+sigma_3d: 0.08
+ema_alpha: 0.7
+ema_alpha_min: 0.45
+ema_alpha_max: 0.92
+ema_speed_gain: 0.25
+""")
+        fuse_main([f"--config-dir={cdir}"])
+        fused = np.load(fused_root / "p01" / "p01_fused.npy")
+        smoothed = np.load(fused_root / "p01" / "p01_smoothed.npy")
+        assert fused.shape == (60, 70, 3) and np.all(np.isfinite(fused))
+        # smoothing reduces jitter (reference claim: −30%)
+        jit_f = np.linalg.norm(np.diff(fused, 2, axis=0), axis=-1).mean()
+        jit_s = np.linalg.norm(np.diff(smoothed, 2, axis=0), axis=-1).mean()
+        assert jit_s < jit_f
+
+        # ---- angle stage on MHR-70 ids requires the 15-joint subset ----
+        from skix.angle.biomech import TARGET_IDS
+
+        angle_in = tmp_path / "angle_in" / "p01"
+        angle_in.mkdir(parents=True)
+        sub = smoothed[:, list(TARGET_IDS)]
+        np.save(angle_in / "p01_smoothed.npy", sub)
+        np.save(angle_in / "p01_fused.npy", fused[:, list(TARGET_IDS)])
+        angle_out = tmp_path / "angle_out"
+        cdir2 = _write_stage_cfg(tmp_path, "angle", f"""
+paths:
+  fused_root: {tmp_path / 'angle_in'}
+  out_root: {angle_out}
+up_axis: [0.0, 1.0, 0.0]
+plots: false
+compare_prefusion: true
+""")
+        angle_main([f"--config-dir={cdir2}"])
+        assert (angle_out / "p01" / "angles.csv").exists()
+        assert (angle_out / "p01" / "turns.csv").exists()
+        assert (angle_out / "p01" / "before_after_comparison.json").exists()
+
+        # ---- metrics stage ----
+        metrics_out = tmp_path / "metrics_out"
+        cdir3 = _write_stage_cfg(tmp_path, "metrics", f"""
+paths:
+  in_root: {fused_root}
+  out_root: {metrics_out}
+gt_root: null
+""")
+        metrics_main([f"--config-dir={cdir3}"])
+        rep = json.loads((metrics_out / "metrics_report.json").read_text())
+        assert rep["p01"]["smoothed"]["jitter"] < rep["p01"]["fused"]["jitter"]
+        assert rep["p01"]["jitter_reduction_pct"] > 0
+
+
+class TestBACLI:
+    def test_end_to_end(self, tmp_path):
+        from skix.pipelines.bundle_adjustment import main
+        from skix.geometry.rotations import rotvec_to_matrix
+        from skix.solvers.ba import project_tcj
+
+        rng = np.random.default_rng(9)
+        T, J = 10, 17
+        K = np.array([[1100.0, 0, 960], [0, 1100.0, 540], [0, 0, 1]])
+        R = np.stack([np.eye(3),
+                      np.asarray(rotvec_to_matrix(jnp.asarray([0.05, 0.4, 0.0])))])
+        t = np.array([[0.0, 0, 0], [-15.0, 0.5, 2.0]])
+        X = rng.normal(size=(T, J, 3)) * 0.4 + np.array([0, 0, 18.0])
+        x2d = np.asarray(project_tcj(jnp.asarray(X), jnp.asarray(R),
+                                     jnp.asarray(t), jnp.asarray(K)))
+        in_root = tmp_path / "ba_in" / "p01"
+        in_root.mkdir(parents=True)
+        np.savez(in_root / "clip.npz",
+                 X3d=(X + rng.normal(size=X.shape) * 0.05).astype(np.float32),
+                 R=R.astype(np.float32), t=t.astype(np.float32),
+                 K=K.astype(np.float32), x2d=x2d.astype(np.float32))
+        out_root = tmp_path / "ba_out"
+        cdir = _write_stage_cfg(tmp_path, "bundle_adjustment", f"""
+paths:
+  in_root: {tmp_path / 'ba_in'}
+  out_root: {out_root}
+mode: pose_only
+method: lm
+weights:
+  reproj: 1.0
+  cam_smooth: 0.1
+  baseline: 0.01
+  bone: 0.001
+  temporal: 0.001
+lm:
+  max_steps: 30
+  cg_iters: 25
+adam:
+  iters: 100
+  lr: 0.01
+""")
+        main([f"--config-dir={cdir}"])
+        rep = json.loads((out_root / "p01" / "clip_ba_report.json").read_text())
+        assert rep["final_cost"] < rep["initial_cost"]
+        refined = np.load(out_root / "p01" / "clip_refined.npz")
+        err = np.linalg.norm(refined["X3d"] - X, axis=-1).mean()
+        assert err < 0.02, f"refined error {err}"
