@@ -1,0 +1,144 @@
+"""Kernel-op tests: attention (XLA path), NMS, connected components, masks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skix.ops import batched_nms, connected_components, flash_attention, mask_iou, masks_to_boxes, nms
+from skix.ops.attention import _attention_reference
+from skix.ops.nms import box_iou
+
+rng = np.random.default_rng(33)
+
+
+class TestAttention:
+    def test_matches_naive_softmax(self):
+        B, H, S, D = 2, 3, 64, 32
+        q = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, S, D)), jnp.float32)
+        out = flash_attention(q, k, v)
+        s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("bhqk,bhkd->bhqd", p, v)
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+    def test_cross_attention_shapes(self):
+        q = jnp.zeros((1, 2, 10, 16))
+        k = jnp.zeros((1, 2, 37, 16))
+        v = jnp.zeros((1, 2, 37, 16))
+        assert flash_attention(q, k, v).shape == (1, 2, 10, 16)
+
+    def test_grad_flows(self):
+        q = jnp.asarray(rng.normal(size=(1, 1, 8, 4)), jnp.float32)
+        g = jax.grad(lambda q: jnp.sum(flash_attention(q, q, q)))(q)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.linalg.norm(g)) > 0
+
+
+class TestNMS:
+    def test_box_iou_identity(self):
+        b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+        iou = np.asarray(box_iou(b, b))
+        np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-6)
+        assert iou[0, 2] == 0.0
+        np.testing.assert_allclose(iou[0, 1], 25.0 / 175.0, rtol=1e-5)
+
+    def test_greedy_suppression(self):
+        boxes = jnp.asarray([
+            [0.0, 0, 10, 10],
+            [1.0, 1, 11, 11],   # overlaps box 0 heavily
+            [20.0, 20, 30, 30],
+        ])
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        keep = np.asarray(nms(boxes, scores, iou_threshold=0.5))
+        np.testing.assert_array_equal(keep, [True, False, True])
+
+    def test_matches_torchvision_random(self):
+        tv = pytest.importorskip("torchvision")
+        import torch
+
+        N = 64
+        xy = rng.uniform(0, 100, size=(N, 2))
+        wh = rng.uniform(5, 30, size=(N, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = rng.random(N).astype(np.float32)
+        keep_ref = np.zeros(N, bool)
+        keep_ref[tv.ops.nms(torch.from_numpy(boxes), torch.from_numpy(scores),
+                            0.5).numpy()] = True
+        keep = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+        np.testing.assert_array_equal(keep, keep_ref)
+
+    def test_batched_nms_classes_dont_interact(self):
+        boxes = jnp.asarray([[0.0, 0, 10, 10], [0.0, 0, 10, 10]])
+        scores = jnp.asarray([0.9, 0.8])
+        keep = np.asarray(batched_nms(boxes, scores, jnp.asarray([0, 1]), 0.5))
+        assert keep.all()  # identical boxes, different classes → both kept
+
+    def test_score_threshold(self):
+        boxes = jnp.asarray([[0.0, 0, 10, 10], [20.0, 20, 30, 30]])
+        keep = np.asarray(nms(boxes, jnp.asarray([0.9, 0.01]), 0.5,
+                              score_threshold=0.1))
+        np.testing.assert_array_equal(keep, [True, False])
+
+
+class TestConnectedComponents:
+    def test_two_blobs(self):
+        m = np.zeros((16, 16), bool)
+        m[2:5, 2:5] = True
+        m[10:14, 10:13] = True
+        lbl = np.asarray(connected_components(jnp.asarray(m)))
+        assert lbl[0, 0] == -1
+        l1 = lbl[3, 3]
+        l2 = lbl[11, 11]
+        assert l1 != l2 and l1 >= 0 and l2 >= 0
+        assert np.all(lbl[2:5, 2:5] == l1)
+        assert np.all(lbl[10:14, 10:13] == l2)
+
+    def test_snake_component(self):
+        # long winding path — stresses propagation distance
+        m = np.zeros((20, 20), bool)
+        m[0, :] = True
+        m[:, 19] = True
+        m[19, :] = True
+        lbl = np.asarray(connected_components(jnp.asarray(m)))
+        vals = np.unique(lbl[m])
+        assert len(vals) == 1
+
+    def test_matches_scipy_random(self):
+        ndimage = pytest.importorskip("scipy.ndimage")
+        m = rng.random((32, 32)) > 0.6
+        lbl = np.asarray(connected_components(jnp.asarray(m)))
+        ref, n_ref = ndimage.label(m, structure=np.array(
+            [[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+        n_got = len(np.unique(lbl[m]))
+        assert n_got == n_ref
+        # same partition: every ref component maps to exactly one label
+        for r in range(1, n_ref + 1):
+            assert len(np.unique(lbl[ref == r])) == 1
+
+    def test_vmap_batch(self):
+        m = np.zeros((3, 8, 8), bool)
+        m[:, 2:4, 2:4] = True
+        lbls = np.asarray(jax.vmap(connected_components)(jnp.asarray(m)))
+        assert lbls.shape == (3, 8, 8)
+
+
+class TestMaskOps:
+    def test_masks_to_boxes(self):
+        m = np.zeros((2, 10, 12), bool)
+        m[0, 2:5, 3:7] = True
+        boxes = np.asarray(masks_to_boxes(jnp.asarray(m)))
+        np.testing.assert_allclose(boxes[0], [3, 2, 7, 5])
+        np.testing.assert_allclose(boxes[1], [0, 0, 0, 0])  # empty
+
+    def test_mask_iou(self):
+        a = np.zeros((1, 8, 8), bool)
+        b = np.zeros((1, 8, 8), bool)
+        a[0, :4] = True
+        b[0, 2:6] = True
+        iou = np.asarray(mask_iou(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(iou[0, 0], 16.0 / 48.0, rtol=1e-5)
