@@ -1,0 +1,239 @@
+"""Stage CLI: VGGT multi-view transformer reconstruction.
+
+Reference entries (SURVEY.md §2.6): vggt/main.py:47 (subject scan, pairs
+(left, right)), single-view driver vggt/single_view_process.py:90 (every
+Nth frame batched → camera extrinsics/intrinsics → ``R, t, C`` →
+``*_multi_view_3d_info.npz``), multi-view driver
+vggt/multi_view_process.py:68 (per frame: VGGT on {left, right}, optional
+right hflip, person re-centering, DLT with VGGT cameras, ICP refinement,
+re-triangulation) — whose BA invocation is dead code there
+(:321-353, undefined ``run_local_ba``) and **live here** via
+skix.solvers.bundle_adjust.
+
+TPU-first: frames batch through one jitted VGGT forward; triangulation/BA
+are the shared geometry/solver libraries.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from skix.config import cli_main
+
+log = logging.getLogger(__name__)
+
+
+def build_model(cfg):
+    import jax.numpy as jnp
+
+    from skix.models.vggt import VGGT
+
+    return VGGT(
+        img_size=int(cfg.get("img_size", 518)),
+        patch_size=int(cfg.get("patch_size", 14)),
+        embed_dim=int(cfg.get("embed_dim", 1024)),
+        depth=int(cfg.get("depth", 24)),
+        num_heads=int(cfg.get("num_heads", 16)),
+        intermediate_layer_idx=tuple(cfg.get("intermediate_layer_idx",
+                                             (4, 11, 17, 23))),
+        enable_point=bool(cfg.get("enable_point", True)),
+        enable_depth=bool(cfg.get("enable_depth", True)),
+        dtype=jnp.bfloat16 if str(cfg.get("dtype", "bfloat16")) == "bfloat16"
+        else jnp.float32,
+    )
+
+
+def load_or_init_variables(model, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = cfg.get("checkpoint")
+    if ckpt and Path(ckpt).exists():
+        from skix.pipelines.videopose3d import load_checkpoint
+
+        return load_checkpoint(ckpt)
+    log.warning("no VGGT checkpoint configured — random init (smoke mode)")
+    size = int(cfg.get("img_size", 518))
+    return jax.jit(model.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 2, size, size, 3)))
+
+
+def preprocess_frames(frames_u8: np.ndarray, img_size: int) -> np.ndarray:
+    """Resize + [0,1] normalize a (S, H, W, 3) frame set for VGGT input."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(frames_u8, jnp.float32) / 255.0
+    S = x.shape[0]
+    return np.asarray(jax.image.resize(x, (S, img_size, img_size, 3),
+                                       "bilinear"))
+
+
+def cameras_from_pose_enc(pose_enc, image_hw):
+    """pose_enc (S, 9) → dict of extrinsic/intrinsic/R/t/C arrays."""
+    import jax.numpy as jnp
+
+    from skix.models.vggt import pose_encoding_to_extri_intri
+    from skix.solvers.ba import camera_centers
+
+    extr, K = pose_encoding_to_extri_intri(jnp.asarray(pose_enc)[None],
+                                           image_hw)
+    extr = np.asarray(extr[0])
+    K = np.asarray(K[0])
+    R = extr[:, :3, :3]
+    t = extr[:, :3, 3]
+    C = np.asarray(camera_centers(R, t))
+    return {"extrinsic": extr, "intrinsic": K, "R": R, "t": t, "C": C}
+
+
+def process_single_view(model, variables, video_path: Path, out_dir: Path,
+                        cfg) -> dict:
+    """Every Nth frame batched through VGGT → per-frame cameras npz
+    (reference single_view_process.py:90,130 — every-30th-frame default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.io.video import read_video
+
+    stride = int(cfg.get("frame_stride", 30))
+    size = int(cfg.get("img_size", 518))
+    frames = read_video(video_path, max_frames=cfg.get("max_frames"))
+    sel = frames[::stride]
+    if len(sel) == 0:
+        raise ValueError(f"no frames in {video_path}")
+    x = preprocess_frames(sel, size)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    out = fwd(variables, jnp.asarray(x)[None])
+    cams = cameras_from_pose_enc(np.asarray(out["pose_enc"][0]),
+                                 (size, size))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    npz_path = out_dir / f"{video_path.stem}_multi_view_3d_info.npz"
+    np.savez(npz_path, frame_indices=np.arange(len(sel)) * stride, **cams)
+    return {"frames_processed": int(len(sel)), "npz": str(npz_path)}
+
+
+def process_multi_view(model, variables, rec_left, rec_right, out_dir: Path,
+                       cfg) -> dict:
+    """Two-view reconstruction: VGGT cameras per frame pair + DLT of 2D
+    keypoints + LM bundle adjustment (the reference's intended-but-dead
+    pipeline, multi_view_process.py:68,321)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.geometry.triangulate import triangulate_sequence
+    from skix.pipelines.videopose3d import load_2d_keypoints
+    from skix.solvers import BAConfig, bundle_adjust
+
+    size = int(cfg.get("img_size", 518))
+    stride = int(cfg.get("frame_stride", 30))
+    kpts_l, score_l, (H, W) = load_2d_keypoints(str(rec_left),
+                                                cfg.get("kpt_source", "detectron2"))
+    kpts_r, score_r, _ = load_2d_keypoints(str(rec_right),
+                                           cfg.get("kpt_source", "detectron2"))
+    T = min(len(kpts_l), len(kpts_r))
+    idxs = np.arange(0, T, stride)
+
+    from skix.io import load_pt_info
+
+    info_l = load_pt_info(rec_left)
+    info_r = load_pt_info(rec_right)
+    if info_l.frames is None or info_r.frames is None:
+        raise ValueError("multi-view VGGT needs frames stored in the records")
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    Rs, ts, Ks = [], [], []
+    for i in idxs:
+        pair = np.stack([
+            preprocess_frames(info_l.frames[i][None], size)[0],
+            preprocess_frames(info_r.frames[i][None], size)[0],
+        ])
+        out = fwd(variables, jnp.asarray(pair)[None])
+        cams = cameras_from_pose_enc(np.asarray(out["pose_enc"][0]),
+                                     (size, size))
+        # rescale intrinsics from the VGGT input size to the video size
+        # (reference infer.py:127 scale_intrinsics)
+        K = cams["intrinsic"].copy()
+        K[:, 0, :] *= W / size
+        K[:, 1, :] *= H / size
+        Rs.append(cams["R"])
+        ts.append(cams["t"])
+        Ks.append(K)
+    R = np.median(np.stack(Rs), axis=0)  # robust static-camera estimate
+    # re-orthonormalize the medianed rotations via SVD
+    u, _, vt = np.linalg.svd(R)
+    R = u @ vt
+    t = np.median(np.stack(ts), axis=0)
+    K = np.median(np.stack(Ks), axis=0)
+
+    # relative pose right w.r.t. left: P_l = K [I|0], P_r = K [R_rel|t_rel]
+    R_rel = R[1] @ R[0].T
+    t_rel = t[1] - R_rel @ t[0]
+    X = triangulate_sequence(jnp.asarray(kpts_l[:T]), jnp.asarray(kpts_r[:T]),
+                             jnp.asarray(K[0]), jnp.asarray(R_rel),
+                             jnp.asarray(t_rel),
+                             w_a=jnp.asarray(score_l[:T]),
+                             w_b=jnp.asarray(score_r[:T]))
+
+    # bundle adjustment over (X, cameras) — alive, under jit
+    ba_cfg = BAConfig(mode=str(cfg.get("ba_mode", "pose_only")),
+                      method="lm",
+                      max_steps=int(cfg.get("ba_max_steps", 30)))
+    x2d = np.stack([kpts_l[:T], kpts_r[:T]], axis=1)
+    conf = np.stack([score_l[:T], score_r[:T]], axis=1)
+    R_pair = np.stack([np.eye(3), R_rel])
+    t_pair = np.stack([np.zeros(3), t_rel])
+    res = bundle_adjust(np.asarray(X), R_pair, t_pair, K[0], x2d, conf,
+                        cfg=ba_cfg)
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np.savez(out_dir / "multi_view_refined.npz",
+             X3d=np.asarray(res.X), R=np.asarray(res.R), t=np.asarray(res.t),
+             K=K[0], initial_cost=float(res.initial_cost),
+             final_cost=float(res.final_cost))
+    return {"frames": int(T), "vggt_pairs": int(len(idxs)),
+            "ba_initial_cost": float(res.initial_cost),
+            "ba_final_cost": float(res.final_cost)}
+
+
+@cli_main("vggt")
+def main(cfg):
+    logging.basicConfig(level=logging.INFO)
+    model = build_model(cfg)
+    variables = load_or_init_variables(model, cfg)
+    mode = str(cfg.get("mode", "single"))
+    out_root = Path(cfg.paths.out_root)
+    reports = {}
+    if mode == "single":
+        root = Path(cfg.paths.video_root)
+        for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+            for video in sorted(person_dir.glob("*.mp4")):
+                try:
+                    reports[f"{person_dir.name}/{video.stem}"] = \
+                        process_single_view(model, variables, video,
+                                            out_root / person_dir.name, cfg)
+                except Exception:  # noqa: BLE001
+                    log.exception("%s failed", video)
+    else:
+        root = Path(cfg.paths.pt_root)
+        for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+            recs = sorted(person_dir.glob("*.npz")) + sorted(person_dir.glob("*.pt"))
+            if len(recs) < 2:
+                continue
+            try:
+                reports[person_dir.name] = process_multi_view(
+                    model, variables, recs[0], recs[1],
+                    out_root / person_dir.name, cfg)
+            except Exception:  # noqa: BLE001
+                log.exception("person %s failed", person_dir.name)
+    out_root.mkdir(parents=True, exist_ok=True)
+    (out_root / "vggt_summary.json").write_text(json.dumps(reports, indent=2))
+    log.info("vggt %s mode: %d items", mode, len(reports))
+
+
+if __name__ == "__main__":
+    main()
