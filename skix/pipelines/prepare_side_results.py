@@ -1,0 +1,98 @@
+"""Stage CLI: side-view videos → per-frame MHR-70 body estimates.
+
+Reference entry: prepare_side_results/main.py:132 — GPUManager thread pool
+(one video per GPU) driving per-frame SAM-3D-Body inference, athlete
+selection (closest-to-camera + temporal continuity, infer.py:49), per-frame
+``.npz`` saves (save.py:108).
+
+TPU-first: no GPU pool/threads — the whole clip's crops batch through one
+jitted forward (data parallelism over a mesh replaces the per-video thread
+pool; see skix.parallel). Outputs: ``frame_%06d_sam_3d_body_outputs.npz``
+files with the reference field names (consumed by skix.pipelines.fuse's
+loader, matching reference fuse/load/load_raw.py:29).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from skix.config import cli_main
+
+log = logging.getLogger(__name__)
+
+
+def build_estimator(cfg):
+    from skix.models.sam3d_body import SAM3DBody, SAM3DBodyEstimator
+
+    model = SAM3DBody(
+        crop_size=int(cfg.get("crop_size", 256)),
+        patch_size=int(cfg.get("patch_size", 16)),
+        embed_dim=int(cfg.get("embed_dim", 384)),
+        depth=int(cfg.get("vit_depth", 8)),
+        num_heads=int(cfg.get("num_heads", 6)),
+        decoder_depth=int(cfg.get("decoder_depth", 4)),
+        focal_length=float(cfg.get("crop_focal", 5000.0)),
+    )
+    variables = None
+    ckpt = cfg.get("checkpoint")
+    if ckpt and Path(ckpt).exists():
+        from skix.pipelines.videopose3d import load_checkpoint
+
+        variables = load_checkpoint(ckpt)
+    else:
+        log.warning("no SAM3DBody checkpoint configured — random init "
+                    "(smoke mode)")
+    return SAM3DBodyEstimator(model, variables)
+
+
+def process_one_video(estimator, record_path: Path, out_dir: Path, cfg) -> int:
+    from skix.io import load_pt_info
+
+    info = load_pt_info(record_path)
+    if info.frames is None:
+        raise ValueError(f"{record_path} has no stored frames")
+    bboxes = info.yolo_bbox if info.yolo_bbox is not None else info.d2_bbox
+    if bboxes is None:
+        raise ValueError(f"{record_path} has no person bboxes")
+    outputs = estimator.process_clip(
+        info.frames, np.asarray(bboxes, np.float32),
+        batch_size=int(cfg.get("batch_size", 8)))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for t, out in enumerate(outputs):
+        np.savez(out_dir / f"frame_{t:06d}_sam_3d_body_outputs.npz", **out)
+    return len(outputs)
+
+
+@cli_main("sam3d_body")
+def main(cfg):
+    logging.basicConfig(level=logging.INFO)
+    estimator = build_estimator(cfg)
+    root = Path(cfg.paths.pt_root)
+    out_root = Path(cfg.paths.out_root)
+    report = {}
+    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+        for rec in sorted(person_dir.glob("*.npz")) + sorted(person_dir.glob("*.pt")):
+            if rec.name.endswith(".detections.npz"):
+                continue
+            out_dir = out_root / person_dir.name / rec.stem
+            if out_dir.exists() and not bool(cfg.get("overwrite", False)):
+                continue
+            try:
+                n = process_one_video(estimator, rec, out_dir, cfg)
+                report[f"{person_dir.name}/{rec.stem}"] = n
+                log.info("%s/%s: %d frames", person_dir.name, rec.stem, n)
+            except Exception:  # noqa: BLE001 — per-video isolation + summary
+                log.exception("%s failed", rec)
+                report[f"{person_dir.name}/{rec.stem}"] = -1
+    out_root.mkdir(parents=True, exist_ok=True)
+    (out_root / "sam3d_summary.json").write_text(json.dumps(report, indent=2))
+    failures = sum(1 for v in report.values() if v == -1)
+    log.info("done: %d videos, %d failures", len(report), failures)
+
+
+if __name__ == "__main__":
+    main()
