@@ -1,0 +1,9 @@
+from skix.tracking.lifecycle import (  # noqa: F401
+    TrackerConfig,
+    TrackerState,
+    init_tracker_state,
+    track_sequence,
+    tracker_step,
+)
+from skix.tracking.detector import DetrDetector  # noqa: F401
+from skix.tracking.session import VideoPredictor  # noqa: F401

@@ -1,0 +1,137 @@
+"""Video-tracking session API.
+
+Capability parity with the reference's SAM3 predictor request protocol
+(sam3/model/sam3_video_predictor.py:23,56,88: start_session / add_prompt /
+remove_object / reset_session / close + streaming ``propagate_in_video``)
+— minus every piece of process machinery: the reference needs spawn'd
+NCCL worker processes, command/result queues, barriers and a parent-death
+watchdog (:290-509) because one Python process can't drive multiple GPUs;
+under JAX one process drives all TPU chips, so the session protocol
+survives as a plain class around jitted calls (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skix.tracking.detector import DetrDetector, embed_text_prompt
+from skix.tracking.lifecycle import (TrackerConfig, init_tracker_state,
+                                     tracker_step)
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class _Session:
+    frames: np.ndarray            # (T, H, W, 3) uint8
+    prompts: Dict[str, np.ndarray]
+    removed_ids: set
+
+
+class VideoPredictor:
+    """start_session → add_prompt(text=...) → propagate_in_video (stream)."""
+
+    def __init__(self, detector: Optional[DetrDetector] = None,
+                 variables=None, tracker_cfg: Optional[TrackerConfig] = None,
+                 rng_seed: int = 0, batch_size: int = 4):
+        self.detector = detector or DetrDetector()
+        size = self.detector.img_size
+        if variables is None:
+            variables = jax.jit(self.detector.init)(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, size, size, 3)),
+                jnp.zeros((1, self.detector.prompt_dim)))
+        self.variables = variables
+        self.cfg = tracker_cfg or TrackerConfig()
+        self.batch_size = batch_size
+        self.sessions: Dict[int, _Session] = {}
+        self._next_session = 0
+        self._detect = jax.jit(self._detect_batch)
+        self._step = jax.jit(
+            lambda st, b, s, v: tracker_step(st, b, s, v, self.cfg))
+
+    # ---------------- request API ----------------
+    def start_session(self, frames: np.ndarray) -> int:
+        sid = self._next_session
+        self._next_session += 1
+        self.sessions[sid] = _Session(frames=np.asarray(frames), prompts={},
+                                      removed_ids=set())
+        return sid
+
+    def add_prompt(self, session_id: int, text: str) -> None:
+        s = self.sessions[session_id]
+        s.prompts[text] = np.asarray(
+            embed_text_prompt(text, self.detector.prompt_dim))
+
+    def remove_object(self, session_id: int, obj_id: int) -> None:
+        self.sessions[session_id].removed_ids.add(int(obj_id))
+
+    def reset_session(self, session_id: int) -> None:
+        s = self.sessions[session_id]
+        s.prompts.clear()
+        s.removed_ids.clear()
+
+    def close_session(self, session_id: int) -> None:
+        self.sessions.pop(session_id, None)
+
+    # ---------------- propagation ----------------
+    def _detect_batch(self, variables, images, prompt):
+        det = self.detector.apply(variables, images, prompt)
+        return det.boxes_xyxy, det.scores
+
+    def propagate_in_video(self, session_id: int,
+                           prompt_text: Optional[str] = None
+                           ) -> Iterator[dict]:
+        """Yield per-frame tracking outputs ``{frame_index, outputs}``
+        (streaming, like reference handle_stream_request :88)."""
+        s = self.sessions[session_id]
+        if prompt_text is None:
+            if not s.prompts:
+                raise ValueError("no prompt added to session")
+            prompt_text = next(iter(s.prompts))
+        prompt = jnp.asarray(s.prompts[prompt_text])[None]
+        size = self.detector.img_size
+        T, H, W = s.frames.shape[:3]
+        state = init_tracker_state(self.cfg)
+        sx, sy = W / size, H / size
+
+        for start in range(0, T, self.batch_size):
+            chunk = s.frames[start:start + self.batch_size]
+            n = len(chunk)
+            imgs = jnp.asarray(chunk, jnp.float32) / 255.0
+            imgs = jax.image.resize(imgs, (n, size, size, 3), "bilinear")
+            pad = self.batch_size - n
+            if pad:
+                imgs = jnp.pad(imgs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            boxes, scores = self._detect(
+                self.variables, imgs,
+                jnp.broadcast_to(prompt, (self.batch_size,
+                                          self.detector.prompt_dim)))
+            boxes = np.array(boxes)[:n]  # writable host copy
+            scores = np.array(scores)[:n]
+            boxes[..., 0] *= sx
+            boxes[..., 2] *= sx
+            boxes[..., 1] *= sy
+            boxes[..., 3] *= sy
+            for i in range(n):
+                valid = jnp.ones(boxes.shape[1], bool)
+                state, out = self._step(state, jnp.asarray(boxes[i]),
+                                        jnp.asarray(scores[i]), valid)
+                out_np = {k: np.asarray(v) for k, v in out.items()}
+                if s.removed_ids:
+                    drop = np.isin(out_np["obj_id"], list(s.removed_ids))
+                    out_np["active"] = out_np["active"] & ~drop
+                yield {"frame_index": start + i, "outputs": out_np}
+
+    # ---------------- stats ----------------
+    def session_stats(self, session_id: int) -> dict:
+        s = self.sessions[session_id]
+        return {"frames": int(len(s.frames)),
+                "prompts": sorted(s.prompts),
+                "removed_ids": sorted(s.removed_ids)}
