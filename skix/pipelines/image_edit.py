@@ -1,0 +1,128 @@
+"""Stage CLI: novel-camera-angle frame synthesis (image editing).
+
+Reference entry: image_edit/main.py:62 with driver run.py:37 —
+``CameraEditor`` loads the Qwen-Image-Edit pipeline (bf16, FA3, fused
+multiple-angles LoRA), builds bilingual camera-motion prompts from
+(rotate_deg, move_forward, vertical_tilt, wideangle) and runs 4-step
+flow-matching inference per sampled frame (qwen_image_edit.py:40-160).
+
+Here: skix.models.mmdit double-stream transformer + rectified-flow sampler;
+latents are a simple pixel-space downsample (the VAE drops in alongside
+production checkpoints). Structure, prompts, step count and outputs mirror
+the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from skix.config import cli_main
+
+log = logging.getLogger(__name__)
+
+
+class CameraEditor:
+    def __init__(self, cfg):
+        import jax
+        import jax.numpy as jnp
+
+        from skix.models.mmdit import MMDiT
+
+        self.cfg = cfg
+        self.latent_down = int(cfg.get("latent_downsample", 8))
+        self.model = MMDiT(
+            patch_size=int(cfg.get("patch_size", 2)),
+            in_channels=3,
+            dim=int(cfg.get("dim", 256)),
+            depth=int(cfg.get("depth", 4)),
+            num_heads=int(cfg.get("num_heads", 4)),
+            text_dim=int(cfg.get("text_dim", 64)),
+            axes_dim=tuple(cfg.get("axes_dim", (8, 28, 28))),
+        )
+        size = int(cfg.get("image_size", 512))
+        self.size = size
+        lat = size // self.latent_down
+        ckpt = cfg.get("checkpoint")
+        if ckpt and Path(ckpt).exists():
+            from skix.pipelines.videopose3d import load_checkpoint
+
+            self.variables = load_checkpoint(ckpt)
+        else:
+            log.warning("no image-edit checkpoint configured — random init "
+                        "(smoke mode)")
+            self.variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 3)),
+                jnp.zeros((1, 16, int(cfg.get("text_dim", 64)))),
+                jnp.zeros((1,)))
+        self._sample = jax.jit(self._sample_impl, static_argnums=(4,))
+
+    def _sample_impl(self, latents, text_emb, key, strength, num_steps):
+        from skix.models.mmdit import flow_matching_edit
+
+        return flow_matching_edit(self.model, self.variables, latents,
+                                  text_emb, num_steps=num_steps, key=key,
+                                  strength=strength)
+
+    def infer_camera_edit(self, frame_u8: np.ndarray, rotate_deg=0.0,
+                          move_forward=0.0, vertical_tilt=0.0,
+                          wideangle=False, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from skix.models.mmdit import build_camera_prompt, embed_prompt_tokens
+
+        prompt = build_camera_prompt(rotate_deg, move_forward, vertical_tilt,
+                                     wideangle)
+        text = embed_prompt_tokens(prompt, length=16,
+                                   dim=int(self.cfg.get("text_dim", 64)))
+        lat_size = self.size // self.latent_down
+        img = jnp.asarray(frame_u8, jnp.float32) / 127.5 - 1.0
+        lat = jax.image.resize(img, (lat_size, lat_size, 3), "bilinear")[None]
+        out_lat = self._sample(lat, text[None], jax.random.PRNGKey(seed),
+                               float(self.cfg.get("strength", 0.6)),
+                               int(self.cfg.get("num_inference_steps", 4)))
+        out = jax.image.resize(out_lat[0], (self.size, self.size, 3),
+                               "bilinear")
+        out = np.asarray(jnp.clip((out + 1.0) * 127.5, 0, 255)).astype(np.uint8)
+        return out, prompt
+
+
+@cli_main("image_edit")
+def main(cfg):
+    logging.basicConfig(level=logging.INFO)
+    from skix.io.video import read_video
+
+    editor = CameraEditor(cfg)
+    root = Path(cfg.paths.video_root)
+    out_root = Path(cfg.paths.out_root)
+    edits = cfg.get("edits", [{"rotate_deg": 30.0}, {"rotate_deg": -30.0}])
+    stride = int(cfg.get("frame_stride", 30))
+    report = {}
+    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+        for video in sorted(person_dir.glob("*.mp4")):
+            frames = read_video(video, max_frames=cfg.get("max_frames"))
+            out_dir = out_root / person_dir.name / video.stem
+            out_dir.mkdir(parents=True, exist_ok=True)
+            n = 0
+            import cv2
+
+            for t in range(0, len(frames), stride):
+                for e_i, edit in enumerate(edits):
+                    ed = dict(edit) if not hasattr(edit, "to_dict") else edit.to_dict()
+                    out, prompt = editor.infer_camera_edit(frames[t], **ed)
+                    cv2.imwrite(str(out_dir / f"frame_{t:06d}_edit{e_i}.png"),
+                                cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+                    n += 1
+            report[f"{person_dir.name}/{video.stem}"] = n
+            log.info("%s/%s: %d edited frames", person_dir.name, video.stem, n)
+    out_root.mkdir(parents=True, exist_ok=True)
+    (out_root / "image_edit_summary.json").write_text(
+        json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skix.parallel import batch_sharding, make_mesh, replicate, shard_params_tp
+from skix.parallel.collectives import (all_gather, all_reduce_mean,
+                                       all_reduce_sum, data_parallel_map,
+                                       psum_scalar)
+
+rng = np.random.default_rng(23)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh({"data": 4, "model": 2})
+
+
+class TestMesh:
+    def test_axes(self, mesh8):
+        assert mesh8.shape == {"data": 4, "model": 2}
+
+    def test_minus_one_axis(self):
+        m = make_mesh({"data": -1, "model": 2})
+        assert m.shape["data"] == 4
+
+    def test_bad_sizes_raise(self):
+        with pytest.raises(ValueError):
+            make_mesh({"data": 3, "model": 2})
+
+    def test_batch_sharding_placement(self, mesh8):
+        x = jnp.arange(16.0).reshape(8, 2)
+        xs = jax.device_put(x, batch_sharding(mesh8))
+        assert xs.sharding.spec[0] == "data"  # leading dim sharded
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+    def test_tp_param_sharding(self, mesh8):
+        params = {"dense": {"kernel": jnp.zeros((16, 64)),
+                            "bias": jnp.zeros((3,))}}
+        sharded = shard_params_tp(params, mesh8)
+        k = sharded["dense"]["kernel"]
+        assert k.sharding.spec[-1] == "model"  # output features sharded
+        b = sharded["dense"]["bias"]
+        # 3 not divisible by 2 → replicated
+        spec = b.sharding.spec
+        assert all(s is None for s in spec)
+
+
+class TestCollectives:
+    def test_all_reduce_mean(self):
+        mesh = make_mesh({"data": 8})
+        x = jnp.arange(8.0)
+        out = np.asarray(all_reduce_mean(x, mesh))
+        np.testing.assert_allclose(out, np.full(8, 3.5))
+
+    def test_all_reduce_sum(self):
+        mesh = make_mesh({"data": 8})
+        x = jnp.ones(8)
+        np.testing.assert_allclose(np.asarray(all_reduce_sum(x, mesh)), 8.0)
+
+    def test_all_gather_identity(self):
+        mesh = make_mesh({"data": 8})
+        x = jnp.arange(16.0).reshape(8, 2)
+        out = np.asarray(all_gather(x, mesh))
+        np.testing.assert_allclose(out, np.asarray(x))
+
+    def test_all_gather_differentiable(self):
+        mesh = make_mesh({"data": 8})
+        x = jnp.arange(8.0)
+        g = jax.grad(lambda v: jnp.sum(all_gather(v, mesh) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), 2 * np.arange(8.0))
+
+    def test_psum_scalar(self):
+        mesh = make_mesh({"data": 8})
+        x = jnp.arange(8.0)
+        assert float(psum_scalar(x, mesh)) == 28.0
+
+    def test_data_parallel_map(self):
+        mesh = make_mesh({"data": 8})
+        fn = data_parallel_map(lambda v: v * 2 + 1, mesh)
+        x = jnp.arange(8.0)[:, None]
+        np.testing.assert_allclose(np.asarray(fn(x)),
+                                   np.asarray(x) * 2 + 1)
+
+
+class TestEDT:
+    def test_zero_inside(self):
+        from skix.ops.edt import edt
+
+        m = np.zeros((8, 8), bool)
+        m[3:5, 3:5] = True
+        d = np.asarray(edt(jnp.asarray(m)))
+        np.testing.assert_allclose(d[3, 3], 0.0)
+        np.testing.assert_allclose(d[3, 2], 1.0)
+        np.testing.assert_allclose(d[0, 0], np.sqrt(9 + 9))
+
+    def test_matches_scipy(self):
+        ndi = pytest.importorskip("scipy.ndimage")
+        from skix.ops.edt import edt
+
+        m = rng.random((24, 24)) > 0.8
+        if not m.any():
+            m[5, 5] = True
+        want = ndi.distance_transform_edt(~m)
+        got = np.asarray(edt(jnp.asarray(m)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_signed(self):
+        from skix.ops.edt import signed_edt
+
+        m = np.zeros((10, 10), bool)
+        m[2:8, 2:8] = True
+        s = np.asarray(signed_edt(jnp.asarray(m)))
+        assert s[5, 5] < 0 and s[0, 0] > 0
+
+
+class TestAliasPackage:
+    def test_import_alias(self):
+        import skiing_analysis_pytorch_tpu as alias
+
+        assert alias.__version__
+        from skiing_analysis_pytorch_tpu.geometry import umeyama  # noqa
+        assert alias.geometry.umeyama is umeyama
