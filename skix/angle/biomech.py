@@ -39,6 +39,19 @@ UNITY_MHR70_MAPPING = {
 }
 TARGET_IDS = tuple(UNITY_MHR70_MAPPING.keys())
 ID_TO_INDEX = {jid: i for i, jid in enumerate(TARGET_IDS)}
+# identity mapping for full 70-joint arrays (joint id == array index)
+ID_TO_INDEX_FULL = {jid: jid for jid in TARGET_IDS}
+
+
+def mapping_for(num_joints: int) -> dict:
+    """Pick the id→index map by array layout: 15-joint target subset or the
+    full MHR-70 array."""
+    if num_joints >= 70:
+        return ID_TO_INDEX_FULL
+    if num_joints == len(TARGET_IDS):
+        return ID_TO_INDEX
+    raise ValueError(
+        f"cannot infer MHR joint layout for J={num_joints}; pass id_to_index")
 
 # ∠(a,b,c) triplets in MHR-70 ids (vertex = b); reference :55-64.
 ANGLE_DEFS: Dict[str, Tuple[int, int, int]] = {
@@ -261,7 +274,10 @@ def detect_turn_segments(
 def compute_all_series(kpts, up_axis=(0.0, 1.0, 0.0), id_to_index=None):
     """All biomechanics series for one clip (reference _compute_all_series
     :633): joint angles, tilts, torso–knee, knee diff, elbow distances,
-    heading + detected turns."""
+    heading + detected turns. The joint layout (15-subset vs full MHR-70)
+    is auto-detected when ``id_to_index`` is None."""
+    if id_to_index is None:
+        id_to_index = mapping_for(int(np.asarray(kpts).shape[1]))
     series: Dict[str, np.ndarray] = {}
     series.update({k: np.asarray(v) for k, v in
                    compute_angles(kpts, id_to_index).items()})

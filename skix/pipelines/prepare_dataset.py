@@ -63,6 +63,78 @@ def _precomputed_backend(cfg, video_path: Path):
     return run
 
 
+@register_backend("skix")
+def _skix_backend(cfg, video_path: Path):
+    """On-device perception: PoseDetector (bbox + 17-kpt pose + mask),
+    optional MonocularDepth and RAFT flow — the TPU-native equivalents of
+    the reference's {yolo, detectron2, depth, optical_flow} task set
+    (process/preprocess.py:50). Each sub-model loads converted weights
+    when configured, random-init (smoke mode) otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.models.pose_detector import PoseDetector, detect_clip
+
+    det_model = PoseDetector(
+        width=int(cfg.get("detector_width", 64)),
+        depth=int(cfg.get("detector_depth", 4)),
+        top_k=int(cfg.get("top_k", 8)),
+        score_threshold=float(cfg.get("score_threshold", 0.3)))
+
+    def load_vars(key, init_fn):
+        ckpt = cfg.get(key)
+        if ckpt and Path(ckpt).exists():
+            from skix.pipelines.videopose3d import load_checkpoint
+
+            return load_checkpoint(ckpt)
+        log.warning("%s not configured — random init (smoke mode)", key)
+        return init_fn()
+
+    tasks = set(cfg.get("tasks", ["pose"]))
+
+    def run(frames: np.ndarray) -> dict:
+        H, W = frames.shape[1:3]
+        det_vars = load_vars("detector_checkpoint", lambda: jax.jit(
+            det_model.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((1, H, W, 3))))
+        boxes, kpts, valid = detect_clip(det_model, det_vars, frames,
+                                         batch_size=int(cfg.get("det_batch", 8)))
+        out = {"boxes": boxes, "keypoints": kpts, "det_valid": valid}
+        if "depth" in tasks:
+            from skix.models.dpt import MonocularDepth, estimate_depth_batched
+
+            dm = MonocularDepth(patch_size=16,
+                                embed_dim=int(cfg.get("depth_dim", 384)),
+                                depth=int(cfg.get("depth_layers", 12)),
+                                num_heads=6, taps=(2, 5, 8, 11))
+            dv = load_vars("depth_checkpoint", lambda: jax.jit(dm.init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, (H // 16) * 16,
+                                                  (W // 16) * 16, 3))))
+            fr = frames[:, : (H // 16) * 16, : (W // 16) * 16]
+            d = estimate_depth_batched(dm, dv, fr,
+                                       batch_size=int(cfg.get("depth_batch", 4)))
+            out["depth"] = np.pad(d, ((0, 0), (0, 0),
+                                      (0, H - d.shape[2]),
+                                      (0, W - d.shape[3])), mode="edge")
+        if "optical_flow" in tasks:
+            from skix.models.raft import RAFT, compute_flow_sequence
+
+            rm = RAFT(hidden=int(cfg.get("flow_hidden", 96)),
+                      context=int(cfg.get("flow_context", 64)),
+                      corr_levels=3, corr_radius=3,
+                      iters=int(cfg.get("flow_iters", 8)))
+            ph, pw = (-H) % 8, (-W) % 8
+            rv = load_vars("flow_checkpoint", lambda: jax.jit(rm.init)(
+                jax.random.PRNGKey(2),
+                jnp.zeros((1, H + ph, W + pw, 3)),
+                jnp.zeros((1, H + ph, W + pw, 3))))
+            out["optical_flow"] = compute_flow_sequence(
+                rm, rv, frames, chunk_size=int(cfg.get("flow_batch", 2)))
+        return out
+
+    return run
+
+
 def _select_and_fill(det: dict) -> dict:
     """Jitted athlete selection + hole filling on raw padded detections."""
     import jax

@@ -133,6 +133,39 @@ def estimate_pose_opencv_features(frame_a, frame_b, K, baseline_m: float,
     return R, t
 
 
+def estimate_single_view_motion(kpts, scores, K, min_score: float = 0.3,
+                                num_hypotheses: int = 128):
+    """Per-view ego/subject motion: relative pose between consecutive
+    frames from keypoint correspondences, whole clip vmapped (reference
+    view_process/single_view.py:123 capability)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.geometry.epipolar import estimate_relative_pose
+
+    T = kpts.shape[0]
+    if T < 2:
+        return np.zeros((0, 3, 3)), np.zeros((0, 3))
+    a = kpts[:-1].reshape(T - 1, -1, 2)
+    b = kpts[1:].reshape(T - 1, -1, 2)
+    w = ((scores[:-1].reshape(T - 1, -1) > min_score)
+         & (scores[1:].reshape(T - 1, -1) > min_score)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(7), T - 1)
+
+    @jax.jit
+    def run(ka, kb, ww, ks):
+        def one(k1, k2, wf, key):
+            pose = estimate_relative_pose(k1, k2, jnp.asarray(K), key=key,
+                                          num_hypotheses=num_hypotheses,
+                                          weights=wf)
+            return pose.R, pose.t
+
+        return jax.vmap(one)(ka, kb, ww, ks)
+
+    R, t = run(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w), keys)
+    return np.asarray(R), np.asarray(t)
+
+
 class PoseLog:
     """Per-frame R/t/camera-center accumulator → npz + csv (reference
     two_view.py:57 PoseLogger)."""
@@ -242,6 +275,15 @@ def main(cfg):
         out_dir = out_root / person_dir.name
         logp = PoseLog()
 
+        # per-view ego-motion logs (reference single_view.py parity)
+        if bool(cfg.get("single_view", True)):
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for rec, kk, ss in ((records[0], ka, sa), (records[1], kb, sb)):
+                Rsv, tsv = estimate_single_view_motion(
+                    kk.reshape(T, -1, 2), ss.reshape(T, -1), K)
+                np.savez(out_dir / f"{rec.stem}_single_view_poses.npz",
+                         R=Rsv, t=tsv)
+
         for method in methods:
             if method == "kpt":
                 # per-frame poses for the log (reference PoseLogger parity)
@@ -257,9 +299,33 @@ def main(cfg):
             elif method == "fixed":
                 R_clip, t_clip = fixed_demo_extrinsic(baseline)
                 logp.add(0, "fixed", R_clip, t_clip)
+            elif method in ("sift", "orb"):
+                # needs decoded frames in the records (store_frames: true)
+                from skix.io import load_pt_info
+
+                il = load_pt_info(records[0])
+                ir = load_pt_info(records[1])
+                if il.frames is None or ir.frames is None:
+                    log.warning("method %s needs frames stored in the "
+                                "records; skipping", method)
+                    continue
+                stride = max(1, T // 10)
+                poses = []
+                for i in range(0, T, stride):
+                    res = estimate_pose_opencv_features(
+                        il.frames[i], ir.frames[i], K, baseline,
+                        method=method)
+                    if res is not None:
+                        logp.add(i, method, *res)
+                        poses.append(res)
+                if not poses:
+                    log.warning("method %s found no usable frame pair",
+                                method)
+                    continue
+                R_clip = poses[len(poses) // 2][0]
+                t_clip = poses[len(poses) // 2][1]
             else:
-                log.warning("method %s needs raw frames; skipping (configure "
-                            "frames_root for SIFT/ORB)", method)
+                log.warning("unknown method %s; skipping", method)
                 continue
             X, Xs, ok, err = triangulate_and_triage(ka, kb, sa, sb, K,
                                                     R_clip, t_clip, dist)
