@@ -105,8 +105,8 @@ class MultiHeadAttention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
         if self.qk_norm:
-            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
-            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
+            q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="k_norm")(k)
         if self.rope_freq > 0 and pos is not None:
             q = rope_2d(q, pos, self.rope_freq)
             k = rope_2d(k, pos, self.rope_freq)
@@ -132,14 +132,14 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, pos=None):
         C = x.shape[-1]
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = MultiHeadAttention(self.num_heads, self.qkv_bias, self.proj_bias,
                                self.qk_norm, self.rope_freq, self.dtype,
                                name="attn")(h, pos)
         if self.init_values:
             h = LayerScale(self.init_values, name="ls1")(h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = Mlp(int(C * self.mlp_ratio), use_bias=self.ffn_bias,
                 dtype=self.dtype, name="mlp")(h)
         if self.init_values:
@@ -199,5 +199,5 @@ class VisionTransformer(nn.Module):
             x = Block(self.num_heads, self.mlp_ratio, qk_norm=False,
                       init_values=self.init_values, dtype=self.dtype,
                       name=f"block_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x[:, 1 + self.num_register_tokens:]

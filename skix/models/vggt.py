@@ -222,7 +222,7 @@ class CameraHead(nn.Module):
         """``camera_tokens (B, S, C_in)`` → list of ``(B, S, 9)`` predictions
         (one per refinement iteration; last is final)."""
         B, S, C = camera_tokens.shape
-        x = nn.LayerNorm(name="token_norm")(camera_tokens)
+        x = nn.LayerNorm(epsilon=1e-5, name="token_norm")(camera_tokens)
 
         empty_pose = self.param("empty_pose_tokens", nn.initializers.zeros,
                                 (1, 1, 9))
@@ -231,7 +231,7 @@ class CameraHead(nn.Module):
         trunk = [Block(self.num_heads, self.mlp_ratio,
                        init_values=self.init_values, dtype=self.dtype,
                        name=f"trunk_{i}") for i in range(self.trunk_depth)]
-        trunk_norm = nn.LayerNorm(name="trunk_norm")
+        trunk_norm = nn.LayerNorm(epsilon=1e-5, name="trunk_norm")
         adaln = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                              name="adaln_norm")
         pose_branch = Mlp(self.dim_in // 2, out_features=9,
@@ -304,7 +304,7 @@ class DPTHead(nn.Module):
         for i, t in enumerate(taps):
             B, S, P, C = t.shape
             x = t[:, :, patch_start_idx:, :]
-            x = nn.LayerNorm(name=f"norm_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
             x = x.reshape(B * S, gh, gw, C)
             x = nn.Conv(self.out_channels[i], (1, 1),
                         name=f"project_{i}")(x)

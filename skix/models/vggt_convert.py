@@ -1,0 +1,135 @@
+"""VGGT PyTorch checkpoint → Flax conversion.
+
+Maps the reference/Meta VGGT state-dict names (vggt/vggt/models/
+aggregator.py, heads/camera_head.py, heads/dpt_head.py) onto
+skix.models.vggt modules so real VGGT-1B weights load for numerical
+parity. Verified in tests against a randomly initialized reference model
+(conv patch-embed configuration; the DINOv2 patch-embed tower converts via
+its own block mapping when ``patch_embed='vit'``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["convert_vggt_reference_state_dict"]
+
+
+def _np(t):
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _lin(sd, prefix):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _conv(sd, prefix):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _block(sd, prefix):
+    """Reference Block (layers/block.py) → skix.models.layers.Block."""
+    blk = {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _lin(sd, f"{prefix}.attn.qkv"),
+            "proj": _lin(sd, f"{prefix}.attn.proj"),
+        },
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {"fc1": _lin(sd, f"{prefix}.mlp.fc1"),
+                "fc2": _lin(sd, f"{prefix}.mlp.fc2")},
+    }
+    if f"{prefix}.attn.q_norm.weight" in sd:
+        blk["attn"]["q_norm"] = _ln(sd, f"{prefix}.attn.q_norm")
+        blk["attn"]["k_norm"] = _ln(sd, f"{prefix}.attn.k_norm")
+    if f"{prefix}.ls1.gamma" in sd:
+        blk["ls1"] = {"gamma": _np(sd[f"{prefix}.ls1.gamma"])}
+        blk["ls2"] = {"gamma": _np(sd[f"{prefix}.ls2.gamma"])}
+    return blk
+
+
+def convert_aggregator(sd, depth: int, prefix: str = "") -> dict:
+    p: dict = {}
+    p["camera_token"] = _np(sd[f"{prefix}camera_token"])
+    p["register_token"] = _np(sd[f"{prefix}register_token"])
+    if f"{prefix}patch_embed.proj.weight" in sd:
+        p["patch_embed"] = {"proj": _conv(sd, f"{prefix}patch_embed.proj")}
+    for i in range(depth):
+        p[f"frame_block_{i}"] = _block(sd, f"{prefix}frame_blocks.{i}")
+        p[f"global_block_{i}"] = _block(sd, f"{prefix}global_blocks.{i}")
+    return p
+
+
+def convert_camera_head(sd, trunk_depth: int, prefix: str = "camera_head.") -> dict:
+    p: dict = {
+        "token_norm": _ln(sd, f"{prefix}token_norm"),
+        "trunk_norm": _ln(sd, f"{prefix}trunk_norm"),
+        "empty_pose_tokens": _np(sd[f"{prefix}empty_pose_tokens"]),
+        "embed_pose": _lin(sd, f"{prefix}embed_pose"),
+        # reference poseLN_modulation = Sequential(SiLU, Linear) → index 1
+        "poseLN_modulation": _lin(sd, f"{prefix}poseLN_modulation.1"),
+        "pose_branch": {"fc1": _lin(sd, f"{prefix}pose_branch.fc1"),
+                        "fc2": _lin(sd, f"{prefix}pose_branch.fc2")},
+    }
+    for i in range(trunk_depth):
+        p[f"trunk_{i}"] = _block(sd, f"{prefix}trunk.{i}")
+    return p
+
+
+def convert_vggt_reference_state_dict(sd, depth: int = 24,
+                                      trunk_depth: int = 4) -> dict:
+    """Full-model conversion for skix.models.vggt.VGGT (conv patch-embed
+    configuration). DPT heads convert tap-wise; the reference shares one
+    pre-projection LayerNorm across taps (dpt_head.py:66) which maps onto
+    each per-tap ``norm_{i}`` here."""
+    import jax
+    import jax.numpy as jnp
+
+    params: dict = {
+        "aggregator": convert_aggregator(sd, depth, "aggregator."),
+        "camera_head": convert_camera_head(sd, trunk_depth, "camera_head."),
+    }
+    for head in ("depth_head", "point_head"):
+        if f"{head}.scratch.refinenet1.out_conv.weight" not in sd and \
+           f"{head}.projects.0.weight" not in sd:
+            continue
+        hp: dict = {}
+        for i in range(4):
+            hp[f"norm_{i}"] = _ln(sd, f"{head}.norm")
+            hp[f"project_{i}"] = _conv(sd, f"{head}.projects.{i}")
+            if i != 2:
+                key = f"{head}.resize_layers.{i}"
+                w = _np(sd[f"{key}.weight"])
+                if i < 2:  # ConvTranspose2d: (in, out, kh, kw)
+                    hp[f"resize_{i}"] = {"kernel": w.transpose(2, 3, 0, 1)}
+                else:
+                    hp[f"resize_{i}"] = {"kernel": w.transpose(2, 3, 1, 0)}
+                if f"{key}.bias" in sd:
+                    hp[f"resize_{i}"]["bias"] = _np(sd[f"{key}.bias"])
+            hp[f"scratch_{i}"] = _conv(sd, f"{head}.scratch.layer{i + 1}_rn")
+        for j, name in ((4, "refine4"), (3, "refine3"), (2, "refine2"),
+                        (1, "refine1")):
+            pref = f"{head}.scratch.refinenet{j}"
+            blk = {"out_conv": _conv(sd, f"{pref}.out_conv")}
+            for ours, theirs in (("res_unit1", "resConfUnit1"),
+                                 ("res_unit2", "resConfUnit2")):
+                if f"{pref}.{theirs}.conv1.weight" in sd:
+                    blk[f"{ours}_conv1"] = _conv(sd, f"{pref}.{theirs}.conv1")
+                    blk[f"{ours}_conv2"] = _conv(sd, f"{pref}.{theirs}.conv2")
+            hp[name] = blk
+        hp["out_conv1"] = _conv(sd, f"{head}.scratch.output_conv1")
+        hp["out_conv2a"] = _conv(sd, f"{head}.scratch.output_conv2.0")
+        hp["out_conv2b"] = _conv(sd, f"{head}.scratch.output_conv2.2")
+        params[head] = hp
+    return {"params": jax.tree.map(jnp.asarray, params)}
