@@ -1,0 +1,224 @@
+"""Mask-memory video tracker (SAM2-family), fixed-capacity ring memory.
+
+Capability parity with the reference's tracker stack (SURVEY.md §2.8:
+sam3_tracker_base.py mask-memory backbone, memory.py:19-158 memory
+encoder/fuser, tracker transformer with memory cross-attention, SAM mask
+decoder): per tracked object, a bank of encoded (frame-feature, mask)
+memories conditions the current frame through cross-attention, producing
+the object's mask and an occlusion/objectness score.
+
+TPU-first: the memory bank is a **fixed-capacity ring buffer** (a
+conditioning slot + N recent slots) carried through a ``lax.scan`` over
+frames — the reference's dynamic per-object memory dicts become static
+arrays; object slots batch/vmap and shard over a mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from skix.models.layers import Mlp
+
+
+class ImageEncoder(nn.Module):
+    """Small conv pyramid → (H/8, W/8, C) frame features (stands in for the
+    reference's hiera/ViT trunk)."""
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image):
+        h = image.astype(self.dtype)
+        for i, (f, s) in enumerate([(self.features // 2, 2),
+                                    (self.features, 2),
+                                    (self.features, 2)]):
+            h = nn.Conv(f, (3, 3), strides=(s, s), padding="SAME",
+                        dtype=self.dtype, name=f"conv_{i}")(h)
+            h = nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                             name=f"norm_{i}")(h)
+            h = nn.silu(h)
+        return h.astype(jnp.float32)
+
+
+class MemoryEncoder(nn.Module):
+    """(frame features, mask) → one memory feature map (reference
+    memory.py MemoryEncoder: mask-downsample + fuse)."""
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, mask_logits):
+        m = nn.sigmoid(mask_logits)[..., None]
+        gh, gw = feats.shape[-3], feats.shape[-2]
+        m = jax.image.resize(m, (*m.shape[:-3], gh, gw, 1), "bilinear")
+        h = jnp.concatenate([feats, m], axis=-1)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="fuse1")(h)
+        h = nn.silu(nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                                 name="norm")(h))
+        return nn.Conv(self.features, (3, 3), padding="SAME",
+                       dtype=jnp.float32, name="fuse2")(h)
+
+
+class MemoryAttention(nn.Module):
+    """Cross-attention of current-frame tokens over the memory bank tokens
+    (reference tracker transformer w/ memory cross-attention)."""
+
+    num_heads: int = 4
+    layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cur_tokens, mem_tokens, mem_valid):
+        # (B, heads, q, kv) bool mask: every query sees only valid memories
+        mask = jnp.broadcast_to(
+            mem_valid[:, None, None, :],
+            (cur_tokens.shape[0], self.num_heads, cur_tokens.shape[1],
+             mem_tokens.shape[1]))
+        for i in range(self.layers):
+            h = nn.LayerNorm(epsilon=1e-5, name=f"norm_q_{i}")(cur_tokens)
+            mk = nn.LayerNorm(epsilon=1e-5, name=f"norm_kv_{i}")(mem_tokens)
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                name=f"cross_{i}")
+            cur_tokens = cur_tokens + attn(h, mk, mask=mask)
+            h2 = nn.LayerNorm(epsilon=1e-5, name=f"norm_mlp_{i}")(cur_tokens)
+            cur_tokens = cur_tokens + Mlp(4 * cur_tokens.shape[-1],
+                                          dtype=self.dtype,
+                                          name=f"mlp_{i}")(h2)
+        return cur_tokens
+
+
+class MaskDecoder(nn.Module):
+    """Tokens → mask logits at feature resolution + objectness score."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, tokens, gh: int, gw: int):
+        h = tokens.reshape(tokens.shape[0], gh, gw, tokens.shape[-1])
+        h = nn.Conv(self.features, (3, 3), padding="SAME", name="conv1")(h)
+        h = nn.silu(h)
+        mask = nn.Conv(1, (1, 1), name="mask_out")(h)[..., 0]
+        score = Mlp(self.features, out_features=1, name="score")(
+            jnp.mean(tokens, axis=1))[..., 0]
+        return mask, score
+
+
+class MemoryBank(NamedTuple):
+    """Conditioning memory (slot 0, never evicted) + recent ring."""
+
+    mem: jnp.ndarray        # (M, gh, gw, C)
+    valid: jnp.ndarray      # (M,)
+    ring_pos: jnp.ndarray   # () next recent slot to overwrite (1..M−1)
+
+
+def init_memory(num_slots: int, gh: int, gw: int, c: int) -> MemoryBank:
+    return MemoryBank(mem=jnp.zeros((num_slots, gh, gw, c)),
+                      valid=jnp.zeros((num_slots,), bool),
+                      ring_pos=jnp.asarray(1))
+
+
+def write_conditioning(bank: MemoryBank, mem_feat) -> MemoryBank:
+    return bank._replace(mem=bank.mem.at[0].set(mem_feat),
+                         valid=bank.valid.at[0].set(True))
+
+
+def write_recent(bank: MemoryBank, mem_feat) -> MemoryBank:
+    M = bank.mem.shape[0]
+    i = bank.ring_pos
+    nxt = jnp.where(i + 1 >= M, 1, i + 1)
+    return MemoryBank(mem=bank.mem.at[i].set(mem_feat),
+                      valid=bank.valid.at[i].set(True),
+                      ring_pos=nxt)
+
+
+class MaskMemoryTracker(nn.Module):
+    """Full per-object tracker: encode frame → memory cross-attention →
+    mask decode → memory write. ``propagate`` scans a clip."""
+
+    features: int = 64
+    num_heads: int = 4
+    mem_slots: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ImageEncoder(self.features, self.dtype)
+        self.mem_encoder = MemoryEncoder(self.features, self.dtype)
+        self.mem_attn = MemoryAttention(self.num_heads, 2, self.dtype)
+        self.decoder = MaskDecoder(self.features)
+        self.in_proj = nn.Dense(self.features, name="in_proj")
+
+    def encode_frame(self, image):
+        return self.encoder(image)
+
+    def step(self, image, bank: MemoryBank, write: bool = True):
+        """One frame: returns (mask_logits (B,gh,gw), score (B,), new bank).
+        ``image (B, H, W, 3)`` in [0,1]; batch shares one object bank per
+        row (vmap the whole tracker for multiple objects)."""
+        feats = self.encoder(image)
+        B, gh, gw, C = feats.shape
+        cur = self.in_proj(feats.reshape(B, gh * gw, C))
+        mem_tokens = bank.mem.reshape(1, -1, bank.mem.shape[-1])
+        mem_tokens = jnp.broadcast_to(
+            mem_tokens, (B, mem_tokens.shape[1], mem_tokens.shape[2]))
+        slot_valid = jnp.repeat(bank.valid, gh * gw)
+        any_mem = jnp.any(bank.valid)
+        # with an empty bank, attend to a zero token instead (frame 0)
+        mem_valid = jnp.broadcast_to(
+            jnp.where(any_mem, slot_valid,
+                      jnp.zeros_like(slot_valid).at[0].set(True))[None],
+            (B, slot_valid.shape[0]))
+        tok = self.mem_attn(cur, mem_tokens, mem_valid)
+        mask_logits, score = self.decoder(tok, gh, gw)
+        new_mem = self.mem_encoder(feats[0], mask_logits[0])
+        bank = jax.lax.cond(write,
+                            lambda b: write_recent(b, new_mem),
+                            lambda b: b, bank)
+        return mask_logits, score, bank
+
+    def init_from_mask(self, image, mask, bank: MemoryBank):
+        """Condition on a prompted first-frame mask (reference add-prompt
+        path): encode and pin to the conditioning slot."""
+        feats = self.encoder(image)
+        logits = (jnp.asarray(mask, jnp.float32) * 20.0 - 10.0)
+        mem = self.mem_encoder(feats[0], logits[0])
+        return write_conditioning(bank, mem)
+
+
+def propagate_object(model: MaskMemoryTracker, variables, frames, first_mask,
+                     mem_slots: int | None = None):
+    """Track one prompted object through ``frames (T, H, W, 3)`` uint8/f32;
+    ``first_mask (H, W)`` bool at t=0 → (mask_logits (T, gh, gw),
+    scores (T,)).
+
+    Streaming design like the session predictor: one jitted step, the
+    fixed-shape memory bank carried across calls (the same state threads
+    through a lax.scan when embedded in a larger jitted program).
+    """
+    import numpy as np
+
+    frames = jnp.asarray(frames, jnp.float32)
+    if float(frames.max()) > 1.5:
+        frames = frames / 255.0
+    T = frames.shape[0]
+    feats0 = model.apply(variables, frames[:1], method=model.encode_frame)
+    gh, gw = feats0.shape[1], feats0.shape[2]
+    bank = init_memory(mem_slots or model.mem_slots, gh, gw, model.features)
+    bank = model.apply(variables, frames[:1], first_mask[None], bank,
+                       method=model.init_from_mask)
+    step = jax.jit(lambda v, img, b: model.apply(v, img, b,
+                                                 method=model.step))
+    masks, scores = [], []
+    for t in range(T):
+        m, s, bank = step(variables, frames[t:t + 1], bank)
+        masks.append(np.asarray(m[0]))
+        scores.append(float(s[0]))
+    return np.stack(masks), np.asarray(scores)
+

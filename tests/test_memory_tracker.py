@@ -1,0 +1,84 @@
+"""Mask-memory tracker tests: ring-buffer mechanics + propagation."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skix.tracking.memory_tracker import (
+    MaskMemoryTracker,
+    MemoryBank,
+    init_memory,
+    propagate_object,
+    write_conditioning,
+    write_recent,
+)
+
+rng = np.random.default_rng(101)
+
+
+class TestMemoryBank:
+    def test_ring_never_evicts_conditioning(self):
+        bank = init_memory(3, 2, 2, 4)
+        cond = jnp.ones((2, 2, 4))
+        bank = write_conditioning(bank, cond)
+        for i in range(5):
+            bank = write_recent(bank, jnp.full((2, 2, 4), float(i + 2)))
+        np.testing.assert_allclose(np.asarray(bank.mem[0]), 1.0)
+        assert bool(bank.valid[0])
+        # recent slots hold the latest writes (ring over slots 1..2)
+        recent_vals = {float(bank.mem[1, 0, 0, 0]),
+                       float(bank.mem[2, 0, 0, 0])}
+        assert recent_vals == {5.0, 6.0}
+
+    def test_valid_tracking(self):
+        bank = init_memory(4, 2, 2, 4)
+        assert not bool(jnp.any(bank.valid))
+        bank = write_recent(bank, jnp.ones((2, 2, 4)))
+        assert int(jnp.sum(bank.valid)) == 1
+
+
+class TestTracker:
+    def _model_and_vars(self, H=32, W=32):
+        model = MaskMemoryTracker(features=16, num_heads=2, mem_slots=3)
+        frames = jnp.zeros((1, H, W, 3))
+        bank = init_memory(3, H // 8, W // 8, 16)
+        variables = model.init(jax.random.PRNGKey(0), frames, bank,
+                               method=model.step)
+        return model, variables
+
+    def test_step_shapes(self):
+        model, variables = self._model_and_vars()
+        bank = init_memory(3, 4, 4, 16)
+        img = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        m, s, bank2 = model.apply(variables, img, bank, method=model.step)
+        assert m.shape == (1, 4, 4)
+        assert s.shape == (1,)
+        assert int(jnp.sum(bank2.valid)) == 1  # one recent memory written
+
+    def test_conditioning_changes_prediction(self):
+        model, variables = self._model_and_vars()
+        img = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        bank0 = init_memory(3, 4, 4, 16)
+        mask_a = np.zeros((32, 32), np.float32)
+        mask_a[:16] = 1.0
+        mask_b = 1.0 - mask_a
+        bank_a = model.apply(variables, img, jnp.asarray(mask_a)[None],
+                             bank0, method=model.init_from_mask)
+        bank_b = model.apply(variables, img, jnp.asarray(mask_b)[None],
+                             bank0, method=model.init_from_mask)
+        ma, _, _ = model.apply(variables, img, bank_a, method=model.step)
+        mb, _, _ = model.apply(variables, img, bank_b, method=model.step)
+        assert not np.allclose(np.asarray(ma), np.asarray(mb))
+
+    def test_propagate_clip(self):
+        model, variables = self._model_and_vars()
+        frames = rng.integers(0, 255, (5, 32, 32, 3)).astype(np.uint8)
+        first_mask = np.zeros((32, 32), bool)
+        first_mask[8:24, 8:24] = True
+        masks, scores = propagate_object(model, variables, frames,
+                                         jnp.asarray(first_mask))
+        assert masks.shape == (5, 4, 4)
+        assert scores.shape == (5,)
+        assert np.all(np.isfinite(masks)) and np.all(np.isfinite(scores))
