@@ -27,7 +27,9 @@ def main() -> None:
                            compute_dtype=jnp.bfloat16)
     rf = model.rf  # 243
 
-    B, T_out = 16, 1024  # 16384 output frames per call
+    # B=32, T=2048 measured best on v5e (~4.5M frames/s ≈ 77% of bf16 peak
+    # FLOPs for this conv stack; longer T amortizes the 242-frame halo)
+    B, T_out = 32, 2048
     T_in = T_out + rf - 1
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, rf, 17, 2)), train=False)
