@@ -56,6 +56,7 @@ def solve_rt_from_3d(
     init: Optional[dict] = None,
     baseline_m: Optional[float] = None,
     max_steps: int = 60,
+    cg_iters: int = 30,
     soft_l1_delta: float = 4.0,
 ) -> RTSolution:
     """Jointly refine both cameras' R|t (optionally the points too) against
@@ -91,7 +92,8 @@ def solve_rt_from_3d(
         r = jnp.concatenate([(sw * rl).ravel(), (sw * rr).ravel()])
         return _soft_l1(r, soft_l1_delta)
 
-    res = levenberg_marquardt(residual_fn, flat0, max_steps=max_steps)
+    res = levenberg_marquardt(residual_fn, flat0, max_steps=max_steps,
+                              cg_iters=cg_iters)
     p = unravel(res.x)
     return RTSolution(
         R_left=rotvec_to_matrix(p["rl"]), t_left=p["tl"],
