@@ -1,0 +1,126 @@
+"""Matcher, detection losses, and AP evaluator tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skix.tracking.matcher import (
+    cxcywh_to_xyxy,
+    detection_loss,
+    dice_loss,
+    generalized_iou,
+    greedy_assign,
+    hungarian_assign_host,
+    matching_cost,
+    sigmoid_focal_loss,
+)
+from skix.metrics.detection_eval import average_precision, mean_average_precision
+
+rng = np.random.default_rng(173)
+
+
+class TestMatching:
+    def test_greedy_matches_hungarian_separated(self):
+        # well-separated costs → greedy == Hungarian
+        cost = np.array([[0.1, 5.0, 5.0],
+                         [5.0, 0.2, 5.0],
+                         [5.0, 5.0, 0.3],
+                         [4.0, 4.0, 4.0]])
+        valid = np.ones(3, bool)
+        g = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(valid)))
+        h = hungarian_assign_host(cost, valid)
+        np.testing.assert_array_equal(np.sort(g[g >= 0]), np.sort(h[h >= 0]))
+        assert g[0] == 0 and g[1] == 1 and g[2] == 2
+
+    def test_greedy_respects_validity(self):
+        cost = np.zeros((2, 3))
+        valid = np.array([True, False, False])
+        g = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(valid)))
+        assert (g >= 0).sum() == 1 and 1 not in g and 2 not in g
+
+    def test_cost_prefers_overlap(self):
+        pred = jnp.asarray([[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.2, 0.2]])
+        scores = jnp.asarray([0.9, 0.9])
+        gt = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+        c = np.asarray(matching_cost(pred, scores, gt))
+        assert c[0, 0] < c[1, 0]
+
+    def test_giou_identity_and_disjoint(self):
+        a = cxcywh_to_xyxy(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]))
+        b = cxcywh_to_xyxy(jnp.asarray([[0.9, 0.9, 0.1, 0.1]]))
+        gi = np.asarray(generalized_iou(a, a))
+        np.testing.assert_allclose(gi[0, 0], 1.0, atol=1e-5)
+        assert float(generalized_iou(a, b)[0, 0]) < 0.0  # disjoint → negative
+
+
+class TestLosses:
+    def test_focal_downweights_easy(self):
+        easy = float(sigmoid_focal_loss(jnp.asarray(8.0), jnp.asarray(1.0)))
+        hard = float(sigmoid_focal_loss(jnp.asarray(-8.0), jnp.asarray(1.0)))
+        assert hard > 100 * easy
+
+    def test_dice_perfect_zero(self):
+        m = jnp.full((1, 8, 8), 20.0)  # sigmoid ≈ 1
+        t = jnp.ones((1, 8, 8))
+        assert float(dice_loss(m, t)[0]) < 0.01
+
+    def test_detection_loss_improves_with_training(self):
+        import optax
+
+        Q, G = 6, 2
+        gt = jnp.asarray([[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.2, 0.3]])
+        gt_valid = jnp.ones(G, bool)
+        params = {
+            "boxes": jnp.asarray(rng.uniform(0.2, 0.8, (Q, 4)), jnp.float32),
+            "logits": jnp.zeros(Q),
+        }
+        opt = optax.adam(5e-2)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            def loss_fn(p):
+                return detection_loss(jax.nn.sigmoid(p["boxes"] * 4 - 2),
+                                      p["logits"], gt, gt_valid).total
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, state = opt.update(grads, state)
+            return optax.apply_updates(params, upd), state, loss
+
+        losses = []
+        for _ in range(60):
+            params, state, loss = step(params, state)
+            losses.append(float(loss))
+        assert losses[-1] < 0.5 * losses[0]
+
+
+class TestAP:
+    def test_perfect_detector(self):
+        gts = [np.array([[0, 0, 10, 10], [20, 20, 30, 30]])]
+        preds = [gts[0].copy()]
+        scores = [np.array([0.9, 0.8])]
+        assert average_precision(preds, scores, gts, 0.5) > 0.99
+
+    def test_all_misses(self):
+        gts = [np.array([[0, 0, 10, 10]])]
+        preds = [np.array([[50, 50, 60, 60]])]
+        scores = [np.array([0.9])]
+        assert average_precision(preds, scores, gts, 0.5) == 0.0
+
+    def test_ranking_matters(self):
+        gts = [np.array([[0, 0, 10, 10]])]
+        # high-scored FP before the TP lowers AP
+        preds = [np.array([[50, 50, 60, 60], [0, 0, 10, 10]])]
+        hi_fp = [np.array([0.95, 0.6])]
+        lo_fp = [np.array([0.1, 0.6])]
+        assert (average_precision(preds, lo_fp, gts, 0.5)
+                > average_precision(preds, hi_fp, gts, 0.5))
+
+    def test_map_dict(self):
+        gts = [np.array([[0, 0, 10, 10]])]
+        preds = [np.array([[1, 1, 10.5, 10.5]])]
+        scores = [np.array([0.9])]
+        rep = mean_average_precision(preds, scores, gts)
+        assert rep["AP50"] > 0.9
+        assert 0 <= rep["mAP"] <= 1
