@@ -17,7 +17,10 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.7 moved shard_map out of experimental
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def all_reduce_mean(x, mesh: Mesh, axis: str = "data"):
@@ -38,7 +41,7 @@ def all_gather(x, mesh: Mesh, axis: str = "data"):
     the reference needs a custom autograd.Function for this)."""
     fn = shard_map(lambda v: jax.lax.all_gather(v, axis, tiled=True),
                    mesh=mesh, in_specs=P(axis), out_specs=P(),
-                   check_rep=False)
+                   check_vma=False)
     return fn(x)
 
 
@@ -46,7 +49,7 @@ def psum_scalar(x, mesh: Mesh, axis: str = "data"):
     """Cross-shard scalar reduction (e.g. global loss/metric totals)."""
     fn = shard_map(lambda v: jax.lax.psum(jnp.sum(v), axis),
                    mesh=mesh, in_specs=P(axis), out_specs=P(),
-                   check_rep=False)
+                   check_vma=False)
     return fn(x)
 
 
