@@ -231,3 +231,24 @@ fps: 6.0
 
         rep = json.loads((out_root / "front_side_summary.json").read_text())
         assert rep["p01"]["traj_length_px"] > 0
+
+
+class TestReprojectionVis:
+    def test_panel_and_report(self, tmp_path):
+        from skix.vis.reprojection import (reprojection_panel,
+                                           reprojection_report,
+                                           save_reprojection_video)
+        from skix.io.video import probe_video
+
+        r = np.random.default_rng(5)
+        obs = r.uniform(100, 500, (3, 17, 2))
+        rep = obs + r.normal(size=obs.shape) * 3
+        obs[0, 2] = np.nan  # one invalid joint
+        panel = reprojection_panel(None, obs[0], rep[0], title="t0")
+        assert panel.shape == (1080, 1920, 3)
+        stats = reprojection_report(obs, rep)
+        assert 2.0 < stats["mean_px"] < 8.0
+        assert stats["valid_fraction"] < 1.0
+        save_reprojection_video(None, obs, rep, tmp_path / "reproj.mp4",
+                                fps=3)
+        assert probe_video(tmp_path / "reproj.mp4").frame_count == 3
