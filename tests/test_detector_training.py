@@ -1,0 +1,104 @@
+"""End-to-end detector training: model + matcher + losses learn to localize.
+
+The integration proof that the DETR-style detector, greedy set matching
+and focal/L1/gIoU losses compose into a working training pipeline (the
+reference's SAM3 train stack capability, scaled to a synthetic task).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from skix.ops.nms import box_iou
+from skix.tracking.detector import DetrDetector
+from skix.tracking.matcher import detection_loss
+
+
+def _make_batch(rng, B=8, size=64):
+    imgs = np.zeros((B, size, size, 3), np.float32)
+    gts = np.zeros((B, 1, 4), np.float32)
+    for i in range(B):
+        w = rng.integers(12, 24)
+        h = rng.integers(12, 24)
+        x = rng.integers(2, size - w - 2)
+        y = rng.integers(2, size - h - 2)
+        imgs[i, y:y + h, x:x + w] = 1.0
+        # normalized cxcywh
+        gts[i, 0] = [(x + w / 2) / size, (y + h / 2) / size,
+                     w / size, h / size]
+    return jnp.asarray(imgs), jnp.asarray(gts)
+
+
+@pytest.mark.slow
+def test_detector_learns_to_localize():
+    rng = np.random.default_rng(31)
+    size = 64
+    det = DetrDetector(img_size=size, patch_size=16, embed_dim=64, depth=2,
+                       num_heads=4, num_queries=4, decoder_depth=2,
+                       prompt_dim=16)
+    imgs0, _ = _make_batch(rng)
+    variables = det.init(jax.random.PRNGKey(0), imgs0)
+    params = variables["params"]
+    params_init = jax.tree.map(lambda x: x, params)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    gt_valid = jnp.asarray([True])
+
+    @jax.jit
+    def step(params, opt_state, imgs, gts):
+        def loss_fn(p):
+            out = det.apply({"params": p}, imgs)
+            boxes_norm = out.boxes_xyxy / size  # xyxy normalized
+            # convert to cxcywh for the loss
+            cx = (boxes_norm[..., 0] + boxes_norm[..., 2]) / 2
+            cy = (boxes_norm[..., 1] + boxes_norm[..., 3]) / 2
+            w = boxes_norm[..., 2] - boxes_norm[..., 0]
+            h = boxes_norm[..., 3] - boxes_norm[..., 1]
+            boxes = jnp.stack([cx, cy, w, h], -1)
+            logits = jnp.log(jnp.clip(out.scores, 1e-6, 1 - 1e-6)) - \
+                jnp.log1p(-jnp.clip(out.scores, 1e-6, 1 - 1e-6))
+
+            def one(b, lg, g):
+                return detection_loss(b, lg, g, gt_valid).total
+
+            return jnp.mean(jax.vmap(one)(boxes, logits, gts))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    # overfit a fixed batch: proves the model/matcher/loss pipeline can
+    # drive boxes to the targets end-to-end (generalization needs DETR-scale
+    # budgets far beyond a CPU unit test)
+    imgs_fit, gts_fit = _make_batch(rng, B=8)
+    losses = []
+    for i in range(400):
+        params, opt_state, loss = step(params, opt_state, imgs_fit, gts_fit)
+        losses.append(float(loss))
+    assert losses[-1] < 0.6 * np.mean(losses[:10]), \
+        f"loss did not drop: {np.mean(losses[:10]):.4f} -> {losses[-1]:.4f}"
+
+    # localization on the memorized batch must improve materially
+    imgs, gts = imgs_fit, gts_fit
+
+    def mean_best_iou(p):
+        out = det.apply({"params": p}, imgs)
+        ious = []
+        for i in range(int(imgs.shape[0])):
+            best = int(jnp.argmax(out.scores[i]))
+            g = np.asarray(gts[i, 0])
+            gt_xyxy = np.array([(g[0] - g[2] / 2) * 64,
+                                (g[1] - g[3] / 2) * 64,
+                                (g[0] + g[2] / 2) * 64,
+                                (g[1] + g[3] / 2) * 64])
+            ious.append(float(box_iou(out.boxes_xyxy[i, best:best + 1],
+                                      jnp.asarray(gt_xyxy)[None])[0, 0]))
+        return float(np.mean(ious))
+
+    iou_init = mean_best_iou(params_init)
+    iou_trained = mean_best_iou(params)
+    assert iou_trained > max(2.0 * iou_init, iou_init + 0.03), \
+        f"IoU did not improve: {iou_init:.3f} -> {iou_trained:.3f}"
