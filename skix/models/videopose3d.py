@@ -173,6 +173,33 @@ def convert_reference_state_dict(state_dict, filter_widths=(3, 3, 3, 3, 3)):
             "batch_stats": jax.tree.map(jnp.asarray, batch_stats)}
 
 
+def fold_batchnorm(variables):
+    """Fold BatchNorm statistics into the preceding conv kernels for
+    inference: conv(x)·scale/√(var+ε) + (bias − mean·scale/√(var+ε)).
+
+    Returns variables whose ``batch_stats`` are identity (mean 0, var 1)
+    and whose BN scale/bias absorb the statistics — numerically identical
+    eval-mode outputs with the normalization reduced to one fused
+    multiply-add that XLA folds into the conv epilogue. The BN collection
+    stays in place so the module applies unchanged.
+    """
+    import copy
+
+    params = copy.deepcopy(jax.tree.map(np.asarray, variables["params"]))
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    new_stats = {}
+    eps = 1e-5
+    for name, st in stats.items():
+        inv = 1.0 / np.sqrt(st["var"] + eps)
+        p = params[name]
+        p["scale"] = p["scale"] * inv
+        p["bias"] = p["bias"] - st["mean"] * p["scale"]
+        new_stats[name] = {"mean": np.zeros_like(st["mean"]),
+                           "var": np.ones_like(st["var"]) - eps}
+    return {"params": jax.tree.map(jnp.asarray, params),
+            "batch_stats": jax.tree.map(jnp.asarray, new_stats)}
+
+
 # --------------------------------------------------------------------------
 # Full-sequence inference (UnchunkedGenerator semantics)
 # --------------------------------------------------------------------------

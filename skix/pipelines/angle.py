@@ -112,6 +112,22 @@ def process_npy(npy_path: Path, out_dir: Path, up_axis, make_plots: bool,
                 comparison[k] = float(np.mean(np.abs(a[ok] - b[ok])))
         (out_dir / "before_after_comparison.json").write_text(
             json.dumps(comparison, indent=2))
+        # turn-wise before/after comparison (reference
+        # save_turn_comparison_report :580): per detected turn, mean metric
+        # deltas between the pre-fusion and smoothed series
+        turn_rows = []
+        for t in turns:
+            s, e = int(t["start_frame"]), int(t["end_frame"])
+            row = {"turn_id": int(t["turn_id"]), "start": s, "end": e}
+            for k in series:
+                a = pre_series[k][s:e + 1]
+                b = series[k][s:e + 1]
+                ok = np.isfinite(a) & np.isfinite(b)
+                if ok.any():
+                    row[f"delta_{k}"] = float(np.mean(b[ok] - a[ok]))
+            turn_rows.append(row)
+        (out_dir / "turn_comparison.json").write_text(
+            json.dumps(turn_rows, indent=2))
         summary["compared_with"] = str(compare_with)
     return summary
 

@@ -42,9 +42,23 @@ def load_sam3d_sequence(path: Path):
     if path.suffix == ".npy":
         return np.load(path), None
     with np.load(path, allow_pickle=False) as z:
-        k3 = z["pred_keypoints_3d"] if "pred_keypoints_3d" in z else z["fused"]
-        k2 = z.get("pred_keypoints_2d")
-        return np.asarray(k3), (None if k2 is None else np.asarray(k2))
+        if "pred_keypoints_3d" in z or "fused" in z:
+            k3 = (z["pred_keypoints_3d"] if "pred_keypoints_3d" in z
+                  else z["fused"])
+            k2 = z.get("pred_keypoints_2d")
+            return np.asarray(k3), (None if k2 is None else np.asarray(k2))
+        needs_outputs = "outputs" in z
+    if needs_outputs:
+        # reference format: np.savez_compressed(..., outputs=[dict, ...])
+        # (prepare_side_results/save.py:108) — object array, needs pickle
+        with np.load(path, allow_pickle=True) as z:
+            outs = list(z["outputs"])
+        k3 = np.stack([np.asarray(o["pred_keypoints_3d"]) for o in outs])
+        have_2d = all("pred_keypoints_2d" in o for o in outs)
+        k2 = (np.stack([np.asarray(o["pred_keypoints_2d"]) for o in outs])
+              if have_2d else None)
+        return k3, k2
+    raise ValueError(f"{path}: no recognizable keypoint arrays")
 
 
 def fuse_person(left_3d, right_3d, left_2d=None, right_2d=None,

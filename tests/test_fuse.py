@@ -338,3 +338,18 @@ class TestBiomech:
         series, turns = compute_all_series(jnp.asarray(k))
         assert "knee_l" in series and "heading_deg" in series
         assert all(v.shape == (30,) for v in series.values())
+
+
+class TestReferenceNpzInterop:
+    def test_outputs_object_array_format(self, tmp_path):
+        """Read the reference's np.savez(outputs=[dict,...]) files."""
+        from skix.pipelines.fuse import load_sam3d_sequence
+
+        outs = [{"pred_keypoints_3d": np.full((70, 3), float(t)),
+                 "pred_keypoints_2d": np.full((70, 2), float(t))}
+                for t in range(4)]
+        p = tmp_path / "seq_sam_3d_body_outputs.npz"
+        np.savez_compressed(p, outputs=np.asarray(outs, dtype=object))
+        k3, k2 = load_sam3d_sequence(p)
+        assert k3.shape == (4, 70, 3) and k2.shape == (4, 70, 2)
+        np.testing.assert_allclose(k3[2], 2.0)

@@ -153,3 +153,24 @@ class TestLosses:
 
         gt = rng.normal(size=(10, 17, 3))
         assert float(mean_velocity_error(gt + 5.0, gt)) < 1e-6  # const offset
+
+
+class TestBNFolding:
+    def test_identical_outputs(self):
+        from skix.models.videopose3d import fold_batchnorm
+
+        model = TemporalLifter(filter_widths=(3, 3), channels=32)
+        x = jnp.asarray(rng.normal(size=(2, 20, 17, 2)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 9, 17, 2)), train=False)
+        # give BN non-trivial statistics first
+        _, mut = model.apply(variables, x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+        want = model.apply(variables, x, train=False)
+        folded = fold_batchnorm(variables)
+        got = model.apply(folded, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
