@@ -273,6 +273,12 @@ class _FusionBlock(nn.Module):
             return h + out
 
         if self.has_residual and res is not None:
+            if x.shape[1:3] != res.shape[1:3]:
+                # odd grids (e.g. 518/14 = 37): the 2× upsample of the
+                # coarser level overshoots by one — align to the skip
+                x = jax.image.resize(
+                    x, (x.shape[0], res.shape[1], res.shape[2], x.shape[3]),
+                    "bilinear")
             x = x + res_unit(res, "res_unit1")
         x = res_unit(x, "res_unit2")
         B, H, W, C = x.shape

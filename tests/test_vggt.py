@@ -176,3 +176,19 @@ class TestUnproject:
         # reproject: R p + t should have z == depth
         cam = pts @ R.T + t
         np.testing.assert_allclose(cam[..., 2], depth, rtol=1e-5)
+
+
+class TestOddGrid:
+    def test_dpt_head_odd_grid(self):
+        """518/14 = 37-wide grids: fusion levels must align (the 2x
+        upsample of an odd-sized coarse level overshoots by one)."""
+        H = W = 70  # grid 5 (odd) → down2 gives 3 → up2 gives 6 vs 5
+        head = DPTHead(dim_in=32, patch_size=14, output_dim=2,
+                       out_channels=(8, 8, 8, 8), features=8,
+                       activation="exp")
+        taps = [jnp.asarray(rng.normal(size=(1, 1, 3 + 25, 32)), jnp.float32)
+                for _ in range(4)]
+        vars_ = head.init(jax.random.PRNGKey(0), taps, (H, W), 3)
+        pred, conf = head.apply(vars_, taps, (H, W), 3)
+        assert pred.shape == (1, 1, H, W, 1)
+        assert np.all(np.isfinite(np.asarray(pred)))
