@@ -91,6 +91,7 @@ class MultiHeadAttention(nn.Module):
     proj_bias: bool = True
     qk_norm: bool = False
     rope_freq: float = -1.0
+    ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,8 +106,8 @@ class MultiHeadAttention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
         if self.qk_norm:
-            q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="q_norm")(q)
-            k = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="k_norm")(k)
+            q = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="k_norm")(k)
         if self.rope_freq > 0 and pos is not None:
             q = rope_2d(q, pos, self.rope_freq)
             k = rope_2d(k, pos, self.rope_freq)
@@ -127,19 +128,22 @@ class Block(nn.Module):
     qk_norm: bool = False
     init_values: Optional[float] = None
     rope_freq: float = -1.0
+    ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pos=None):
         C = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                         name="norm1")(x)
         h = MultiHeadAttention(self.num_heads, self.qkv_bias, self.proj_bias,
-                               self.qk_norm, self.rope_freq, self.dtype,
-                               name="attn")(h, pos)
+                               self.qk_norm, self.rope_freq, self.ln_eps,
+                               self.dtype, name="attn")(h, pos)
         if self.init_values:
             h = LayerScale(self.init_values, name="ls1")(h)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                         name="norm2")(x)
         h = Mlp(int(C * self.mlp_ratio), use_bias=self.ffn_bias,
                 dtype=self.dtype, name="mlp")(h)
         if self.init_values:
@@ -197,7 +201,7 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([cls_t, reg_t, x], axis=1)
         for i in range(self.depth):
             x = Block(self.num_heads, self.mlp_ratio, qk_norm=False,
-                      init_values=self.init_values, dtype=self.dtype,
-                      name=f"block_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+                      init_values=self.init_values, ln_eps=1e-6,
+                      dtype=self.dtype, name=f"block_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1 + self.num_register_tokens:]

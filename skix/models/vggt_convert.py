@@ -87,6 +87,22 @@ def convert_camera_head(sd, trunk_depth: int, prefix: str = "camera_head.") -> d
     return p
 
 
+def convert_dinov2_backbone(sd, depth: int, prefix: str = "") -> dict:
+    """DINOv2 ``DinoVisionTransformer`` state dict (the real VGGT-1B patch
+    embed, reference layers/vision_transformer.py:42 with registers) →
+    skix.models.layers.VisionTransformer params."""
+    p: dict = {
+        "cls_token": _np(sd[f"{prefix}cls_token"]),
+        "register_tokens": _np(sd[f"{prefix}register_tokens"]),
+        "pos_embed": _np(sd[f"{prefix}pos_embed"]),
+        "patch_embed": {"proj": _conv(sd, f"{prefix}patch_embed.proj")},
+        "norm": _ln(sd, f"{prefix}norm"),
+    }
+    for i in range(depth):
+        p[f"block_{i}"] = _block(sd, f"{prefix}blocks.{i}")
+    return p
+
+
 def convert_vggt_reference_state_dict(sd, depth: int = 24,
                                       trunk_depth: int = 4) -> dict:
     """Full-model conversion for skix.models.vggt.VGGT (conv patch-embed

@@ -80,3 +80,36 @@ class TestAggregatorParity:
         got = head.apply({"params": jax.tree.map(jnp.asarray, params)},
                          jnp.asarray(tokens[:, :, 0, :]))[-1]
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+class TestDinov2BackboneParity:
+    def test_backbone_conversion(self):
+        torch = pytest.importorskip("torch")
+        sys.path.insert(0, "/root/reference")
+        try:
+            from vggt.vggt.layers.vision_transformer import DinoVisionTransformer
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"reference dinov2 not importable: {e}")
+        from skix.models.layers import VisionTransformer
+        from skix.models.vggt_convert import convert_dinov2_backbone
+
+        torch.manual_seed(3)
+        depth = 2
+        ref = DinoVisionTransformer(
+            img_size=28, patch_size=14, embed_dim=48, depth=depth,
+            num_heads=4, num_register_tokens=2, init_values=1.0,
+            block_chunks=0).eval()
+        x = rng.random((2, 3, 28, 28)).astype(np.float32)
+        with torch.no_grad():
+            out = ref.forward_features(torch.from_numpy(x))
+        want = out["x_norm_patchtokens"].numpy()
+
+        model = VisionTransformer(patch_size=14, embed_dim=48, depth=depth,
+                                  num_heads=4, num_register_tokens=2,
+                                  init_values=1.0)
+        params = convert_dinov2_backbone(ref.state_dict(), depth)
+        got = np.asarray(model.apply(
+            {"params": jax.tree.map(jnp.asarray, params)},
+            jnp.asarray(x.transpose(0, 2, 3, 1))))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4)
