@@ -29,6 +29,7 @@ class Detections(NamedTuple):
     boxes_xyxy: jnp.ndarray   # (B, Q, 4) in pixels of the input image
     scores: jnp.ndarray       # (B, Q)
     embeddings: jnp.ndarray   # (B, Q, C) query features (for association)
+    mask_logits: jnp.ndarray  # (B, Q, gh, gw) per-query segmentation logits
 
 
 class DetrDetector(nn.Module):
@@ -92,7 +93,18 @@ class DetrDetector(nn.Module):
             scores = nn.sigmoid(obj + sim)
         else:
             scores = nn.sigmoid(obj)
-        return Detections(boxes_xyxy=boxes, scores=scores, embeddings=q)
+
+        # maskformer-style segmentation: per-query mask = dot product of a
+        # query mask-embedding with per-pixel embeddings (reference
+        # sam3/model/maskformer_segmentation.py capability)
+        gh, gw = H // self.patch_size, W // self.patch_size
+        pixel_emb = nn.Dense(self.embed_dim, name="pixel_embed")(memory)
+        mask_q = Mlp(self.embed_dim, out_features=self.embed_dim,
+                     name="mask_embed")(q)
+        mask_logits = jnp.einsum("bqc,bpc->bqp", mask_q, pixel_emb)
+        mask_logits = mask_logits.reshape(B, self.num_queries, gh, gw)
+        return Detections(boxes_xyxy=boxes, scores=scores, embeddings=q,
+                          mask_logits=mask_logits)
 
 
 def embed_text_prompt(text: str, dim: int = 64) -> jnp.ndarray:

@@ -462,3 +462,43 @@ class TestConfig:
         cfg = load_config("s", config_dir=tmp_path)
         with pytest.raises(AttributeError):
             _ = cfg.nope
+
+
+class TestICP:
+    def test_recovers_rigid_transform(self):
+        from skix.geometry import icp as icp_mod
+        from skix.geometry.rotations import rotvec_to_matrix
+
+        r = np.random.default_rng(3)
+        target = r.normal(size=(200, 3)).astype(np.float32)
+        R = np.asarray(rotvec_to_matrix(jnp.asarray([0.1, 0.15, -0.05])))
+        t = np.array([0.2, -0.1, 0.3], np.float32)
+        # source = target moved by the inverse transform (so R,t map back)
+        source = ((target - t) @ R).astype(np.float32)
+        res = icp_mod.icp(jnp.asarray(source), jnp.asarray(target),
+                          iterations=15)
+        np.testing.assert_allclose(np.asarray(res.R), R, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.t), t, atol=5e-3)
+        assert float(res.rms) < 1e-2
+
+    def test_valid_masks_exclude_outliers(self):
+        from skix.geometry import icp as icp_mod
+
+        r = np.random.default_rng(4)
+        target = r.normal(size=(100, 3)).astype(np.float32)
+        source = target + np.array([0.5, 0, 0], np.float32)
+        sv = np.ones(100, bool)
+        src = source.copy()
+        src[:20] += 50.0  # gross outliers, masked out
+        sv[:20] = False
+        res = icp_mod.icp(jnp.asarray(src), jnp.asarray(target),
+                          source_valid=jnp.asarray(sv), iterations=10)
+        np.testing.assert_allclose(np.asarray(res.t), [-0.5, 0, 0],
+                                   atol=2e-2)
+
+    def test_bbox_gate(self):
+        from skix.geometry.icp import bbox_gate_mask
+
+        uv = jnp.asarray([[5.0, 5.0], [50.0, 5.0], [15.0, 25.0]])
+        m = np.asarray(bbox_gate_mask(uv, jnp.asarray([0.0, 0, 20, 30])))
+        np.testing.assert_array_equal(m, [True, False, True])
