@@ -39,8 +39,14 @@ class VideoPredictor:
 
     def __init__(self, detector: Optional[DetrDetector] = None,
                  variables=None, tracker_cfg: Optional[TrackerConfig] = None,
-                 rng_seed: int = 0, batch_size: int = 4):
+                 rng_seed: int = 0, batch_size: int = 4,
+                 text_encoder=None):
+        """``text_encoder``: optional ``(TextEncoder, variables)`` pair —
+        when provided, prompts are embedded by the causal transformer
+        (skix.tracking.text_encoder); otherwise the deterministic hash
+        embedding stands in."""
         self.detector = detector or DetrDetector()
+        self.text_encoder = text_encoder
         size = self.detector.img_size
         if variables is None:
             variables = jax.jit(self.detector.init)(
@@ -66,8 +72,15 @@ class VideoPredictor:
 
     def add_prompt(self, session_id: int, text: str) -> None:
         s = self.sessions[session_id]
-        s.prompts[text] = np.asarray(
-            embed_text_prompt(text, self.detector.prompt_dim))
+        if self.text_encoder is not None:
+            from skix.tracking.text_encoder import encode_texts
+
+            model, variables = self.text_encoder
+            s.prompts[text] = np.asarray(
+                encode_texts(model, variables, [text])[0])
+        else:
+            s.prompts[text] = np.asarray(
+                embed_text_prompt(text, self.detector.prompt_dim))
 
     def remove_object(self, session_id: int, obj_id: int) -> None:
         self.sessions[session_id].removed_ids.add(int(obj_id))

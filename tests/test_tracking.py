@@ -214,3 +214,49 @@ class TestSession:
             for o in outs:
                 ids = o["outputs"]["obj_id"][o["outputs"]["active"]]
                 assert int(active_ids[0]) not in ids.tolist()
+
+
+class TestTextEncoder:
+    def _enc(self):
+        from skix.tracking.text_encoder import TextEncoder, tokenize_batch
+
+        model = TextEncoder(dim=32, depth=1, num_heads=2, out_dim=16)
+        toks = jnp.asarray(tokenize_batch(["person"], 32))
+        variables = model.init(jax.random.PRNGKey(0), toks)
+        return model, variables
+
+    def test_tokenize(self):
+        from skix.tracking.text_encoder import tokenize, _BOS, _EOS
+
+        t = tokenize("ab", 8)
+        assert t[0] == _BOS and t[1] == ord("a") and t[2] == ord("b")
+        assert t[3] == _EOS and t[-1] == _EOS and len(t) == 8
+
+    def test_embeddings_unit_norm_and_distinct(self):
+        from skix.tracking.text_encoder import encode_texts
+
+        model, variables = self._enc()
+        emb = np.asarray(encode_texts(model, variables,
+                                      ["person", "snow", "person"]))
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0,
+                                   atol=1e-5)
+        np.testing.assert_allclose(emb[0], emb[2], atol=1e-6)  # determinism
+        assert not np.allclose(emb[0], emb[1])
+
+    def test_session_with_text_encoder(self):
+        from skix.tracking.text_encoder import TextEncoder, tokenize_batch
+
+        enc = TextEncoder(dim=32, depth=1, num_heads=2, out_dim=16)
+        toks = jnp.asarray(tokenize_batch(["x"], 32))
+        enc_vars = enc.init(jax.random.PRNGKey(0), toks)
+        det = DetrDetector(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                           num_heads=2, num_queries=4, decoder_depth=1,
+                           prompt_dim=16)
+        pred = VideoPredictor(det, tracker_cfg=TrackerConfig(
+            max_objects=4, det_score_threshold=0.0, min_hits_to_confirm=1),
+            batch_size=2, text_encoder=(enc, enc_vars))
+        frames = rng.integers(0, 255, (3, 32, 32, 3)).astype(np.uint8)
+        sid = pred.start_session(frames)
+        pred.add_prompt(sid, "person")
+        outs = list(pred.propagate_in_video(sid))
+        assert len(outs) == 3
