@@ -154,7 +154,7 @@ _flash_attention.defvjp(_fwd, _bwd)
 
 
 def flash_attention(q, k, v, sm_scale: float | None = None,
-                    block_q: int = 256, block_k: int = 256):
+                    block_q: int = 512, block_k: int = 1024):
     """Multi-head attention, shapes ``(B, H, S, D)`` → ``(B, H, Sq, D)``.
 
     Uses the Pallas TPU kernel when running on TPU, the fused-XLA reference
@@ -165,7 +165,9 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     v = jnp.asarray(v)
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    # small sequences: tiling overhead dominates — use the XLA path
+    # small sequences: tiling overhead dominates — use the XLA path.
+    # Defaults (512, 1024) measured best on v5e at S=8192 (37 TF/s; the
+    # outer KV tile amortizes HBM reads, docs/PERF.md).
     if q.shape[2] < block_q or k.shape[2] < block_k:
         return _attention_reference(q, k, v, sm_scale)
     return _flash_attention(q, k, v, sm_scale, block_q, block_k)
