@@ -30,6 +30,22 @@ def _load_any(p: Path):
         return np.asarray(z[list(z.keys())[0]])
 
 
+def load_gt(path: Path) -> np.ndarray:
+    """GT 3D sequence from .npy/.npz or Unity jsonl (reference
+    unity_data_compare GT path; jsonl harmonized via skix.io.unity —
+    expects a sibling ``*_2d.jsonl`` or duplicates the 3D file for the
+    2D slot, which the 3D comparison ignores)."""
+    if path.suffix == ".jsonl":
+        from skix.io.unity import load_unity_gt_jsonl
+
+        p2 = path.with_name(path.name.replace("3d", "2d"))
+        if not p2.exists():
+            p2 = path
+        _, gt3d, _ = load_unity_gt_jsonl(p2, path)
+        return gt3d
+    return _load_any(path)
+
+
 def evaluate_person(person_dir: Path, bones, symmetric_bones, gt_path=None) -> dict:
     import jax.numpy as jnp
 
@@ -50,7 +66,7 @@ def evaluate_person(person_dir: Path, bones, symmetric_bones, gt_path=None) -> d
         out[name]["bone_cv"] = float(bone_length_cv(xj, bones))
 
     if gt_path is not None and Path(gt_path).exists():
-        gt = _load_any(Path(gt_path))
+        gt = load_gt(Path(gt_path))
         T = min(len(gt), *(len(s) for s in seqs.values())) if seqs else 0
         if T:
             rep = before_after_fusion_report(
@@ -81,7 +97,15 @@ def main(cfg):
     gt_root = cfg.get("gt_root")
     results = {}
     for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
-        gt_path = (Path(gt_root) / f"{person_dir.name}.npy") if gt_root else None
+        gt_path = None
+        if gt_root:
+            for cand in (f"{person_dir.name}.npy",
+                         f"{person_dir.name}_3d.jsonl",
+                         f"{person_dir.name}.jsonl"):
+                p = Path(gt_root) / cand
+                if p.exists():
+                    gt_path = p
+                    break
         try:
             results[person_dir.name] = evaluate_person(
                 person_dir, MHR70_BODY_EDGES, MHR70_SYMMETRIC_BONES, gt_path)

@@ -121,3 +121,55 @@ class TestUnityLoader:
             {"name": "Thigh_L", "x": 1, "y": 1, "z": 1}]}) + "\n")
         g2, g3, valid = load_unity_gt_jsonl(p2, p3)
         assert valid.sum() == 1
+
+
+class TestMetricsUnityGT:
+    def test_metrics_cli_with_jsonl_gt(self, tmp_path):
+        from skix.angle.biomech import UNITY_MHR70_MAPPING
+        from skix.pipelines.metrics import main
+
+        names = list(UNITY_MHR70_MAPPING.values())
+        T, J = 6, 15
+        r = np.random.default_rng(6)
+        gt3d_sam = r.normal(size=(T, J, 3))  # in SAM coords after conversion
+
+        # write jsonl in UNITY coords such that conversion yields gt3d_sam:
+        # (x,y,z)_unity -> (-z,-y,x)_sam  ⇒  unity = (z_sam, -y_sam, -x_sam)
+        gt_root = tmp_path / "gt"
+        gt_root.mkdir()
+        with open(gt_root / "p01_3d.jsonl", "w") as f3, \
+                open(gt_root / "p01_2d.jsonl", "w") as f2:
+            for t in range(T):
+                j3 = {"joints3d": [
+                    {"name": n,
+                     "x": float(gt3d_sam[t, i, 2]),
+                     "y": float(-gt3d_sam[t, i, 1]),
+                     "z": float(-gt3d_sam[t, i, 0])}
+                    for i, n in enumerate(names)]}
+                j2 = {"joints2d": [
+                    {"name": n, "u": 10.0, "v": 10.0}
+                    for n in names]}
+                f3.write(json.dumps(j3) + "\n")
+                f2.write(json.dumps(j2) + "\n")
+
+        fused_root = tmp_path / "fused" / "p01"
+        fused_root.mkdir(parents=True)
+        np.save(fused_root / "p01_fused.npy",
+                (gt3d_sam + r.normal(size=gt3d_sam.shape) * 0.01
+                 ).astype(np.float32))
+        np.save(fused_root / "p01_smoothed.npy",
+                gt3d_sam.astype(np.float32))
+        out_root = tmp_path / "metrics_out"
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "metrics.yaml").write_text(f"""
+paths:
+  in_root: {tmp_path / 'fused'}
+  out_root: {out_root}
+gt_root: {gt_root}
+""")
+        main([f"--config-dir={cdir}"])
+        rep = json.loads((out_root / "metrics_report.json").read_text())
+        vs = rep["p01"]["vs_gt"]
+        assert vs["mpjpe_smoothed"] < 1e-5      # exact GT
+        assert 0.0 < vs["mpjpe_fused"] < 0.1    # noised copy
