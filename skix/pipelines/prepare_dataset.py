@@ -103,10 +103,18 @@ def _skix_backend(cfg, video_path: Path):
         if "depth" in tasks:
             from skix.models.dpt import MonocularDepth, estimate_depth_batched
 
+            n_layers = int(cfg.get("depth_layers", 12))
+            # 4 evenly spaced taps over the configured depth
+            taps = tuple(sorted({max(0, (n_layers * (i + 1)) // 4 - 1)
+                                 for i in range(4)}))
+            while len(taps) < 4:  # tiny configs: pad with the last layer
+                taps = taps + (n_layers - 1,)
             dm = MonocularDepth(patch_size=16,
                                 embed_dim=int(cfg.get("depth_dim", 384)),
-                                depth=int(cfg.get("depth_layers", 12)),
-                                num_heads=6, taps=(2, 5, 8, 11))
+                                depth=n_layers,
+                                num_heads=int(cfg.get("depth_heads", 6)),
+                                taps=taps,
+                                features=int(cfg.get("depth_features", 256)))
             dv = load_vars("depth_checkpoint", lambda: jax.jit(dm.init)(
                 jax.random.PRNGKey(1), jnp.zeros((1, (H // 16) * 16,
                                                   (W // 16) * 16, 3))))

@@ -96,3 +96,41 @@ store_frames: false
         assert rec.yolo_keypoints.shape == (T, 17, 3)
         assert rec.optical_flow.shape == (T - 1, 2, H, W)
         assert np.all(np.isfinite(rec.optical_flow))
+
+
+class TestSkixBackendDepth:
+    def test_depth_task(self, tmp_path):
+        from skix.io import load_pt_info
+        from skix.io.video import write_video
+        from skix.pipelines.prepare_dataset import main
+
+        T, H, W = 3, 64, 64
+        root = tmp_path / "videos" / "p01"
+        root.mkdir(parents=True)
+        write_video(root / "a.mp4",
+                    rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8),
+                    fps=3)
+        out_root = tmp_path / "pt"
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "prepare_dataset.yaml").write_text(f"""
+paths:
+  video_root: {tmp_path / 'videos'}
+  out_root: {out_root}
+backend: skix
+tasks: [pose, depth]
+detector_width: 16
+detector_depth: 1
+top_k: 4
+score_threshold: -1.0
+depth_dim: 32
+depth_layers: 4
+depth_heads: 2
+depth_features: 16
+depth_batch: 2
+chunk_size: 4
+""")
+        main([f"--config-dir={cdir}"])
+        rec = load_pt_info(out_root / "p01" / "a.npz")
+        assert rec.depth.shape == (T, 1, H, W)
+        assert np.all(np.isfinite(rec.depth))
