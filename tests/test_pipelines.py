@@ -132,6 +132,10 @@ dist: null
         assert err < 1.0, f"mean 3D error {err}"
         assert (out_root / "p01" / "p01_poses.csv").exists()
         assert (out_root / "p01" / "joints_3d_kpt_smoothed.npy").exists()
+        # per-view ego-motion logs (single_view parity, on by default)
+        with np.load(out_root / "p01" / "osmo_1_single_view_poses.npz") as z:
+            assert z["R"].shape == (T - 1, 3, 3)
+            assert z["t"].shape == (T - 1, 3)
 
 
 class TestFuseAngleMetricsCLIs:
