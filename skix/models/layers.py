@@ -10,7 +10,7 @@ Pallas flash-attention kernel (skix.ops.attention) instead of
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -93,6 +93,10 @@ class MultiHeadAttention(nn.Module):
     rope_freq: float = -1.0
     ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    # optional attention-core override (q, k, v) -> out, e.g. a
+    # sequence-parallel schedule (skix.parallel.context_parallel) over a
+    # mesh axis; defaults to the Pallas flash kernel.
+    attn_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -111,7 +115,7 @@ class MultiHeadAttention(nn.Module):
         if self.rope_freq > 0 and pos is not None:
             q = rope_2d(q, pos, self.rope_freq)
             k = rope_2d(k, pos, self.rope_freq)
-        out = flash_attention(q, k, v)
+        out = (self.attn_fn or flash_attention)(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(C, use_bias=self.proj_bias, dtype=self.dtype,
                         name="proj")(out)
@@ -130,6 +134,7 @@ class Block(nn.Module):
     rope_freq: float = -1.0
     ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -138,7 +143,8 @@ class Block(nn.Module):
                          name="norm1")(x)
         h = MultiHeadAttention(self.num_heads, self.qkv_bias, self.proj_bias,
                                self.qk_norm, self.rope_freq, self.ln_eps,
-                               self.dtype, name="attn")(h, pos)
+                               self.dtype, attn_fn=self.attn_fn,
+                               name="attn")(h, pos)
         if self.init_values:
             h = LayerScale(self.init_values, name="ls1")(h)
         x = x + h

@@ -24,7 +24,7 @@ for training.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -125,6 +125,11 @@ class Aggregator(nn.Module):
     output_layers: Optional[Sequence[int]] = None  # None → all layers
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    # optional attention-core override for the GLOBAL blocks — the sequence-
+    # parallel cut point (SURVEY §5.7, reference aggregator.py:284): e.g.
+    # ``partial(ring_attention, mesh=mesh, axis="sp")`` shards the S·P token
+    # axis over the mesh while frame blocks stay embarrassingly parallel.
+    global_attn_fn: Optional[Callable] = None
 
     @property
     def patch_start_idx(self) -> int:
@@ -187,7 +192,9 @@ class Aggregator(nn.Module):
         BlockCls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
             frame_blk = BlockCls(**block_kwargs, name=f"frame_block_{i}")
-            global_blk = BlockCls(**block_kwargs, name=f"global_block_{i}")
+            global_blk = BlockCls(**block_kwargs,
+                                  attn_fn=self.global_attn_fn,
+                                  name=f"global_block_{i}")
             # frame attention: (B*S, P, C)
             tokens = frame_blk(tokens, pos_bs)
             frame_inter = tokens.reshape(B, S, P, self.embed_dim)
