@@ -177,10 +177,25 @@ def save_pt_info(path: str | Path, info: PTInfo, validate: bool = True) -> None:
 
 
 def _from_torch_pt(path: Path) -> PTInfo:
-    """Read a reference-format ``.pt`` pickle (requires torch, CPU)."""
+    """Read a reference-format ``.pt`` pickle (requires torch, CPU).
+
+    Tries ``weights_only=True`` first (the pt_info schema is tensors +
+    plain containers, preprocess.py:157-173, so it loads under the safe
+    unpickler); falls back to full pickle with a loud warning — full
+    deserialization executes arbitrary code, only do it on trusted files.
+    """
     import torch
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path}: not loadable with weights_only=True; falling back to "
+            "full pickle deserialization, which can execute arbitrary code. "
+            "Only load .pt records from trusted sources.", stacklevel=3)
+        raw = torch.load(path, map_location="cpu", weights_only=False)
 
     def np_of(x):
         if x is None:

@@ -38,10 +38,14 @@ def temporal_metrics(X, valid=None) -> dict:
         a_ok = (valid[2:] & valid[1:-1] & valid[:-2])[..., None]
         vel = jnp.where(v_ok, vel, 0.0)
         acc = jnp.where(a_ok, acc, 0.0)
+        # plain mean over valid joint-frames, consistent with the unmasked
+        # branch and reference compute_temporal_metrics
+        # (true_data_compare.py:243): v_ok/a_ok are (T-1, J, 1) so their sum
+        # already counts one entry per joint-frame norm.
         nv = jnp.sum(v_ok) + _EPS
         na = jnp.sum(a_ok) + _EPS
-        jitter = jnp.sum(jnp.linalg.norm(vel, axis=-1)) * 3 / nv
-        accel = jnp.sum(jnp.linalg.norm(acc, axis=-1)) * 3 / na
+        jitter = jnp.sum(jnp.linalg.norm(vel, axis=-1)) / nv
+        accel = jnp.sum(jnp.linalg.norm(acc, axis=-1)) / na
     else:
         jitter = jnp.mean(jnp.linalg.norm(vel, axis=-1))
         accel = jnp.mean(jnp.linalg.norm(acc, axis=-1))

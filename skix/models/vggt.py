@@ -420,8 +420,11 @@ def unproject_depth_to_points(depth, extrinsics, intrinsics):
     (reference utils/geometry.py unproject_depth_map_to_point_map)."""
     depth = jnp.asarray(depth)
     H, W = depth.shape[-2:]
-    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    # integer pixel coordinates, matching the reference convention
+    # (utils/geometry.py:107 np.meshgrid(np.arange(W), np.arange(H))) so
+    # converted-checkpoint outputs stay numerically comparable.
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
     grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
     fx = intrinsics[..., 0, 0][..., None, None]
     fy = intrinsics[..., 1, 1][..., None, None]

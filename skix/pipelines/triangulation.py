@@ -213,13 +213,17 @@ def triangulate_and_triage(kpts_a, kpts_b, score_a, score_b, K, R, t, dist,
 
     @jax.jit
     def run(ka, kb, wa, wb):
+        d = None if dist is None else jnp.asarray(dist)
         X = triangulate_sequence(ka, kb, jnp.asarray(K), jnp.asarray(R),
-                                 jnp.asarray(t), w_a=wa, w_b=wb,
-                                 dist=None if dist is None else jnp.asarray(dist))
+                                 jnp.asarray(t), w_a=wa, w_b=wb, dist=d)
+        # gate with distortion applied, against the RAW observed keypoints —
+        # matching the reference's cv2.projectPoints(..., dist) gate
+        # (triangulation/reproject.py:77); projecting without dist vs the
+        # distorted observations is many px off near image edges.
         err_a = reprojection_error(X, ka, jnp.asarray(K),
-                                   jnp.eye(3), jnp.zeros(3))
+                                   jnp.eye(3), jnp.zeros(3), dist=d)
         err_b = reprojection_error(X, kb, jnp.asarray(K), jnp.asarray(R),
-                                   jnp.asarray(t))
+                                   jnp.asarray(t), dist=d)
         ok = (positive_depth_mask(X, jnp.asarray(R), jnp.asarray(t))
               & (err_a < reproj_px_max) & (err_b < reproj_px_max))
         Xs = savgol_smooth(X, window=savgol_window)

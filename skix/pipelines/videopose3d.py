@@ -67,7 +67,16 @@ def load_checkpoint(path: str):
     if p.suffix in (".bin", ".pth", ".pt"):
         import torch
 
-        ckpt = torch.load(p, map_location="cpu", weights_only=False)
+        try:  # state dicts load under the safe unpickler
+            ckpt = torch.load(p, map_location="cpu", weights_only=True)
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"{p}: falling back to full pickle deserialization (can "
+                "execute arbitrary code); only load trusted checkpoints.",
+                stacklevel=2)
+            ckpt = torch.load(p, map_location="cpu", weights_only=False)
         state = ckpt.get("model_pos", ckpt)
         return convert_reference_state_dict(state)
     import jax.numpy as jnp

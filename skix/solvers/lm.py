@@ -55,7 +55,22 @@ def _cg_solve(matvec: Callable, b, x0, iters: int):
     return x
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3))
+def _estimate_jtj_diag(residual_fn: Callable, x, probes: int):
+    """Hutchinson estimate of ``diag(JᵀJ)``: E[v ⊙ JᵀJv] over Rademacher
+    probes ``v`` (matrix-free; ~2·probes residual evaluations)."""
+    key = jax.random.PRNGKey(17)
+    vs = jax.random.rademacher(key, (probes, x.size),
+                               dtype=x.dtype).reshape((probes,) + x.shape)
+    _, vjp = jax.vjp(residual_fn, x)
+
+    def one(v):
+        _, jv = jax.jvp(residual_fn, (x,), (v,))
+        return v * vjp(jv)[0]
+
+    return jnp.mean(jax.vmap(one)(vs), axis=0)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 9))
 def levenberg_marquardt(
     residual_fn: Callable,
     x0,
@@ -65,11 +80,20 @@ def levenberg_marquardt(
     lambda_up: float = 3.0,
     lambda_down: float = 3.0,
     rtol: float = 1e-8,
+    damping_scale=None,
+    diag_probes: int = 8,
 ) -> LMResult:
     """Minimize ``½‖residual_fn(x)‖²`` over a flat parameter vector.
 
     ``residual_fn``: flat params → flat residuals (any static shape).
     Jacobian products are taken with jvp/vjp; JᵀJ is never materialized.
+
+    Damping is Marquardt-scaled, ``(JᵀJ + λ·diag(JᵀJ))δ = −Jᵀr``: BA
+    parameter vectors mix meters (t, X) and radians (rotvec), where
+    identity damping conditions the step badly. ``damping_scale`` supplies
+    the diagonal explicitly; when ``None`` it is re-estimated each step
+    from ``diag_probes`` Hutchinson probes (floored so zero-column
+    parameters still receive identity damping).
     """
     x0 = jnp.asarray(x0)
 
@@ -83,10 +107,16 @@ def levenberg_marquardt(
         _, vjp = jax.vjp(residual_fn, x)
         g = vjp(r)[0]  # Jᵀ r
 
+        if damping_scale is None:
+            diag = _estimate_jtj_diag(residual_fn, x, diag_probes)
+        else:
+            diag = jnp.asarray(damping_scale, x.dtype)
+        diag = jnp.maximum(diag, 1e-6 * jnp.max(diag) + 1e-12)
+
         def matvec(v):
             _, jv = jax.jvp(residual_fn, (x,), (v,))
             jtjv = vjp(jv)[0]
-            return jtjv + lam * v
+            return jtjv + lam * diag * v
 
         delta = _cg_solve(matvec, -g, jnp.zeros_like(x), cg_iters)
         x_new = x + delta
