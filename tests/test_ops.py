@@ -39,6 +39,54 @@ class TestAttention:
         assert float(jnp.linalg.norm(g)) > 0
 
 
+class TestPallasKernelInterpret:
+    """The Pallas fwd+bwd kernels through the interpreter — CI exercises the
+    kernel path off-chip (a kernel regression must not ship silently)."""
+
+    CASES = [
+        # (B, H, Sq, Sk, D, block_q, block_k_major, block_k)
+        (2, 3, 64, 64, 16, 16, 32, 16),     # two-level KV tiling
+        (1, 2, 100, 72, 32, 32, 32, 16),    # ragged: q and kv padding
+        (2, 2, 128, 128, 64, 64, 64, 32),
+    ]
+
+    @pytest.mark.parametrize("case", CASES)
+    def test_forward_matches_reference(self, case):
+        B, H, Sq, Sk, D, bq, bkm, bk = case
+        r = np.random.default_rng(7)
+        q = jnp.asarray(r.normal(size=(B, H, Sq, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+        out = flash_attention(q, k, v, block_q=bq, block_k_major=bkm,
+                              block_k=bk, interpret=True)
+        ref = _attention_reference(q, k, v, 1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    @pytest.mark.parametrize("case", CASES)
+    def test_backward_matches_reference(self, case):
+        B, H, Sq, Sk, D, bq, bkm, bk = case
+        r = np.random.default_rng(11)
+        q = jnp.asarray(r.normal(size=(B, H, Sq, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+
+        def f(q, k, v):
+            return jnp.sum(jnp.sin(flash_attention(
+                q, k, v, block_q=bq, block_k_major=bkm, block_k=bk,
+                interpret=True)))
+
+        def fr(q, k, v):
+            return jnp.sum(jnp.sin(_attention_reference(
+                q, k, v, 1.0 / np.sqrt(D))))
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
+
 class TestNMS:
     def test_box_iou_identity(self):
         b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
