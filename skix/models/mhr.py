@@ -583,3 +583,63 @@ def mhr_output_transform(x):
     """cm → m and the camera-system flip of y/z (mhr_head.py:233,340)."""
     x = jnp.asarray(x) / 100.0
     return x * jnp.asarray([1.0, -1.0, -1.0], x.dtype)
+
+
+# --------------------------------------------------------------------------
+# rig registry — Flax modules reference rigs by NAME (module attributes
+# must stay hashable); converted Momentum assets register here
+# --------------------------------------------------------------------------
+_RIG_REGISTRY: dict = {}
+
+
+def register_rig(name: str, rig: MHRRig) -> None:
+    _RIG_REGISTRY[name] = rig
+
+
+def get_rig(name: str = "default") -> MHRRig:
+    if name not in _RIG_REGISTRY:
+        if name != "default":
+            raise KeyError(f"unknown rig '{name}' "
+                           f"(registered: {list(_RIG_REGISTRY)})")
+        _RIG_REGISTRY["default"] = default_rig()
+    return _RIG_REGISTRY[name]
+
+
+class MHRBuffers(NamedTuple):
+    """The checkpoint-shaped PCA/metadata buffers of the reference head
+    (mhr_head.py:84-105); defaults are identity stand-ins."""
+
+    scale_mean: np.ndarray        # (68,)
+    scale_comps: np.ndarray       # (28, 68)
+    hand_pose_mean: np.ndarray    # (54,)
+    hand_pose_comps: np.ndarray   # (54, 54)
+    hand_joint_idxs_left: np.ndarray   # (27,) into the 136 full params
+    hand_joint_idxs_right: np.ndarray  # (27,)
+
+    @classmethod
+    def default(cls) -> "MHRBuffers":
+        return cls(
+            scale_mean=np.zeros(68, np.float32),
+            scale_comps=np.eye(28, 68).astype(np.float32),
+            hand_pose_mean=np.zeros(54, np.float32),
+            hand_pose_comps=np.eye(54, dtype=np.float32),
+            # body hand params 62..115 (MHR_PARAM_HAND_IDXS) sit at +6 in
+            # the [trans(3) rot(3) body(130)] full vector; left first
+            hand_joint_idxs_left=np.arange(68, 95, dtype=np.int32),
+            hand_joint_idxs_right=np.arange(95, 122, dtype=np.int32),
+        )
+
+
+_BUFFERS_REGISTRY: dict = {}
+
+
+def register_buffers(name: str, bufs: MHRBuffers) -> None:
+    _BUFFERS_REGISTRY[name] = bufs
+
+
+def get_buffers(name: str = "default") -> MHRBuffers:
+    if name not in _BUFFERS_REGISTRY:
+        if name != "default":
+            raise KeyError(f"unknown buffers '{name}'")
+        _BUFFERS_REGISTRY["default"] = MHRBuffers.default()
+    return _BUFFERS_REGISTRY[name]

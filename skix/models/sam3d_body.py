@@ -3,22 +3,27 @@
 Capability parity with the reference's vendored Meta sam-3d-body
 (SURVEY.md §2.7): top-down crop pipeline → ViT backbone → promptable
 cross-attention decoder with learnable init tokens + keypoint prompts →
-MHR parametric body head (pose/shape/scale → 70-keypoint skeleton) +
-perspective camera head. Output schema matches the per-frame ``.npz``
-consumed downstream (prepare_side_results/save.py:108:
-``pred_keypoints_2d (70,2)``, ``pred_keypoints_3d (70,3)``, ``pred_cam_t``,
-``focal_length``).
+**MHR parametric body head** (the real Momentum-Human-Rig
+parameterization: 6 global rot6d + 260 continuous body pose + 45 shape +
+28 scale PCA + 2×54 hand PCA + 72 face, reference
+models/heads/mhr_head.py:36-369) + perspective camera head, plus the
+**hand decoder branch with wrist-angle refinement** (reference
+sam3d_body.py:1203-1360, sam_3d_body_estimator.py:36). Output schema
+matches the per-frame ``.npz`` consumed downstream
+(prepare_side_results/save.py:108: ``pred_keypoints_2d (70,2)``,
+``pred_keypoints_3d (70,3)``, ``pred_cam_t``, ``focal_length``,
+``pred_vertices``).
 
 TPU-first redesign:
-- the bbox-center-scale affine crop (reference data/transforms/common.py
-  ``GetBBoxCenterScale`` + ``TopdownAffine``) is a jitted
-  ``scale_and_translate`` — the whole clip's crops batch on device;
+- the bbox-center-scale affine crop (reference GetBBoxCenterScale +
+  TopdownAffine) is a jitted ``scale_and_translate`` — the whole clip's
+  crops batch on device;
 - the decoder is a fixed stack of cross-attention blocks over a static
   token set (no dynamic prompt counts: prompts are masked slots);
-- the MHR rig is an explicit forward-kinematics chain under jit: template
-  joints + per-bone shape scaling (PCA-style blend) + per-joint rot6d
-  rotations — autodiff-safe for downstream refinement;
-- rotations in rot6d (reference modules' geometry utils).
+- the MHR rig is an explicit parameter-transform + XYZ-euler FK + LBS
+  program under jit (skix.models.mhr) — autodiff-safe for refinement;
+- hand refinement is batched over the clip and gated by the reference's
+  wrist-angle criterion (threshold 1.4 rad) and box-size criterion.
 """
 
 from __future__ import annotations
@@ -30,97 +35,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from skix.geometry.rotations import rot6d_to_matrix
+from skix.models import mhr
 from skix.models.layers import Block, Mlp, PatchEmbed
 
-# --------------------------------------------------------------------------
-# MHR-70 kinematic template (hierarchy follows skix.geometry.skeletons
-# MHR70_BODY conventions; joints beyond the named body set hang off their
-# nearest body parent so the full 70-joint output is well-defined).
-# --------------------------------------------------------------------------
-_BODY_PARENTS = {
-    0: -1, 1: 0, 2: 0, 3: 0, 4: 1, 5: 2, 7: 4, 8: 5, 12: 3, 15: 12,
-    16: 12, 17: 12, 18: 16, 19: 17, 20: 18, 21: 19,
-}
-_BODY_OFFSETS = {
-    0: (0.0, 0.0, 0.0),
-    1: (-0.09, -0.02, 0.0), 2: (0.09, -0.02, 0.0),   # hips
-    3: (0.0, 0.12, 0.0),                              # spine
-    4: (-0.02, -0.42, 0.0), 5: (0.02, -0.42, 0.0),    # knees
-    7: (0.0, -0.42, 0.0), 8: (0.0, -0.42, 0.0),       # ankles
-    12: (0.0, 0.35, 0.0),                             # neck
-    15: (0.0, 0.14, 0.02),                            # head
-    16: (-0.17, -0.02, 0.0), 17: (0.17, -0.02, 0.0),  # shoulders
-    18: (-0.27, 0.0, 0.0), 19: (0.27, 0.0, 0.0),      # elbows
-    20: (-0.25, 0.0, 0.0), 21: (0.25, 0.0, 0.0),      # wrists
-}
+MHR70_PARENTS = mhr.MHR70_PARENTS  # real MHR-70 hierarchy (metadata names)
 
-
-def _build_template(num_joints: int = 70):
-    parents = np.zeros(num_joints, np.int32)
-    offsets = np.zeros((num_joints, 3), np.float32)
-    body = set(_BODY_PARENTS)
-    for j in range(num_joints):
-        if j in body:
-            parents[j] = _BODY_PARENTS[j]
-            offsets[j] = _BODY_OFFSETS[j]
-        else:
-            # auxiliary joints (hands/face/feet detail): small offsets off
-            # the nearest preceding body joint, deterministic layout
-            anchor = max(b for b in body if b <= j) if any(
-                b <= j for b in body) else 0
-            parents[j] = anchor
-            k = j % 5 + 1
-            offsets[j] = (0.01 * k * (-1 if j % 2 else 1), -0.015 * k, 0.005 * k)
-    return parents, offsets
-
-
-MHR70_PARENTS, MHR70_OFFSETS = _build_template(70)
-
-
-def mhr_forward_kinematics(pose_rot6d, betas, scale, bone_dirs=None):
-    """MHR-style rig: per-joint rot6d + bone-length shape blend → joints.
-
-    ``pose_rot6d (..., J, 6)``; ``betas (..., B)`` scale the bone lengths
-    through a fixed PCA-like basis; ``scale (...,)`` global scale.
-    Returns world-root-relative joints ``(..., J, 3)``.
-    """
-    parents = jnp.asarray(MHR70_PARENTS)
-    offsets = jnp.asarray(MHR70_OFFSETS)
-    J = offsets.shape[0]
-    nb = betas.shape[-1]
-    # deterministic shape basis: smooth per-bone length modulation
-    basis = jnp.asarray(
-        np.stack([np.sin(np.arange(J) * (b + 1) * 0.37) * 0.08
-                  for b in range(nb)], axis=-1), jnp.float32)  # (J, B)
-    bone_scale = 1.0 + jnp.einsum("...b,jb->...j", betas, basis)
-    off = offsets * bone_scale[..., None] * scale[..., None, None]
-
-    R = rot6d_to_matrix(pose_rot6d)  # (..., J, 3, 3)
-
-    # FK down the tree (static python loop over 70 joints; unrolled by XLA)
-    batch = pose_rot6d.shape[:-2]
-    joints = [None] * J
-    glob = [None] * J
-    joints[0] = jnp.zeros((*batch, 3), pose_rot6d.dtype)
-    glob[0] = R[..., 0, :, :]
-    order = np.argsort([_depth_of(j) for j in range(J)])
-    for j in order:
-        if j == 0:
-            continue
-        p = int(MHR70_PARENTS[j])
-        joints[j] = joints[p] + jnp.einsum("...ij,...j->...i", glob[p],
-                                           off[..., j, :])
-        glob[j] = jnp.einsum("...ij,...jk->...ik", glob[p], R[..., j, :, :])
-    return jnp.stack(joints, axis=-2)
-
-
-def _depth_of(j: int) -> int:
-    d = 0
-    while MHR70_PARENTS[j] >= 0:
-        j = int(MHR70_PARENTS[j])
-        d += 1
-    return d
+# MHR-70 keypoint ids (reference metadata/mhr70.py): wrists and hand chains
+RIGHT_WRIST, LEFT_WRIST = 41, 62
+RIGHT_HAND_KPTS = np.arange(21, 41)
+LEFT_HAND_KPTS = np.arange(42, 62)
 
 
 # --------------------------------------------------------------------------
@@ -157,7 +80,104 @@ def crop_to_image_coords(pts_crop, center, scale, out_size: int):
 
 
 # --------------------------------------------------------------------------
-# Model
+# MHR head (reference heads/mhr_head.py:36 forward semantics)
+# --------------------------------------------------------------------------
+class MHRHeadOutputs(NamedTuple):
+    keypoints_3d: jnp.ndarray    # (B, 70, 3) meters, root-relative, y/z flip
+    vertices: jnp.ndarray        # (B, V, 3)
+    joint_rots: jnp.ndarray      # (B, J, 3, 3) world joint rotations
+    global_rot: jnp.ndarray      # (B, 3) euler xyz
+    body_pose: jnp.ndarray       # (B, 133) model params (hands/jaw zeroed)
+    shape: jnp.ndarray           # (B, 45)
+    scale: jnp.ndarray           # (B, 28)
+    hand: jnp.ndarray            # (B, 108) PCA params (left ‖ right)
+    pred_pose_raw: jnp.ndarray   # (B, 6 + 260) rot6d + cont pose
+
+
+class MHRHead(nn.Module):
+    """Pose token → npose prediction → MHR FK (reference mhr_head.py:271).
+
+    ``rig_name``/``buffers_name`` reference registered assets
+    (skix.models.mhr registries) so the module stays hashable."""
+
+    input_dim: int = 256
+    rig_name: str = "default"
+    buffers_name: str = "default"
+    num_shape: int = 45
+    num_scale: int = 28
+    num_hand: int = 54
+    num_face: int = 72
+    body_cont: int = 260
+    mlp_div: int = 8
+    use_hands: bool = True
+
+    @property
+    def npose(self) -> int:
+        return (6 + self.body_cont + self.num_shape + self.num_scale
+                + 2 * self.num_hand + self.num_face)
+
+    @nn.compact
+    def __call__(self, x, init_estimate=None,
+                 hand_override=None) -> MHRHeadOutputs:
+        B = x.shape[0]
+        rig = mhr.get_rig(self.rig_name)
+        bufs = mhr.get_buffers(self.buffers_name)
+
+        h = nn.Dense(self.input_dim // self.mlp_div, name="proj_fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        pred = nn.Dense(self.npose, name="proj_fc2",
+                        bias_init=nn.initializers.zeros)(h)
+        # zero-pose init: identity global rot6d + zero-pose body cont
+        # (reference get_zero_pose_init:122)
+        zero_cont = mhr.model_params_to_cont_body(jnp.zeros(133))
+        zero_init = jnp.concatenate([
+            jnp.asarray([1.0, 0, 0, 0, 1, 0]), zero_cont,
+            jnp.zeros(self.npose - 6 - self.body_cont)])
+        pred = pred + zero_init
+        if init_estimate is not None:
+            pred = pred + init_estimate
+
+        c = 6
+        grot6 = pred[:, :c]
+        grot_mat = mhr.rot6d_to_matrix_cols(grot6)
+        global_rot = mhr.matrix_to_euler_xyz(grot_mat)
+        body_cont = pred[:, c:c + self.body_cont]
+        c += self.body_cont
+        body_pose = mhr.cont_to_model_params_body(body_cont)
+        # zero hands + jaw (mhr_head.py:305-307)
+        body_pose = body_pose * (1.0 - jnp.asarray(
+            mhr.MHR_PARAM_HAND_MASK, body_pose.dtype))
+        body_pose = body_pose.at[:, -3:].set(0.0)
+        shape = pred[:, c:c + self.num_shape]
+        c += self.num_shape
+        scale = pred[:, c:c + self.num_scale]
+        c += self.num_scale
+        hand = pred[:, c:c + 2 * self.num_hand]
+        c += 2 * self.num_hand
+        if hand_override is not None:
+            hand = hand_override
+
+        model_params = mhr.assemble_model_params(
+            jnp.zeros((B, 3)), global_rot, body_pose,
+            hand if self.use_hands else None, scale,
+            jnp.asarray(bufs.scale_mean), jnp.asarray(bufs.scale_comps),
+            hand_pose_mean=jnp.asarray(bufs.hand_pose_mean),
+            hand_pose_comps=jnp.asarray(bufs.hand_pose_comps),
+            hand_joint_idxs_left=jnp.asarray(bufs.hand_joint_idxs_left),
+            hand_joint_idxs_right=jnp.asarray(bufs.hand_joint_idxs_right))
+
+        out = mhr.rig_forward(rig, model_params)
+        kpts = mhr.mhr_output_transform(out["keypoints"][..., :70, :])
+        verts = mhr.mhr_output_transform(out["verts"])
+        return MHRHeadOutputs(
+            keypoints_3d=kpts, vertices=verts, joint_rots=out["joint_rots"],
+            global_rot=global_rot, body_pose=body_pose, shape=shape,
+            scale=scale, hand=hand,
+            pred_pose_raw=jnp.concatenate([grot6, body_cont], axis=-1))
+
+
+# --------------------------------------------------------------------------
+# Decoder machinery
 # --------------------------------------------------------------------------
 class PromptEncoder(nn.Module):
     """Keypoint-prompt tokens: (x, y, label) → embed; invalid slots masked
@@ -194,17 +214,17 @@ class CrossAttnBlock(nn.Module):
 
 
 class SAM3DBodyOutputs(NamedTuple):
-    pose_rot6d: jnp.ndarray     # (B, J, 6)
-    betas: jnp.ndarray          # (B, n_betas)
-    scale: jnp.ndarray          # (B,)
-    cam_t: jnp.ndarray          # (B, 3) perspective translation
-    joints_3d: jnp.ndarray      # (B, J, 3) camera-frame (root at cam_t)
-    joints_2d_crop: jnp.ndarray  # (B, J, 2) in crop pixels
+    mhr: MHRHeadOutputs
+    cam_t: jnp.ndarray           # (B, 3) perspective translation
+    joints_3d: jnp.ndarray       # (B, 70, 3) camera-frame (root at cam_t)
+    joints_2d_crop: jnp.ndarray  # (B, 70, 2) in crop pixels
+    vertices_3d: jnp.ndarray     # (B, V, 3) camera-frame mesh
 
 
 class SAM3DBody(nn.Module):
-    """Backbone → promptable decoder → MHR pose/shape/scale + camera heads
-    (reference models/meta_arch/sam3d_body.py:45,289,1057 capability)."""
+    """Backbone → promptable decoder → MHR head + camera head, with a
+    hand-decoder branch (reference models/meta_arch/sam3d_body.py:45,289,
+    1057,1203)."""
 
     crop_size: int = 256
     patch_size: int = 16
@@ -214,14 +234,20 @@ class SAM3DBody(nn.Module):
     decoder_depth: int = 4
     decoder_dim: int = 256
     num_joints: int = 70
-    n_betas: int = 10
     max_prompts: int = 8
     focal_length: float = 5000.0  # crop-relative default focal
+    rig_name: str = "default"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, crops, prompts=None, prompt_valid=None):
-        """``crops (B, S, S, 3)`` in [0,1] → SAM3DBodyOutputs."""
+    def __call__(self, crops, prompts=None, prompt_valid=None,
+                 decoder_type: str = "body", hand_override=None):
+        """``crops (B, S, S, 3)`` in [0,1] → SAM3DBodyOutputs.
+
+        ``decoder_type='hand'`` runs the hand-decoder queries — same
+        backbone, separate init tokens — whose MHR forward is used only
+        for its hand PCA params + wrist rotations (reference
+        forward_step(decoder_type=...) :1189)."""
         B = crops.shape[0]
         x = (crops - 0.5) / 0.5
         tokens = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
@@ -237,45 +263,91 @@ class SAM3DBody(nn.Module):
         kv = nn.Dense(self.decoder_dim, name="kv_proj")(
             tokens.astype(jnp.float32))
 
-        # learnable init tokens: [pose, shape, cam] queries
-        n_q = 3
-        init_tokens = self.param("init_tokens", nn.initializers.normal(0.02),
+        # learnable init tokens: [pose, cam] queries per decoder branch
+        n_q = 2
+        name = ("init_tokens" if decoder_type == "body"
+                else "hand_init_tokens")
+        init_tokens = self.param(name, nn.initializers.normal(0.02),
                                  (1, n_q, self.decoder_dim))
         q = jnp.broadcast_to(init_tokens, (B, n_q, self.decoder_dim))
         if prompts is not None:
             pe, pv = PromptEncoder(self.decoder_dim, self.max_prompts,
-                                   name="prompt_encoder")(prompts, prompt_valid)
+                                   name="prompt_encoder")(prompts,
+                                                          prompt_valid)
             kv = jnp.concatenate([kv, pe], axis=1)
         for i in range(self.decoder_depth):
             q = CrossAttnBlock(8, name=f"decoder_{i}")(q, kv)
         q = nn.LayerNorm(name="decoder_norm")(q)
-        pose_tok, shape_tok, cam_tok = q[:, 0], q[:, 1], q[:, 2]
+        pose_tok, cam_tok = q[:, 0], q[:, 1]
 
-        # heads — identity-init rot6d (rows of I3) for a stable T-pose start
-        id6 = jnp.tile(jnp.asarray([1, 0, 0, 0, 1, 0], jnp.float32),
-                       (self.num_joints,))
-        pose6 = (Mlp(self.decoder_dim, out_features=self.num_joints * 6,
-                     name="mhr_pose_head")(pose_tok) * 0.01 + id6)
-        pose6 = pose6.reshape(B, self.num_joints, 6)
-        betas = Mlp(self.decoder_dim, out_features=self.n_betas,
-                    name="shape_head")(shape_tok) * 0.1
-        scale = 1.0 + Mlp(self.decoder_dim, out_features=1,
-                          name="scale_head")(shape_tok)[..., 0] * 0.1
+        head_name = "head_pose" if decoder_type == "body" else "head_hand"
+        mhr_out = MHRHead(self.decoder_dim, rig_name=self.rig_name,
+                          name=head_name)(pose_tok,
+                                          hand_override=hand_override)
+
         cam = Mlp(self.decoder_dim, out_features=3,
                   name="camera_head")(cam_tok)
         # perspective translation: (tx, ty, inverse-depth-ish tz activation)
         cam_t = jnp.stack([cam[..., 0], cam[..., 1],
                            2.0 * jnp.exp(cam[..., 2] * 0.5) + 0.5], axis=-1)
 
-        joints_root = mhr_forward_kinematics(pose6, betas, scale)
-        joints_cam = joints_root + cam_t[:, None, :]
+        joints_cam = mhr_out.keypoints_3d + cam_t[:, None, :]
+        verts_cam = mhr_out.vertices + cam_t[:, None, :]
         z = jnp.clip(joints_cam[..., 2:3], 1e-3)
         f = self.focal_length
         c = self.crop_size / 2.0
         joints_2d = joints_cam[..., :2] / z * f + c
-        return SAM3DBodyOutputs(
-            pose_rot6d=pose6, betas=betas, scale=scale, cam_t=cam_t,
-            joints_3d=joints_cam, joints_2d_crop=joints_2d)
+        return SAM3DBodyOutputs(mhr=mhr_out, cam_t=cam_t,
+                                joints_3d=joints_cam,
+                                joints_2d_crop=joints_2d,
+                                vertices_3d=verts_cam)
+
+
+# --------------------------------------------------------------------------
+# Hand refinement (reference run_inference steps 1-3, sam3d_body.py:1226)
+# --------------------------------------------------------------------------
+def hand_boxes_from_keypoints(joints_2d, pad: float = 1.6,
+                              min_side: float = 24.0):
+    """Square hand boxes around the predicted hand keypoints
+    (reference _get_hand_box capability). ``joints_2d (B, 70, 2)`` →
+    (left_xyxy (B, 4), right_xyxy (B, 4))."""
+
+    def box(kpts, wrist):
+        pts = jnp.concatenate([kpts, wrist[:, None]], axis=1)
+        lo = jnp.min(pts, axis=1)
+        hi = jnp.max(pts, axis=1)
+        cen = 0.5 * (lo + hi)
+        side = jnp.maximum(jnp.max(hi - lo, axis=-1), min_side) * pad
+        return jnp.concatenate([cen - side[:, None] / 2,
+                                cen + side[:, None] / 2], axis=-1)
+
+    left = box(joints_2d[:, LEFT_HAND_KPTS], joints_2d[:, LEFT_WRIST])
+    right = box(joints_2d[:, RIGHT_HAND_KPTS], joints_2d[:, RIGHT_WRIST])
+    return left, right
+
+
+def wrist_angle_gate(body_rots, hand_rots, wrist_joints=(62, 41),
+                     thresh: float = 1.4):
+    """Accept the hand-branch pose only when its global wrist rotation is
+    within ``thresh`` rad of the body branch's (reference criterion 1,
+    sam3d_body.py:1286-1315, thresh_wrist_angle=1.4). Returns (B, 2) bool
+    for (left, right)."""
+    idx = jnp.asarray(wrist_joints)
+    diff = mhr.rotation_angle_difference(body_rots[:, idx],
+                                         hand_rots[:, idx])
+    return diff < thresh
+
+
+def refine_hands_params(body_hand, hand_branch_hand, accept_left,
+                        accept_right):
+    """Blend hand PCA params: take the hand branch's where accepted
+    (reference step 3 'replace hand pose estimation')."""
+    nh = mhr.NUM_HAND_CONT
+    left = jnp.where(accept_left[:, None], hand_branch_hand[:, :nh],
+                     body_hand[:, :nh])
+    right = jnp.where(accept_right[:, None], hand_branch_hand[:, nh:],
+                      body_hand[:, nh:])
+    return jnp.concatenate([left, right], axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -284,7 +356,11 @@ class SAM3DBody(nn.Module):
 class SAM3DBodyEstimator:
     """Frames + per-frame bboxes → per-frame MHR-70 outputs
     (reference sam_3d_body_estimator.py:22 ``process_one_image`` semantics,
-    batched over the clip)."""
+    batched over the clip). ``inference_type='full'`` adds the hand branch
+    with wrist-angle gating; ``'body'`` is body-only."""
+
+    thresh_wrist_angle = 1.4  # reference sam_3d_body_estimator.py:36
+    hand_box_min_px = 64.0    # reference criterion 2 (sam3d_body.py:1317)
 
     def __init__(self, model: Optional[SAM3DBody] = None, variables=None,
                  rng_seed: int = 0):
@@ -292,26 +368,68 @@ class SAM3DBodyEstimator:
         if variables is None:
             variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(rng_seed),
-                jnp.zeros((1, self.model.crop_size, self.model.crop_size, 3)))
+                jnp.zeros((1, self.model.crop_size, self.model.crop_size,
+                           3)))
+            # hand branch params are created lazily on first hand call
+            hand_vars = jax.jit(
+                lambda k: self.model.init(k, jnp.zeros(
+                    (1, self.model.crop_size, self.model.crop_size, 3)),
+                    decoder_type="hand"))(jax.random.PRNGKey(rng_seed + 1))
+            merged = dict(variables["params"])
+            for key, val in hand_vars["params"].items():
+                merged.setdefault(key, val)
+            variables = {"params": merged}
         self.variables = variables
-        self._fwd = jax.jit(self._forward_batch)
+        self._fwd = jax.jit(self._forward_batch, static_argnums=(4,))
 
-    def _forward_batch(self, variables, frames, centers, scales):
+    def _forward_batch(self, variables, frames, centers, scales,
+                       full: bool):
+        size = self.model.crop_size
         crops = jax.vmap(crop_resize, in_axes=(0, 0, 0, None))(
-            frames, centers, scales, self.model.crop_size)
+            frames, centers, scales, size)
         out = self.model.apply(variables, crops)
+        if full:
+            # hand branch on wrist-centered crops (left/right)
+            lbox, rbox = hand_boxes_from_keypoints(out.joints_2d_crop)
+
+            def run_hand(box):
+                c, s = bbox_center_scale(box, padding=0.9)
+                # hand crop in CROP pixel space → re-crop from the crop
+                hc = jax.vmap(crop_resize, in_axes=(0, 0, 0, None))(
+                    crops, c, s, size)
+                return self.model.apply(variables, hc,
+                                        decoder_type="hand"), s[:, 0]
+
+            lout, lside = run_hand(lbox)
+            rout, rside = run_hand(rbox)
+            gate = wrist_angle_gate(out.mhr.joint_rots, lout.mhr.joint_rots,
+                                    thresh=self.thresh_wrist_angle)
+            gate_r = wrist_angle_gate(out.mhr.joint_rots,
+                                      rout.mhr.joint_rots,
+                                      thresh=self.thresh_wrist_angle)
+            ok_l = gate[:, 0] & (lside > self.hand_box_min_px)
+            ok_r = gate_r[:, 1] & (rside > self.hand_box_min_px)
+            nh = mhr.NUM_HAND_CONT
+            branch_hand = jnp.concatenate(
+                [lout.mhr.hand[:, :nh], rout.mhr.hand[:, nh:]], axis=-1)
+            hand = refine_hands_params(out.mhr.hand, branch_hand, ok_l,
+                                       ok_r)
+            out = self.model.apply(variables, crops, hand_override=hand)
         # crop 2D → original-image pixels
         k2 = jax.vmap(crop_to_image_coords, in_axes=(0, 0, 0, None))(
-            out.joints_2d_crop, centers, scales, self.model.crop_size)
+            out.joints_2d_crop, centers, scales, size)
         return out, k2
 
     def process_clip(self, frames_u8: np.ndarray, bboxes_xyxy: np.ndarray,
-                     batch_size: int = 8, image_focal: Optional[float] = None):
+                     batch_size: int = 8,
+                     image_focal: Optional[float] = None,
+                     inference_type: str = "body"):
         """``frames (T, H, W, 3) uint8``, ``bboxes (T, 4)`` → list of per-
-        frame output dicts (npz schema parity)."""
+        frame output dicts (npz schema parity incl. mesh vertices)."""
         T = frames_u8.shape[0]
         centers, scales = bbox_center_scale(jnp.asarray(bboxes_xyxy,
                                                         jnp.float32))
+        full = inference_type == "full"
         results = []
         for s in range(0, T, batch_size):
             e = min(s + batch_size, T)
@@ -323,7 +441,7 @@ class SAM3DBodyEstimator:
                 fr = jnp.pad(fr, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 c = jnp.pad(c, ((0, pad), (0, 0)))
                 sc = jnp.pad(sc, ((0, pad), (0, 0)), constant_values=1.0)
-            out, k2 = self._fwd(self.variables, fr, c, sc)
+            out, k2 = self._fwd(self.variables, fr, c, sc, full)
             n = e - s
             # focal in original-image pixels (crop focal × scale ratio)
             f_img = (np.asarray(sc)[:n, 0] / self.model.crop_size
@@ -332,12 +450,17 @@ class SAM3DBodyEstimator:
                 results.append({
                     "pred_keypoints_2d": np.asarray(k2[i]),
                     "pred_keypoints_3d": np.asarray(out.joints_3d[i]),
+                    "pred_vertices": np.asarray(out.vertices_3d[i]),
                     "pred_cam_t": np.asarray(out.cam_t[i]),
                     "focal_length": np.asarray(
-                        image_focal if image_focal is not None else f_img[i]),
+                        image_focal if image_focal is not None
+                        else f_img[i]),
                     "bbox": np.asarray(bboxes_xyxy[s + i]),
-                    "pred_global_rots": np.asarray(
-                        rot6d_to_matrix(out.pose_rot6d[i])),
+                    "pred_global_rots": np.asarray(out.mhr.joint_rots[i]),
+                    "body_pose_params": np.asarray(out.mhr.body_pose[i]),
+                    "hand_pose_params": np.asarray(out.mhr.hand[i]),
+                    "scale_params": np.asarray(out.mhr.scale[i]),
+                    "shape_params": np.asarray(out.mhr.shape[i]),
                 })
         return results
 

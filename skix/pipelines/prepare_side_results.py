@@ -60,7 +60,8 @@ def process_one_video(estimator, record_path: Path, out_dir: Path, cfg) -> int:
         raise ValueError(f"{record_path} has no person bboxes")
     outputs = estimator.process_clip(
         info.frames, np.asarray(bboxes, np.float32),
-        batch_size=int(cfg.get("batch_size", 8)))
+        batch_size=int(cfg.get("batch_size", 8)),
+        inference_type=str(cfg.get("inference_type", "body")))
     out_dir.mkdir(parents=True, exist_ok=True)
     for t, out in enumerate(outputs):
         np.savez(out_dir / f"frame_{t:06d}_sam_3d_body_outputs.npz", **out)

@@ -15,64 +15,48 @@ from skix.models.sam3d_body import (
     bbox_center_scale,
     crop_resize,
     crop_to_image_coords,
-    mhr_forward_kinematics,
+    hand_boxes_from_keypoints,
+    refine_hands_params,
     select_closest_person,
+    wrist_angle_gate,
 )
 
 rng = np.random.default_rng(61)
 
-_ID6 = np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), (70, 1))
 
+class TestRigIntegration:
+    """Deep rig tests live in test_mhr.py; here: model-level wiring."""
 
-class TestRig:
-    def test_tree_is_valid(self):
-        assert MHR70_PARENTS[0] == -1
-        for j in range(1, 70):
-            assert 0 <= MHR70_PARENTS[j] < j or MHR70_PARENTS[j] < j, \
-                f"joint {j} parent {MHR70_PARENTS[j]}"
+    def test_real_hierarchy_exported(self):
+        # finger chains hang off the wrists (real MHR-70 metadata names)
+        assert MHR70_PARENTS[24] == 41 and MHR70_PARENTS[45] == 62
+        assert (MHR70_PARENTS == -1).sum() == 1
 
-    def test_tpose_identity(self):
-        j = mhr_forward_kinematics(jnp.asarray(_ID6[None]),
-                                   jnp.zeros((1, 10)), jnp.ones(1))
-        j = np.asarray(j)[0]
-        assert j.shape == (70, 3)
-        np.testing.assert_allclose(j[0], 0.0, atol=1e-6)  # root at origin
-        # knees below hips, head above neck (y-down offsets chosen negative
-        # for legs, positive for spine)
-        assert j[4][1] < j[1][1]
-        assert j[15][1] > j[12][1] > j[3][1]
+    def test_hand_box_and_gate(self):
+        j2 = jnp.asarray(rng.uniform(0, 256, (2, 70, 2)), jnp.float32)
+        lbox, rbox = hand_boxes_from_keypoints(j2)
+        assert lbox.shape == (2, 4) and rbox.shape == (2, 4)
+        assert bool(jnp.all(lbox[:, 2:] > lbox[:, :2]))
+        eye = jnp.tile(jnp.eye(3), (2, 70, 1, 1))
+        gate = wrist_angle_gate(eye, eye)
+        assert bool(jnp.all(gate))  # identical rotations always pass
+        # a 180° flipped wrist must fail the 1.4 rad gate
+        from skix.models import mhr as M
 
-    def test_scale_linear(self):
-        j1 = np.asarray(mhr_forward_kinematics(jnp.asarray(_ID6[None]),
-                                               jnp.zeros((1, 10)),
-                                               jnp.ones(1)))
-        j2 = np.asarray(mhr_forward_kinematics(jnp.asarray(_ID6[None]),
-                                               jnp.zeros((1, 10)),
-                                               2.0 * jnp.ones(1)))
-        np.testing.assert_allclose(j2, 2 * j1, atol=1e-5)
+        flip = eye.at[:, 41].set(jnp.asarray(
+            M.euler_xyz_to_matrix(jnp.asarray([np.pi, 0.0, 0.0]))))
+        gate2 = wrist_angle_gate(eye, flip)
+        assert not bool(gate2[0, 1])
 
-    def test_root_rotation_rotates_everything(self):
-        from skix.geometry.rotations import matrix_to_rot6d, rotvec_to_matrix
-
-        R = rotvec_to_matrix(jnp.asarray([0.0, 0.0, np.pi / 2]))
-        pose = _ID6.copy()
-        pose[0] = np.asarray(matrix_to_rot6d(R))
-        j_rot = np.asarray(mhr_forward_kinematics(jnp.asarray(pose[None]),
-                                                  jnp.zeros((1, 10)),
-                                                  jnp.ones(1)))[0]
-        j_id = np.asarray(mhr_forward_kinematics(jnp.asarray(_ID6[None]),
-                                                 jnp.zeros((1, 10)),
-                                                 jnp.ones(1)))[0]
-        np.testing.assert_allclose(j_rot, j_id @ np.asarray(R).T, atol=1e-4)
-
-    def test_betas_change_bone_lengths(self):
-        j0 = np.asarray(mhr_forward_kinematics(jnp.asarray(_ID6[None]),
-                                               jnp.zeros((1, 10)),
-                                               jnp.ones(1)))[0]
-        b = jnp.zeros((1, 10)).at[0, 0].set(2.0)
-        j1 = np.asarray(mhr_forward_kinematics(jnp.asarray(_ID6[None]), b,
-                                               jnp.ones(1)))[0]
-        assert not np.allclose(j0, j1)
+    def test_refine_hands_params_blend(self):
+        body = jnp.zeros((2, 108))
+        branch = jnp.ones((2, 108))
+        out = refine_hands_params(body, branch,
+                                  jnp.asarray([True, False]),
+                                  jnp.asarray([False, True]))
+        assert float(out[0, :54].sum()) == 54.0   # left accepted in b0
+        assert float(out[0, 54:].sum()) == 0.0
+        assert float(out[1, 54:].sum()) == 54.0   # right accepted in b1
 
 
 class TestCrop:
@@ -105,20 +89,53 @@ class TestCrop:
 class TestModel:
     def _tiny(self):
         return SAM3DBody(crop_size=64, patch_size=16, embed_dim=32, depth=2,
-                         num_heads=2, decoder_depth=1, decoder_dim=32,
-                         n_betas=4)
+                         num_heads=2, decoder_depth=1, decoder_dim=32)
 
     def test_forward_shapes(self):
         model = self._tiny()
         crops = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
         v = model.init(jax.random.PRNGKey(0), crops)
         out = model.apply(v, crops)
-        assert out.pose_rot6d.shape == (2, 70, 6)
+        assert out.mhr.pred_pose_raw.shape == (2, 266)  # 6 + 260 cont
+        assert out.mhr.body_pose.shape == (2, 133)
+        assert out.mhr.hand.shape == (2, 108)
         assert out.joints_3d.shape == (2, 70, 3)
         assert out.joints_2d_crop.shape == (2, 70, 2)
+        assert out.vertices_3d.shape[0] == 2 and out.vertices_3d.shape[2] == 3
         assert float(jnp.min(out.cam_t[:, 2])) > 0  # positive depth
-        for leaf in out:
+        for leaf in jax.tree.leaves(out):
             assert np.all(np.isfinite(np.asarray(leaf)))
+        # hands + jaw zeroed in the body pose (mhr_head.py:305-307)
+        from skix.models import mhr as M
+
+        assert float(jnp.abs(
+            out.mhr.body_pose[:, M.MHR_PARAM_HAND_IDXS]).max()) == 0.0
+        assert float(jnp.abs(out.mhr.body_pose[:, -3:]).max()) == 0.0
+
+    def test_hand_decoder_branch(self):
+        model = self._tiny()
+        crops = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), crops)
+        vh = model.init(jax.random.PRNGKey(1), crops, decoder_type="hand")
+        merged = dict(v["params"])
+        for key, val in vh["params"].items():
+            merged.setdefault(key, val)
+        out_b = model.apply({"params": merged}, crops)
+        out_h = model.apply({"params": merged}, crops, decoder_type="hand")
+        assert not np.allclose(np.asarray(out_b.mhr.hand),
+                               np.asarray(out_h.mhr.hand))
+
+    def test_hand_override_changes_fingers_only(self):
+        model = self._tiny()
+        crops = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), crops)
+        out0 = model.apply(v, crops)
+        out1 = model.apply(v, crops,
+                           hand_override=jnp.ones((1, 108)) * 0.3)
+        d = np.linalg.norm(np.asarray(out1.joints_3d - out0.joints_3d),
+                           axis=-1)[0]
+        assert d[25] > 1e-6 or d[30] > 1e-6  # finger joints move
+        assert d[9] < 1e-6                   # root unaffected
 
     def test_prompts_change_output(self):
         model = self._tiny()
@@ -135,8 +152,7 @@ class TestModel:
 class TestEstimator:
     def test_process_clip_schema(self):
         model = SAM3DBody(crop_size=64, patch_size=16, embed_dim=32, depth=2,
-                          num_heads=2, decoder_depth=1, decoder_dim=32,
-                          n_betas=4)
+                          num_heads=2, decoder_depth=1, decoder_dim=32)
         est = SAM3DBodyEstimator(model)
         frames = rng.integers(0, 255, (5, 80, 96, 3)).astype(np.uint8)
         bboxes = np.tile(np.array([20.0, 10, 70, 75], np.float32), (5, 1))
@@ -147,7 +163,22 @@ class TestEstimator:
         assert o["pred_keypoints_3d"].shape == (70, 3)
         assert o["pred_cam_t"].shape == (3,)
         assert o["pred_global_rots"].shape == (70, 3, 3)
+        assert o["pred_vertices"].ndim == 2 and o["pred_vertices"].shape[1] == 3
+        assert o["body_pose_params"].shape == (133,)
+        assert o["hand_pose_params"].shape == (108,)
         assert float(o["focal_length"]) > 0
+
+    def test_full_inference_runs_hand_refinement(self):
+        model = SAM3DBody(crop_size=64, patch_size=16, embed_dim=32, depth=2,
+                          num_heads=2, decoder_depth=1, decoder_dim=32)
+        est = SAM3DBodyEstimator(model)
+        frames = rng.integers(0, 255, (2, 80, 96, 3)).astype(np.uint8)
+        bboxes = np.tile(np.array([20.0, 10, 70, 75], np.float32), (2, 1))
+        outs = est.process_clip(frames, bboxes, batch_size=2,
+                                inference_type="full")
+        assert len(outs) == 2
+        assert np.all(np.isfinite(outs[0]["pred_keypoints_3d"]))
+        assert np.all(np.isfinite(outs[0]["hand_pose_params"]))
 
     def test_select_closest_person(self):
         near = {"pred_cam_t": np.array([0.0, 0, 3.0])}
