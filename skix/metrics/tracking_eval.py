@@ -67,3 +67,113 @@ def evaluate_tracking(
         "precision": matches / max(n_pred_total, 1),
         "recall": matches / max(n_gt_total, 1),
     }
+
+
+def evaluate_hota(
+    pred_boxes: Sequence[np.ndarray],
+    pred_ids: Sequence[np.ndarray],
+    gt_boxes: Sequence[np.ndarray],
+    gt_ids: Sequence[np.ndarray],
+    alphas: np.ndarray | None = None,
+) -> dict:
+    """HOTA (Luiten et al., IJCV 2021) — the reference ships it in
+    sam3/eval/; semantics follow the canonical TrackEval implementation:
+
+    per localization threshold α, detections are matched per frame by
+    Hungarian assignment maximizing a global-alignment-biased similarity
+    (so matching prefers consistent identity pairs); TPs/FNs/FPs give
+    DetA, per-TP association scores A(c) = TPA/(TPA+FNA+FPA) give AssA,
+    HOTA(α) = √(DetA·AssA); the final score averages over α ∈
+    {0.05, …, 0.95}.
+
+    Returns {"HOTA", "DetA", "AssA", per-α arrays}.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    if alphas is None:
+        alphas = np.arange(0.05, 0.96, 0.05)
+
+    frames = []
+    gt_all, pred_all = set(), set()
+    for pb, pid, gb, gid in zip(pred_boxes, pred_ids, gt_boxes, gt_ids):
+        pb = np.asarray(pb, np.float64).reshape(-1, 4)
+        gb = np.asarray(gb, np.float64).reshape(-1, 4)
+        pid = np.asarray(pid).reshape(-1)
+        gid = np.asarray(gid).reshape(-1)
+        sim = _iou_matrix(gb, pb) if len(gb) and len(pb) else \
+            np.zeros((len(gb), len(pb)))
+        frames.append((gid, pid, sim))
+        gt_all.update(int(g) for g in gid)
+        pred_all.update(int(p) for p in pid)
+    gmap = {g: i for i, g in enumerate(sorted(gt_all))}
+    pmap = {p: i for i, p in enumerate(sorted(pred_all))}
+    nG, nP = len(gmap), len(pmap)
+
+    # global potential-match statistics (TrackEval hota.py): similarity-
+    # weighted counts of possible (gt, pred) id pairs
+    pot = np.zeros((nG, nP))
+    gt_cnt = np.zeros(nG)
+    pr_cnt = np.zeros(nP)
+    for gid, pid, sim in frames:
+        if len(gid) and len(pid):
+            denom = (sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim)
+            ious = np.where(denom > 0 + np.finfo(float).eps,
+                            sim / np.maximum(denom, 1e-12), 0.0)
+            gi = np.asarray([gmap[int(g)] for g in gid])
+            pi = np.asarray([pmap[int(p)] for p in pid])
+            np.add.at(pot, (gi[:, None], pi[None, :]), ious)
+        for g in gid:
+            gt_cnt[gmap[int(g)]] += 1
+        for p in pid:
+            pr_cnt[pmap[int(p)]] += 1
+    glob_align = pot / np.maximum(
+        gt_cnt[:, None] + pr_cnt[None, :] - pot, 1e-12)
+
+    hota_a, deta_a, assa_a = [], [], []
+    for alpha in alphas:
+        tp = fn = fp = 0
+        # per-(gt-id, pred-id) association accumulators
+        match_cnt = np.zeros((nG, nP))
+        for gid, pid, sim in frames:
+            if len(gid) == 0:
+                fp += len(pid)
+                continue
+            if len(pid) == 0:
+                fn += len(gid)
+                continue
+            gi = np.asarray([gmap[int(g)] for g in gid])
+            pi = np.asarray([pmap[int(p)] for p in pid])
+            score = glob_align[gi[:, None], pi[None, :]] * sim
+            rows, cols = linear_sum_assignment(-score)
+            ok = sim[rows, cols] >= alpha - np.finfo(float).eps
+            rows, cols = rows[ok], cols[ok]
+            tp += len(rows)
+            fn += len(gid) - len(rows)
+            fp += len(pid) - len(rows)
+            match_cnt[gi[rows], pi[cols]] += 1
+        if tp + fn + fp == 0:
+            hota_a.append(1.0)
+            deta_a.append(1.0)
+            assa_a.append(1.0)
+            continue
+        deta = tp / max(tp + fn + fp, 1)
+        # A(c) per matched pair, weighted by match count
+        gt_match = match_cnt.sum(1)   # matched frames per gt id
+        pr_match = match_cnt.sum(0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ass = match_cnt / np.maximum(
+                gt_match[:, None] + pr_match[None, :] - match_cnt, 1e-12)
+        assa = float((ass * match_cnt).sum() / max(tp, 1))
+        deta = float(deta)
+        hota_a.append(float(np.sqrt(deta * assa)))
+        deta_a.append(deta)
+        assa_a.append(assa)
+    return {
+        "HOTA": float(np.mean(hota_a)),
+        "DetA": float(np.mean(deta_a)),
+        "AssA": float(np.mean(assa_a)),
+        "HOTA_alpha": np.asarray(hota_a),
+        "DetA_alpha": np.asarray(deta_a),
+        "AssA_alpha": np.asarray(assa_a),
+        "alphas": np.asarray(alphas),
+    }

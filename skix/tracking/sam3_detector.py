@@ -1,0 +1,491 @@
+"""SAM3-family open-vocabulary promptable detector at reference capability.
+
+Composes the reference's SAM3 image-detector architecture
+(sam3/model/sam3_image.py:36, SURVEY.md §2.8) TPU-first:
+
+- **ViT-Det backbone** with windowed attention + SimpleFPN neck
+  (skix.tracking.vitdet; reference vitdet.py:616 + necks.py:13);
+- **text encoder**: CLIP text tower via skix.tracking.clip_text (or any
+  (B, L, d_model) prompt memory);
+- **geometry prompt encoders** for points and boxes: direct projection +
+  feature pooling (bilinear / box-grid sampling) + sine position encoding
+  + type embeddings, concatenated onto the text prompt sequence
+  (reference geometry_encoders.py:481 SequenceGeometryEncoder);
+- **vision–language fusion encoder**: 6 pre-norm layers of image
+  self-attention (positions added at attention) → cross-attention to the
+  prompt sequence → ReLU FFN 2048 (reference encoder.py:13,252,462;
+  builder config model_builder.py:117);
+- **query decoder**: 200 learned queries + presence token, 6 layers of
+  self-attn → text cross-attn → image cross-attn → FFN with iterative
+  sigmoid box refinement (reference decoder.py:190 TransformerDecoder
+  with box_refine; deformable-attention/DAC/boxRPB variants are
+  documented omissions — plain attention maps better onto the MXU);
+- **dot-product scoring** against the pooled prompt (reference
+  _create_dot_product_scoring, model_builder.py:193);
+- **maskformer segmentation head**: top-down PixelDecoder FPN fusion +
+  per-query mask-embedding einsum (reference
+  maskformer_segmentation.py:172,23).
+
+Everything is static-shape; prompts are fixed-capacity masked slots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skix.tracking.vitdet import SimpleFPNNeck, ViTDetBackbone
+
+
+# --------------------------------------------------------------------------
+# shared pieces
+# --------------------------------------------------------------------------
+def _inverse_sigmoid(x, eps: float = 1e-5):
+    x = jnp.clip(x, eps, 1.0 - eps)
+    return jnp.log(x / (1.0 - x))
+
+
+class _MHA(nn.Module):
+    """Batch-first multi-head attention with optional additive key padding
+    mask (True = PAD, torch convention)."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, key_padding_mask=None):
+        B, Lq, C = q.shape
+        hd = C // self.num_heads
+        qh = nn.Dense(C, name="q")(q).reshape(B, Lq, self.num_heads, hd)
+        kh = nn.Dense(C, name="k")(k).reshape(B, k.shape[1],
+                                              self.num_heads, hd)
+        vh = nn.Dense(C, name="v")(v).reshape(B, v.shape[1],
+                                              self.num_heads, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) / np.sqrt(hd)
+        if key_padding_mask is not None:
+            s = jnp.where(key_padding_mask[:, None, None, :], -1e9, s)
+        p = nn.softmax(s, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, Lq, C)
+        return nn.Dense(C, name="out")(out)
+
+
+class _FFN(nn.Module):
+    dim_feedforward: int = 2048
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.relu(h)
+        return nn.Dense(x.shape[-1], name="linear2")(h)
+
+
+def pool_prompt(prompt, prompt_pad_mask=None):
+    """Masked mean over the prompt sequence (encoder.py:581
+    pool_text_feat, pool_with_mask=True)."""
+    if prompt_pad_mask is None:
+        return jnp.mean(prompt, axis=1)
+    valid = (~prompt_pad_mask).astype(prompt.dtype)[..., None]
+    n = jnp.clip(jnp.sum(valid, axis=1), 1.0)
+    return jnp.sum(prompt * valid, axis=1) / n
+
+
+# --------------------------------------------------------------------------
+# geometry prompt encoders (geometry_encoders.py:481)
+# --------------------------------------------------------------------------
+def bilinear_sample(feat, pts01):
+    """``feat (H, W, C)``, ``pts01 (N, 2)`` (x, y) in [0, 1] → (N, C)."""
+    H, W, _ = feat.shape
+    x = pts01[:, 0] * W - 0.5
+    y = pts01[:, 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def at(yy, xx):
+        yy = jnp.clip(yy.astype(jnp.int32), 0, H - 1)
+        xx = jnp.clip(xx.astype(jnp.int32), 0, W - 1)
+        return feat[yy, xx]
+
+    return ((1 - wy)[:, None] * ((1 - wx)[:, None] * at(y0, x0)
+                                 + wx[:, None] * at(y0, x0 + 1))
+            + wy[:, None] * ((1 - wx)[:, None] * at(y0 + 1, x0)
+                             + wx[:, None] * at(y0 + 1, x0 + 1)))
+
+
+def box_grid_sample(feat, boxes_cxcywh, grid: int = 7):
+    """Mean of a ``grid×grid`` bilinear sample inside each normalized box —
+    the roi_align pooling of the reference box encoder
+    (geometry_encoders.py:643). ``boxes (N, 4)`` → (N, C)."""
+    N = boxes_cxcywh.shape[0]
+    cx, cy, w, h = [boxes_cxcywh[:, i] for i in range(4)]
+    lin = (jnp.arange(grid) + 0.5) / grid
+    gx = cx[:, None] - w[:, None] / 2 + lin[None] * w[:, None]  # (N, g)
+    gy = cy[:, None] - h[:, None] / 2 + lin[None] * h[:, None]
+    pts = jnp.stack([jnp.repeat(gx, grid, -1),
+                     jnp.tile(gy, (1, grid))], axis=-1)  # (N, g², 2)
+    samples = bilinear_sample(feat, pts.reshape(-1, 2))
+    return jnp.mean(samples.reshape(N, grid * grid, -1), axis=1)
+
+
+def _sincos_vec(v, dim: int, temperature: float = 10000.0):
+    """1D sine-cosine features of ``v (...,)`` → (..., dim)."""
+    dim_t = temperature ** (2 * (jnp.arange(dim // 2)) / dim)
+    f = v[..., None] / dim_t
+    return jnp.concatenate([jnp.sin(f), jnp.cos(f)], axis=-1)
+
+
+class GeometryPromptEncoder(nn.Module):
+    """Point + box prompts → (B, P, d_model) tokens + pad mask.
+
+    Fixed-capacity slots (``max_points``/``max_boxes``); invalid slots
+    masked. Each prompt embeds as direct-projection + pooled image
+    feature + sine position encoding + type embedding
+    (geometry_encoders.py:600,643)."""
+
+    d_model: int = 256
+    max_points: int = 8
+    max_boxes: int = 4
+    roi_grid: int = 7
+
+    @nn.compact
+    def __call__(self, img_feat, points, point_labels, point_valid,
+                 boxes, box_labels, box_valid):
+        """``img_feat (B, h, w, d)``; ``points (B, Np, 2)`` in [0,1];
+        ``boxes (B, Nb, 4)`` normalized cxcywh; labels int (0=neg, 1=pos);
+        valid bool masks."""
+        label_embed = self.param("label_embed",
+                                 nn.initializers.normal(0.02),
+                                 (4, self.d_model))  # pt-neg/pt-pos/box-neg/box-pos
+
+        p_direct = nn.Dense(self.d_model, name="points_direct")(points)
+        p_pool = jax.vmap(bilinear_sample)(img_feat, points)
+        p_pool = nn.Dense(self.d_model, name="points_pool")(p_pool)
+        p_pos = jnp.concatenate(
+            [_sincos_vec(points[..., 0], self.d_model // 2),
+             _sincos_vec(points[..., 1], self.d_model // 2)], axis=-1)
+        p_pos = nn.Dense(self.d_model, name="points_pos")(p_pos)
+        p_tok = (p_direct + p_pool + p_pos
+                 + label_embed[jnp.clip(point_labels, 0, 1)])
+
+        b_direct = nn.Dense(self.d_model, name="boxes_direct")(boxes)
+        b_pool = jax.vmap(box_grid_sample, in_axes=(0, 0, None))(
+            img_feat, boxes, self.roi_grid)
+        b_pool = nn.Dense(self.d_model, name="boxes_pool")(b_pool)
+        b_pos = jnp.concatenate(
+            [_sincos_vec(boxes[..., i], self.d_model // 4) for i in range(4)],
+            axis=-1)
+        b_pos = nn.Dense(self.d_model, name="boxes_pos")(b_pos)
+        b_tok = (b_direct + b_pool + b_pos
+                 + label_embed[2 + jnp.clip(box_labels, 0, 1)])
+
+        tokens = jnp.concatenate([p_tok, b_tok], axis=1)
+        valid = jnp.concatenate([point_valid, box_valid], axis=1)
+        return jnp.where(valid[..., None], tokens, 0.0), ~valid
+
+
+# --------------------------------------------------------------------------
+# vision-language fusion encoder (encoder.py:13,462)
+# --------------------------------------------------------------------------
+class FusionEncoderLayer(nn.Module):
+    """Pre-norm: image self-attn (pos at attn) → cross-attn to prompt →
+    ReLU FFN (TransformerEncoderLayer, builder config)."""
+
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+
+    @nn.compact
+    def __call__(self, src, pos, prompt, prompt_pad_mask=None):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
+        qk = h + pos
+        src = src + _MHA(self.num_heads, name="self_attn")(qk, qk, h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
+        src = src + _MHA(self.num_heads, name="cross_attn_image")(
+            h, prompt, prompt, key_padding_mask=prompt_pad_mask)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(src)
+        return src + _FFN(self.dim_feedforward, name="ffn")(h)
+
+
+class FusionEncoder(nn.Module):
+    num_layers: int = 6
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+    add_pooled_text_to_img_feat: bool = False
+
+    @nn.compact
+    def __call__(self, src, pos, prompt, prompt_pad_mask=None):
+        if self.add_pooled_text_to_img_feat:
+            pooled = pool_prompt(prompt, prompt_pad_mask)
+            src = src + nn.Dense(src.shape[-1],
+                                 name="text_pooling_proj")(pooled)[:, None]
+        for i in range(self.num_layers):
+            src = FusionEncoderLayer(self.num_heads, self.dim_feedforward,
+                                     name=f"layer_{i}")(
+                src, pos, prompt, prompt_pad_mask)
+        return src
+
+
+# --------------------------------------------------------------------------
+# query decoder with box refinement + presence token (decoder.py:190)
+# --------------------------------------------------------------------------
+class DecoderLayer(nn.Module):
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+    use_text_cross_attention: bool = True
+
+    @nn.compact
+    def __call__(self, q, query_pos, memory, mem_pos, prompt,
+                 prompt_pad_mask=None):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_sa")(q)
+        hq = h + query_pos
+        q = q + _MHA(self.num_heads, name="self_attn")(hq, hq, h)
+        if self.use_text_cross_attention:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm_ta")(q)
+            q = q + _MHA(self.num_heads, name="text_cross_attn")(
+                h + query_pos, prompt, prompt,
+                key_padding_mask=prompt_pad_mask)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_ca")(q)
+        q = q + _MHA(self.num_heads, name="image_cross_attn")(
+            h + query_pos, memory + mem_pos, memory)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")(q)
+        return q + _FFN(self.dim_feedforward, name="ffn")(h)
+
+
+class _BoxHead(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(x.shape[-1], name="fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(x.shape[-1], name="fc2")(h)
+        h = nn.relu(h)
+        return nn.Dense(4, name="fc3")(h)
+
+
+class QueryDecoder(nn.Module):
+    num_queries: int = 200
+    num_layers: int = 6
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+    presence_token: bool = True
+
+    @nn.compact
+    def __call__(self, memory, mem_pos, prompt, prompt_pad_mask=None):
+        B = memory.shape[0]
+        C = memory.shape[-1]
+        Q = self.num_queries
+        query_pos = self.param("query_pos", nn.initializers.normal(0.02),
+                               (1, Q + int(self.presence_token), C))
+        query_pos = jnp.broadcast_to(query_pos, (B, *query_pos.shape[1:]))
+        q = jnp.zeros((B, Q + int(self.presence_token), C))
+        boxes = jax.nn.sigmoid(
+            self.param("init_boxes", nn.initializers.normal(0.5), (1, Q, 4)))
+        boxes = jnp.broadcast_to(boxes, (B, Q, 4))
+        box_head = _BoxHead(name="box_head")  # shared across layers
+
+        all_boxes = []
+        for i in range(self.num_layers):
+            q = DecoderLayer(self.num_heads, self.dim_feedforward,
+                             name=f"layer_{i}")(
+                q, query_pos, memory, mem_pos, prompt, prompt_pad_mask)
+            hq = nn.LayerNorm(epsilon=1e-5, name=f"norm_out_{i}")(q)
+            delta = box_head(hq[:, :Q])
+            boxes = jax.nn.sigmoid(_inverse_sigmoid(boxes) + delta)
+            all_boxes.append(boxes)
+        presence = hq[:, Q] if self.presence_token else None
+        return hq[:, :Q], boxes, all_boxes, presence
+
+
+# --------------------------------------------------------------------------
+# scoring + segmentation heads
+# --------------------------------------------------------------------------
+class DotProductScoring(nn.Module):
+    """Query ↔ pooled-prompt dot product (model_builder.py:193: residual
+    2-layer prompt MLP with output LN, then scaled inner product)."""
+
+    d_proj: int = 256
+
+    @nn.compact
+    def __call__(self, queries, prompt, prompt_pad_mask=None):
+        pooled = pool_prompt(prompt, prompt_pad_mask)
+        h = nn.Dense(2048, name="prompt_fc1")(pooled)
+        h = nn.relu(h)
+        h = nn.Dense(pooled.shape[-1], name="prompt_fc2")(h)
+        pooled = nn.LayerNorm(epsilon=1e-5, name="prompt_norm")(pooled + h)
+        pq = nn.Dense(self.d_proj, name="proj_q")(queries)
+        pp = nn.Dense(self.d_proj, name="proj_p")(pooled)
+        return jnp.einsum("bqc,bc->bq", pq, pp) / np.sqrt(self.d_proj)
+
+
+class PixelDecoder(nn.Module):
+    """Top-down FPN fusion: coarsest level upsampled + added into finer
+    levels, conv + GroupNorm + ReLU per stage
+    (maskformer_segmentation.py:172)."""
+
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, feats):
+        """``feats``: list fine→coarse of (B, h, w, d). Returns (B, H, W, d)
+        at the finest level's resolution."""
+        prev = feats[-1]
+        for li, f in enumerate(feats[:-1][::-1]):
+            prev = jax.image.resize(prev, f.shape, "nearest") + f
+            prev = nn.Conv(self.hidden_dim, (3, 3), padding="SAME",
+                           name=f"conv_{li}")(prev)
+            prev = nn.GroupNorm(num_groups=8, name=f"norm_{li}")(prev)
+            prev = nn.relu(prev)
+        return prev
+
+
+class MaskPredictor(nn.Module):
+    """Per-query masks: 3-layer MLP mask embedding × pixel embedding
+    (maskformer_segmentation.py:23)."""
+
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(self, queries, pixel_embed):
+        h = queries
+        for i in range(2):
+            h = nn.Dense(self.hidden_dim, name=f"fc{i}")(h)
+            h = nn.relu(h)
+        h = nn.Dense(pixel_embed.shape[-1], name="fc2")(h)
+        return jnp.einsum("bqc,bhwc->bqhw", h, pixel_embed)
+
+
+# --------------------------------------------------------------------------
+# the full detector
+# --------------------------------------------------------------------------
+class Sam3Detections(NamedTuple):
+    boxes_cxcywh: jnp.ndarray   # (B, Q, 4) normalized
+    scores: jnp.ndarray         # (B, Q) prompt-alignment logits
+    mask_logits: jnp.ndarray    # (B, Q, H4, W4) stride-4-ish masks
+    embeddings: jnp.ndarray     # (B, Q, C) decoder features
+    presence: jnp.ndarray       # (B,) presence logit
+    aux_boxes: tuple            # per-layer boxes (training)
+
+
+class Sam3Detector(nn.Module):
+    """Image + (text tokens | geometry prompts) → promptable detections.
+
+    ``full_size()`` is the reference configuration (1008 px backbone,
+    1024×32 ViT-Det, d_model 256, 200 queries, 6+6 layers)."""
+
+    img_size: int = 1008
+    patch_size: int = 14
+    backbone_dim: int = 1024
+    backbone_depth: int = 32
+    backbone_heads: int = 16
+    mlp_ratio: float = 4.625
+    window_size: int = 24
+    global_att_blocks: Sequence[int] = (7, 15, 23, 31)
+    d_model: int = 256
+    num_queries: int = 200
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    max_points: int = 8
+    max_boxes: int = 4
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def full_size(cls, **kw):
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw):
+        defaults = dict(img_size=112, patch_size=14, backbone_dim=64,
+                        backbone_depth=2, backbone_heads=2, mlp_ratio=4.0,
+                        window_size=4, global_att_blocks=(1,), d_model=64,
+                        num_queries=12, encoder_layers=2, decoder_layers=2)
+        defaults.update(kw)
+        return cls(**defaults)
+
+    @nn.compact
+    def __call__(self, images, text_memory=None, text_pad_mask=None,
+                 points=None, point_labels=None, point_valid=None,
+                 boxes=None, box_labels=None, box_valid=None):
+        """``images (B, H, W, 3)`` in [0,1]; ``text_memory (B, L, d_model)``
+        from the CLIP tower's resizer; geometry prompts optional
+        fixed-capacity slots."""
+        B = images.shape[0]
+        x = (images - 0.5) / 0.5
+        trunk = ViTDetBackbone(
+            img_size=self.img_size, patch_size=self.patch_size,
+            embed_dim=self.backbone_dim, depth=self.backbone_depth,
+            num_heads=self.backbone_heads, mlp_ratio=self.mlp_ratio,
+            window_size=self.window_size,
+            global_att_blocks=self.global_att_blocks, remat=self.remat,
+            dtype=self.dtype, name="backbone")(x)
+        feats, poss = SimpleFPNNeck(self.d_model, name="neck")(trunk)
+        # encoder memory: the 1.0-scale level (stride = patch size)
+        lvl = 2
+        f = feats[lvl]
+        h, w = f.shape[1], f.shape[2]
+        src = f.reshape(B, h * w, self.d_model)
+        pos = poss[lvl].reshape(1, h * w, self.d_model)
+
+        # prompt sequence: text ‖ geometry
+        prompt_parts = []
+        pad_parts = []
+        if text_memory is not None:
+            prompt_parts.append(text_memory)
+            pad_parts.append(jnp.zeros(text_memory.shape[:2], bool)
+                             if text_pad_mask is None else text_pad_mask)
+        if points is not None or boxes is not None:
+            Np = self.max_points
+            Nb = self.max_boxes
+            pts = points if points is not None else jnp.zeros((B, Np, 2))
+            plab = (point_labels if point_labels is not None
+                    else jnp.zeros((B, Np), jnp.int32))
+            pval = (point_valid if point_valid is not None
+                    else jnp.zeros((B, Np), bool))
+            bxs = boxes if boxes is not None else jnp.zeros((B, Nb, 4))
+            blab = (box_labels if box_labels is not None
+                    else jnp.zeros((B, Nb), jnp.int32))
+            bval = (box_valid if box_valid is not None
+                    else jnp.zeros((B, Nb), bool))
+            g_tok, g_pad = GeometryPromptEncoder(
+                self.d_model, Np, Nb, name="geometry_encoder")(
+                f, pts, plab, pval, bxs, blab, bval)
+            prompt_parts.append(g_tok)
+            pad_parts.append(g_pad)
+        if not prompt_parts:  # unconditioned: a learned "detect anything"
+            tok = self.param("null_prompt", nn.initializers.normal(0.02),
+                             (1, 1, self.d_model))
+            prompt_parts.append(jnp.broadcast_to(tok, (B, 1, self.d_model)))
+            pad_parts.append(jnp.zeros((B, 1), bool))
+        prompt = jnp.concatenate(prompt_parts, axis=1)
+        prompt_pad = jnp.concatenate(pad_parts, axis=1)
+
+        memory = FusionEncoder(self.encoder_layers, name="encoder")(
+            src, pos, prompt, prompt_pad)
+
+        queries, out_boxes, all_boxes, presence = QueryDecoder(
+            self.num_queries, self.decoder_layers, name="decoder")(
+            memory, pos, prompt, prompt_pad)
+
+        scores = DotProductScoring(self.d_model, name="scoring")(
+            queries, prompt, prompt_pad)
+        if presence is not None:
+            pres_logit = nn.Dense(1, name="presence_head")(presence)[..., 0]
+        else:
+            pres_logit = jnp.zeros((B,))
+
+        # segmentation: replace the encoder level with fused memory, then
+        # top-down pixel decoding over the finer levels
+        fused = memory.reshape(B, h, w, self.d_model)
+        pyramid = [feats[0], feats[1], fused]  # fine → coarse
+        pixel_embed = PixelDecoder(self.d_model, name="pixel_decoder")(
+            pyramid)
+        masks = MaskPredictor(self.d_model, name="mask_predictor")(
+            queries, pixel_embed)
+
+        return Sam3Detections(boxes_cxcywh=out_boxes, scores=scores,
+                              mask_logits=masks, embeddings=queries,
+                              presence=pres_logit,
+                              aux_boxes=tuple(all_boxes))

@@ -1,0 +1,174 @@
+"""SAM3 detector at reference capability: windowed ViT-Det, VL fusion,
+geometry prompts, maskformer head."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skix.tracking.sam3_detector import (
+    GeometryPromptEncoder,
+    PixelDecoder,
+    Sam3Detector,
+    bilinear_sample,
+    box_grid_sample,
+    pool_prompt,
+)
+from skix.tracking.vitdet import (
+    SimpleFPNNeck,
+    ViTDetBackbone,
+    window_partition,
+    window_unpartition,
+)
+
+rng = np.random.default_rng(9)
+
+
+class TestWindowing:
+    def test_partition_roundtrip(self):
+        x = jnp.asarray(rng.normal(size=(2, 10, 14, 8)), jnp.float32)
+        w, pad_hw = window_partition(x, 4)
+        back = window_unpartition(w, 4, pad_hw, (10, 14))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    def test_window_equals_global_when_window_covers_grid(self):
+        """A window block whose window spans the whole grid must equal the
+        global block exactly (same params, same RoPE coords)."""
+        m_win = ViTDetBackbone(img_size=56, patch_size=14, embed_dim=32,
+                               depth=1, num_heads=2, mlp_ratio=2.0,
+                               window_size=4, global_att_blocks=())
+        m_glob = ViTDetBackbone(img_size=56, patch_size=14, embed_dim=32,
+                                depth=1, num_heads=2, mlp_ratio=2.0,
+                                window_size=4, global_att_blocks=(0,))
+        imgs = jnp.asarray(rng.normal(size=(1, 56, 56, 3)), jnp.float32)
+        v = m_win.init(jax.random.PRNGKey(0), imgs)
+        out_w = m_win.apply(v, imgs)
+        out_g = m_glob.apply(v, imgs)  # identical param structure
+        np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_g),
+                                   atol=1e-5)
+
+    def test_windowed_differs_on_larger_grid(self):
+        m_win = ViTDetBackbone(img_size=112, patch_size=14, embed_dim=32,
+                               depth=1, num_heads=2, mlp_ratio=2.0,
+                               window_size=4, global_att_blocks=())
+        m_glob = ViTDetBackbone(img_size=112, patch_size=14, embed_dim=32,
+                                depth=1, num_heads=2, mlp_ratio=2.0,
+                                window_size=4, global_att_blocks=(0,))
+        imgs = jnp.asarray(rng.normal(size=(1, 112, 112, 3)), jnp.float32)
+        v = m_win.init(jax.random.PRNGKey(0), imgs)
+        out_w = m_win.apply(v, imgs)
+        out_g = m_glob.apply(v, imgs)
+        assert not np.allclose(np.asarray(out_w), np.asarray(out_g),
+                               atol=1e-4)
+
+
+class TestNeckAndPixelDecoder:
+    def test_fpn_levels(self):
+        neck = SimpleFPNNeck(d_model=32)
+        feat = jnp.asarray(rng.normal(size=(1, 8, 8, 64)), jnp.float32)
+        v = neck.init(jax.random.PRNGKey(0), feat)
+        feats, poss = neck.apply(v, feat)
+        assert [f.shape[1] for f in feats] == [32, 16, 8, 4]
+        assert all(f.shape[-1] == 32 for f in feats)
+        assert all(p.shape == f.shape[1:] for p, f in zip(poss, feats))
+
+    def test_pixel_decoder_output_at_finest(self):
+        pd = PixelDecoder(hidden_dim=16)
+        feats = [jnp.asarray(rng.normal(size=(1, s, s, 16)), jnp.float32)
+                 for s in (16, 8, 4)]
+        v = pd.init(jax.random.PRNGKey(0), feats)
+        out = pd.apply(v, feats)
+        assert out.shape == (1, 16, 16, 16)
+
+
+class TestGeometry:
+    def test_bilinear_sample_exact_at_centers(self):
+        feat = jnp.asarray(rng.normal(size=(6, 8, 3)), jnp.float32)
+        # pixel-center coordinates: exact values
+        pts = jnp.asarray([[(1 + 0.5) / 8, (2 + 0.5) / 6],
+                           [(4 + 0.5) / 8, (0 + 0.5) / 6]])
+        out = bilinear_sample(feat, pts)
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(feat[2, 1]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[1]),
+                                   np.asarray(feat[0, 4]), atol=1e-6)
+
+    def test_box_pool_constant_field(self):
+        feat = jnp.ones((8, 8, 4)) * 3.0
+        boxes = jnp.asarray([[0.5, 0.5, 0.4, 0.4]])
+        out = box_grid_sample(feat, boxes)
+        np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+    def test_prompt_encoder_masks_invalid(self):
+        enc = GeometryPromptEncoder(d_model=16, max_points=4, max_boxes=2)
+        feat = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), jnp.float32)
+        pts = jnp.asarray(rng.uniform(0, 1, (1, 4, 2)), jnp.float32)
+        bxs = jnp.asarray(rng.uniform(0.2, 0.6, (1, 2, 4)), jnp.float32)
+        v = enc.init(jax.random.PRNGKey(0), feat, pts,
+                     jnp.ones((1, 4), jnp.int32), jnp.zeros((1, 4), bool),
+                     bxs, jnp.ones((1, 2), jnp.int32),
+                     jnp.zeros((1, 2), bool))
+        tok, pad = enc.apply(v, feat, pts, jnp.ones((1, 4), jnp.int32),
+                             jnp.zeros((1, 4), bool), bxs,
+                             jnp.ones((1, 2), jnp.int32),
+                             jnp.zeros((1, 2), bool))
+        assert float(jnp.abs(tok).max()) == 0.0  # all invalid → zeroed
+        assert bool(jnp.all(pad))
+
+    def test_pool_prompt_masked(self):
+        p = jnp.asarray([[[1.0, 1], [3, 3], [100, 100]]])
+        mask = jnp.asarray([[False, False, True]])
+        np.testing.assert_allclose(np.asarray(pool_prompt(p, mask)),
+                                   [[2.0, 2.0]])
+
+
+class TestDetector:
+    def _setup(self):
+        m = Sam3Detector.tiny()
+        imgs = jnp.asarray(rng.uniform(0, 1, (1, 112, 112, 3)), jnp.float32)
+        text = jnp.asarray(rng.normal(0, 0.1, (1, 4, 64)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), imgs, text)
+        return m, imgs, text, v
+
+    def test_output_contract(self):
+        m, imgs, text, v = self._setup()
+        out = m.apply(v, imgs, text)
+        Q = m.num_queries
+        assert out.boxes_cxcywh.shape == (1, Q, 4)
+        assert out.scores.shape == (1, Q)
+        assert out.mask_logits.shape[:2] == (1, Q)
+        assert out.presence.shape == (1,)
+        assert len(out.aux_boxes) == m.decoder_layers
+        assert float(out.boxes_cxcywh.min()) >= 0.0
+        assert float(out.boxes_cxcywh.max()) <= 1.0
+        for leaf in jax.tree.leaves(out):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_text_prompt_conditions_output(self):
+        m, imgs, text, v = self._setup()
+        s1 = m.apply(v, imgs, text).scores
+        s2 = m.apply(v, imgs, text * -1.0).scores
+        assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+    def test_mask_resolution_is_fpn_finest(self):
+        m, imgs, text, v = self._setup()
+        out = m.apply(v, imgs, text)
+        gh = 112 // 14
+        assert out.mask_logits.shape[2:] == (gh * 4, gh * 4)
+
+    def test_differentiable(self):
+        m, imgs, text, v = self._setup()
+
+        def loss(v):
+            out = m.apply(v, imgs, text)
+            return (jnp.sum(out.scores ** 2)
+                    + jnp.sum(out.boxes_cxcywh ** 2)
+                    + jnp.sum(out.mask_logits ** 2) * 1e-4)
+
+        g = jax.grad(loss)(v)
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+        # the backbone receives gradient (end-to-end trainable)
+        gb = jax.tree.leaves(g["params"]["backbone"])
+        assert any(float(jnp.abs(x).max()) > 0 for x in gb)
