@@ -71,8 +71,12 @@ def main(cfg):
     logging.basicConfig(level=logging.INFO)
     root = Path(cfg.paths.in_root)
     out_root = Path(cfg.paths.out_root)
+    required = {"X3d", "R", "t", "K", "x2d"}
     reports = {}
     for npz in sorted(root.rglob("*.npz")):
+        with np.load(npz, allow_pickle=False) as z:
+            if not required <= set(z.keys()):
+                continue  # not a BA input bundle (pose logs etc.)
         try:
             reports[npz.stem] = refine_person(npz, out_root / npz.parent.name,
                                               cfg)

@@ -2,14 +2,17 @@
 
 The reference has no single entry that runs the whole dataflow — stages
 are launched one-by-one from PBS scripts (pegasus/*.sh) or vscode launch
-configs. This runner executes the chain
+configs. This runner executes the FULL reference dataflow (SURVEY.md §1)
 
-    prepare_dataset? → videopose3d → triangulation → sam3d_body? →
-    fuse → angle → metrics
+    prepare_dataset? → videopose3d → triangulation → vggt? →
+    bundle_adjustment → sam3d_body? → fuse → front_side? →
+    angle → metrics
 
 over one dataset root, with per-stage wall-clock profiling
 (skix.utils.StageTimer) and a consolidated summary — the M8 orchestration
-milestone of SURVEY.md §7.2.
+milestone of SURVEY.md §7.2. Optional stages run when their inputs exist
+(vggt/sam3d_body need frames stored in the records; front_side needs
+front bboxes from prepare_front_results or ``paths.front_root``).
 
 Each stage reads/writes the same directories the standalone CLIs use, so
 partial runs and reruns compose (skip-if-exists semantics inside stages).
@@ -42,8 +45,8 @@ def main(cfg):
     work = Path(cfg.paths.work_root)
     pt_root = Path(cfg.paths.pt_root)
     stages = list(cfg.get("stages",
-                          ["videopose3d", "triangulation", "fuse", "angle",
-                           "metrics"]))
+                          ["videopose3d", "triangulation",
+                           "bundle_adjustment", "fuse", "angle", "metrics"]))
     timer = StageTimer()
     summary = {}
 
@@ -90,7 +93,63 @@ def main(cfg):
             tri([f"--config-dir={cdir}"])
         summary["triangulation"] = str(work / "joints_3d")
 
+    if "vggt" in stages:
+        from skix.pipelines.vggt import main as vggt
+
+        cdir = _write_cfg(work, "vggt", {
+            "paths": {"pt_root": str(pt_root),
+                      "out_root": str(work / "vggt")},
+            "mode": "multi",
+            "img_size": int(cfg.get("vggt_img_size", 518)),
+            "embed_dim": int(cfg.get("vggt_embed_dim", 1024)),
+            "depth": int(cfg.get("vggt_depth", 24)),
+            "num_heads": int(cfg.get("vggt_num_heads", 16)),
+            "intermediate_layer_idx":
+                list(cfg.get("vggt_taps", [4, 11, 17, 23])),
+            "frame_stride": int(cfg.get("vggt_frame_stride", 30)),
+            "checkpoint": cfg.get("vggt_checkpoint"),
+            "kpt_source": str(cfg.get("kpt_source", "detectron2")),
+        })
+        with timer.span("vggt"):
+            vggt([f"--config-dir={cdir}"])
+        summary["vggt"] = str(work / "vggt")
+
+    if "bundle_adjustment" in stages and "triangulation" in stages:
+        from skix.pipelines.bundle_adjustment import main as ba
+
+        cdir = _write_cfg(work, "bundle_adjustment", {
+            "paths": {"in_root": str(work / "joints_3d"),
+                      "out_root": str(work / "ba")},
+            "weights": {"reproj": 1.0, "cam_smooth": 0.1, "baseline": 0.01,
+                        "bone": 0.1, "temporal": 0.1},
+            "mode": str(cfg.get("ba_mode", "pose_only")),
+            "method": str(cfg.get("ba_method", "lm")),
+            "lm": {"max_steps": int(cfg.get("ba_max_steps", 30)),
+                   "cg_iters": int(cfg.get("ba_cg_iters", 20))},
+            "adam": {"iters": 200, "lr": 0.01},
+        })
+        with timer.span("bundle_adjustment"):
+            ba([f"--config-dir={cdir}"])
+        summary["bundle_adjustment"] = str(work / "ba")
+
     sam3d_root = cfg.paths.get("sam3d_root")
+    if "sam3d_body" in stages and not sam3d_root:
+        from skix.pipelines.prepare_side_results import main as sam3d
+
+        sam3d_root = work / "sam3d"
+        cdir = _write_cfg(work, "sam3d_body", {
+            "paths": {"pt_root": str(pt_root), "out_root": str(sam3d_root)},
+            "checkpoint": cfg.get("sam3d_checkpoint"),
+            "crop_size": int(cfg.get("sam3d_crop_size", 256)),
+            "embed_dim": int(cfg.get("sam3d_embed_dim", 384)),
+            "vit_depth": int(cfg.get("sam3d_depth", 8)),
+            "batch_size": int(cfg.get("sam3d_batch_size", 8)),
+            "inference_type": str(cfg.get("sam3d_inference_type", "body")),
+        })
+        with timer.span("sam3d_body"):
+            sam3d([f"--config-dir={cdir}"])
+        summary["sam3d_body"] = str(sam3d_root)
+
     fused_root = work / "fused"
     if "fuse" in stages and sam3d_root and Path(sam3d_root).exists():
         from skix.pipelines.fuse import main as fuse
@@ -102,6 +161,23 @@ def main(cfg):
         with timer.span("fuse"):
             fuse([f"--config-dir={cdir}"])
         summary["fuse"] = str(fused_root)
+
+        front_root = cfg.paths.get("front_root")
+        if "front_side" in stages and front_root \
+                and Path(front_root).exists():
+            from skix.pipelines.front_side import main as front_side
+
+            cdir = _write_cfg(work, "front_side", {
+                "paths": {"side_root": str(sam3d_root),
+                          "front_root": str(front_root),
+                          "out_root": str(work / "front_side")},
+                "meters_per_pixel":
+                    float(cfg.get("meters_per_pixel", 0.02)),
+                "render_video": bool(cfg.get("render_video", False)),
+            })
+            with timer.span("front_side"):
+                front_side([f"--config-dir={cdir}"])
+            summary["front_side"] = str(work / "front_side")
 
         if "angle" in stages:
             from skix.pipelines.angle import main as angle

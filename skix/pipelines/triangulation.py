@@ -336,6 +336,17 @@ def main(cfg):
             save_joints_json(out_dir / f"joints_3d_{method}.json", X, ok, err,
                              R_clip, t_clip, [str(records[0]), str(records[1])])
             np.save(out_dir / f"joints_3d_{method}_smoothed.npy", np.asarray(Xs))
+            if bool(cfg.get("export_ba", True)):
+                # bundle-adjustment input bundle for the downstream BA
+                # stage (skix.pipelines.bundle_adjustment schema)
+                out_dir.mkdir(parents=True, exist_ok=True)
+                np.savez(out_dir / f"ba_input_{method}.npz",
+                         X3d=np.asarray(X),
+                         R=np.stack([np.eye(3), np.asarray(R_clip)]),
+                         t=np.stack([np.zeros(3), np.asarray(t_clip)]),
+                         K=K,
+                         x2d=np.stack([ka, kb], axis=1),
+                         conf=np.stack([sa, sb], axis=1))
         logp.save(out_dir, person_dir.name)
         log.info("person %s done", person_dir.name)
 
