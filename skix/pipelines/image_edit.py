@@ -6,10 +6,13 @@ multiple-angles LoRA), builds bilingual camera-motion prompts from
 (rotate_deg, move_forward, vertical_tilt, wideangle) and runs 4-step
 flow-matching inference per sampled frame (qwen_image_edit.py:40-160).
 
-Here: skix.models.mmdit double-stream transformer + rectified-flow sampler;
-latents are a simple pixel-space downsample (the VAE drops in alongside
-production checkpoints). Structure, prompts, step count and outputs mirror
-the reference.
+Here: skix.models.mmdit double-stream transformer + rectified-flow
+sampler; latents come from a real KL-VAE (skix.models.vae, 8×
+compression; ``use_vae: false`` falls back to a pixel-space downsample
+for smoke runs), and LoRA adapters fuse into the transformer weights at
+load time (skix.models.lora, reference qwen_image_edit.py:79-87
+``fuse_lora(lora_scale=1.25)``). Structure, prompts, step count and
+outputs mirror the reference.
 """
 
 from __future__ import annotations
@@ -34,9 +37,12 @@ class CameraEditor:
 
         self.cfg = cfg
         self.latent_down = int(cfg.get("latent_downsample", 8))
+        self.use_vae = bool(cfg.get("use_vae", False))
+        self.latent_channels = (int(cfg.get("latent_channels", 16))
+                                if self.use_vae else 3)
         self.model = MMDiT(
             patch_size=int(cfg.get("patch_size", 2)),
-            in_channels=3,
+            in_channels=self.latent_channels,
             dim=int(cfg.get("dim", 256)),
             depth=int(cfg.get("depth", 4)),
             num_heads=int(cfg.get("num_heads", 4)),
@@ -55,9 +61,44 @@ class CameraEditor:
             log.warning("no image-edit checkpoint configured — random init "
                         "(smoke mode)")
             self.variables = jax.jit(self.model.init)(
-                jax.random.PRNGKey(0), jnp.zeros((1, lat, lat, 3)),
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, lat, lat, self.latent_channels)),
                 jnp.zeros((1, 16, int(cfg.get("text_dim", 64)))),
                 jnp.zeros((1,)))
+
+        # fuse LoRA adapters (reference: multiple-angles LoRA, scale 1.25)
+        lora_path = cfg.get("lora_path")
+        if lora_path and Path(lora_path).exists():
+            from skix.models.lora import apply_lora, convert_safetensors_lora
+
+            raw = dict(np.load(lora_path, allow_pickle=False))
+            lora = convert_safetensors_lora(raw)
+            self.variables, n = apply_lora(
+                self.variables, lora,
+                scale=float(cfg.get("lora_scale", 1.25)))
+            log.info("fused %d LoRA deltas from %s", n, lora_path)
+
+        # VAE: real latent space (encode → sample → decode)
+        self.vae = None
+        if self.use_vae:
+            from skix.models.vae import KLVAE
+
+            self.vae = KLVAE(ch=int(cfg.get("vae_ch", 32)),
+                             latent_channels=self.latent_channels)
+            vae_ckpt = cfg.get("vae_checkpoint")
+            if vae_ckpt and Path(vae_ckpt).exists():
+                from skix.pipelines.videopose3d import load_checkpoint
+
+                self.vae_variables = load_checkpoint(vae_ckpt)
+            else:
+                log.warning("no VAE checkpoint — random init (smoke mode)")
+                self.vae_variables = jax.jit(self.vae.init)(
+                    jax.random.PRNGKey(1),
+                    jnp.zeros((1, size, size, 3)))
+            self._encode = jax.jit(
+                lambda v, x: self.vae.apply(v, x, method=self.vae.encode))
+            self._decode = jax.jit(
+                lambda v, z: self.vae.apply(v, z, method=self.vae.decode))
         self._sample = jax.jit(self._sample_impl, static_argnums=(4,))
 
     def _sample_impl(self, latents, text_emb, key, strength, num_steps):
@@ -79,14 +120,26 @@ class CameraEditor:
                                      wideangle)
         text = embed_prompt_tokens(prompt, length=16,
                                    dim=int(self.cfg.get("text_dim", 64)))
-        lat_size = self.size // self.latent_down
         img = jnp.asarray(frame_u8, jnp.float32) / 127.5 - 1.0
-        lat = jax.image.resize(img, (lat_size, lat_size, 3), "bilinear")[None]
+        if img.shape[:2] != (self.size, self.size):
+            img = jax.image.resize(img, (self.size, self.size, 3),
+                                   "bilinear")
+        if self.vae is not None:
+            mean, _ = self._encode(self.vae_variables, img[None])
+            lat = mean * self.vae.scaling_factor
+        else:
+            lat_size = self.size // self.latent_down
+            lat = jax.image.resize(img, (lat_size, lat_size, 3),
+                                   "bilinear")[None]
         out_lat = self._sample(lat, text[None], jax.random.PRNGKey(seed),
                                float(self.cfg.get("strength", 0.6)),
                                int(self.cfg.get("num_inference_steps", 4)))
-        out = jax.image.resize(out_lat[0], (self.size, self.size, 3),
-                               "bilinear")
+        if self.vae is not None:
+            out = self._decode(self.vae_variables,
+                               out_lat / self.vae.scaling_factor)[0]
+        else:
+            out = jax.image.resize(out_lat[0], (self.size, self.size, 3),
+                                   "bilinear")
         out = np.asarray(jnp.clip((out + 1.0) * 127.5, 0, 255)).astype(np.uint8)
         return out, prompt
 

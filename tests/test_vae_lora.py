@@ -1,0 +1,186 @@
+"""KL-VAE + LoRA adapter tests (image-edit latent space, VERDICT r1 #9)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skix.models.lora import apply_lora, convert_safetensors_lora
+from skix.models.vae import KLVAE, vae_loss
+
+rng = np.random.default_rng(77)
+
+
+class TestVAE:
+    def _tiny(self):
+        return KLVAE(ch=8, ch_mults=(1, 2), latent_channels=4)
+
+    def test_roundtrip_shapes(self):
+        vae = self._tiny()
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+        v = vae.init(jax.random.PRNGKey(0), x)
+        recon, mean, logvar = vae.apply(v, x)
+        assert recon.shape == x.shape
+        assert mean.shape == (2, 8, 8, 4)       # 4× compression (2 stages)
+        assert logvar.shape == mean.shape
+        assert np.all(np.isfinite(np.asarray(recon)))
+
+    def test_encode_decode_methods(self):
+        vae = self._tiny()
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        v = vae.init(jax.random.PRNGKey(0), x)
+        mean, logvar = vae.apply(v, x, method=vae.encode)
+        out = vae.apply(v, mean, method=vae.decode)
+        assert out.shape == x.shape
+
+    def test_overfit_one_image(self):
+        """A few Adam steps on one image must reduce reconstruction MSE —
+        the round-trip actually learns (not a frozen stand-in)."""
+        import optax
+
+        vae = self._tiny()
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+        v = vae.init(jax.random.PRNGKey(0), x)
+        opt = optax.adam(1e-3)
+        state = opt.init(v)
+
+        @jax.jit
+        def step(v, state):
+            def loss_fn(v):
+                recon, mean, logvar = vae.apply(v, x)
+                loss, aux = vae_loss(recon, x, mean, logvar)
+                return loss, aux
+
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(v)
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(v, updates), state, aux["rec"]
+
+        v1, state, rec0 = step(v, state)
+        for _ in range(60):
+            v1, state, rec = step(v1, state)
+        assert float(rec) < 0.7 * float(rec0), (float(rec0), float(rec))
+
+    def test_sampling_uses_rng(self):
+        vae = self._tiny()
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+        v = vae.init(jax.random.PRNGKey(0), x)
+        r1, _, _ = vae.apply(v, x, rng=jax.random.PRNGKey(1), sample=True)
+        r2, _, _ = vae.apply(v, x, rng=jax.random.PRNGKey(2), sample=True)
+        assert not np.allclose(np.asarray(r1), np.asarray(r2))
+
+
+class TestLoRA:
+    def test_converter_both_layouts(self):
+        state = {
+            "blk.attn.q.lora_A.weight": np.ones((2, 8), np.float32),
+            "blk.attn.q.lora_B.weight": np.ones((4, 2), np.float32),
+            "blk.mlp.fc.lora.down.weight": np.ones((3, 6), np.float32),
+            "blk.mlp.fc.lora.up.weight": np.ones((5, 3), np.float32),
+            "blk.mlp.fc.alpha": np.asarray(6.0),
+        }
+        lora = convert_safetensors_lora(state)
+        assert set(lora) == {"blk.attn.q", "blk.mlp.fc"}
+        down, up, alpha = lora["blk.attn.q"]
+        assert down.shape == (2, 8) and up.shape == (4, 2) and alpha == 2.0
+        assert lora["blk.mlp.fc"][2] == 6.0
+
+    def test_apply_changes_matching_kernel_only(self):
+        params = {"params": {
+            "blk": {"attn": {"q": {"kernel": jnp.zeros((8, 4)),
+                                   "bias": jnp.zeros(4)}},
+                    "other": {"kernel": jnp.zeros((8, 4))}},
+        }}
+        lora = {"blk.attn.q": (np.ones((2, 8), np.float32),
+                               np.ones((4, 2), np.float32), 2.0)}
+        new, n = apply_lora(params, lora, scale=0.5)
+        assert n == 1
+        got = np.asarray(new["params"]["blk"]["attn"]["q"]["kernel"])
+        # delta = (up@down).T * (0.5 * 2/2) = 2·ones(8,4)·0.5 = ones
+        np.testing.assert_allclose(got, np.ones((8, 4)))
+        np.testing.assert_allclose(
+            np.asarray(new["params"]["blk"]["other"]["kernel"]), 0.0)
+        # original untouched
+        np.testing.assert_allclose(
+            np.asarray(params["params"]["blk"]["attn"]["q"]["kernel"]), 0.0)
+
+    def test_zero_up_is_identity(self):
+        params = {"params": {"m": {"kernel": jnp.asarray(
+            rng.normal(size=(6, 3)), jnp.float32)}}}
+        lora = {"m": (rng.normal(size=(2, 6)).astype(np.float32),
+                      np.zeros((3, 2), np.float32), 2.0)}
+        new, n = apply_lora(params, lora)
+        assert n == 1
+        np.testing.assert_allclose(np.asarray(new["params"]["m"]["kernel"]),
+                                   np.asarray(params["params"]["m"]["kernel"]))
+
+    def test_lora_changes_mmdit_output(self):
+        from skix.models.mmdit import MMDiT
+
+        model = MMDiT(patch_size=2, in_channels=3, dim=32, depth=1,
+                      num_heads=2, text_dim=16, axes_dim=(4, 6, 6))
+        lat = jnp.asarray(rng.normal(size=(1, 8, 8, 3)), jnp.float32)
+        txt = jnp.asarray(rng.normal(size=(1, 4, 16)), jnp.float32)
+        t = jnp.asarray([0.5])
+        v = model.init(jax.random.PRNGKey(0), lat, txt, t)
+        # target a real dense kernel path inside the model
+        paths = []
+
+        def walk(node, prefix):
+            for k, val in node.items():
+                if isinstance(val, dict):
+                    if "kernel" in val and np.asarray(val["kernel"]).ndim == 2:
+                        paths.append((prefix + [k],
+                                      np.asarray(val["kernel"]).shape))
+                    else:
+                        walk(val, prefix + [k])
+
+        walk(v["params"], [])
+        path, shape = paths[0]
+        din, dout = shape
+        r = 2
+        lora = {".".join(path): (
+            rng.normal(size=(r, din)).astype(np.float32) * 0.3,
+            rng.normal(size=(dout, r)).astype(np.float32) * 0.3, float(r))}
+        v2, n = apply_lora(v, lora, scale=1.25)
+        assert n == 1
+        o1 = model.apply(v, lat, txt, t)
+        o2 = model.apply(v2, lat, txt, t)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestCameraEditorVAE:
+    def test_editor_with_vae_and_lora(self, tmp_path):
+        from skix.config import load_config
+        from skix.pipelines.image_edit import CameraEditor
+
+        # a LoRA file in safetensors-shaped npz form targeting nothing
+        # that exists (n_fused may be 0) plus one real smoke of the flow
+        np.savez(tmp_path / "lora.npz", **{
+            "nonexistent.lora_A.weight": np.ones((2, 4), np.float32),
+            "nonexistent.lora_B.weight": np.ones((4, 2), np.float32)})
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "image_edit.yaml").write_text(f"""
+paths:
+  video_root: {tmp_path}
+  out_root: {tmp_path / 'out'}
+image_size: 32
+dim: 32
+depth: 1
+num_heads: 2
+text_dim: 16
+axes_dim: [4, 6, 6]
+use_vae: true
+vae_ch: 8
+latent_channels: 4
+num_inference_steps: 2
+lora_path: {tmp_path / 'lora.npz'}
+""")
+        cfg = load_config("image_edit", config_dir=cdir)
+        editor = CameraEditor(cfg)
+        frame = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        out, prompt = editor.infer_camera_edit(frame, rotate_deg=30.0)
+        assert out.shape == (32, 32, 3)
+        assert out.dtype == np.uint8
+        assert "rotate" in prompt.lower() or "30" in prompt
