@@ -37,22 +37,36 @@ class _Session:
 class VideoPredictor:
     """start_session → add_prompt(text=...) → propagate_in_video (stream)."""
 
-    def __init__(self, detector: Optional[DetrDetector] = None,
+    def __init__(self, detector=None,
                  variables=None, tracker_cfg: Optional[TrackerConfig] = None,
                  rng_seed: int = 0, batch_size: int = 4,
-                 text_encoder=None):
-        """``text_encoder``: optional ``(TextEncoder, variables)`` pair —
-        when provided, prompts are embedded by the causal transformer
-        (skix.tracking.text_encoder); otherwise the deterministic hash
-        embedding stands in."""
+                 text_encoder=None, clip=None):
+        """``detector``: a compact :class:`DetrDetector` (default) or a
+        full-capability :class:`skix.tracking.sam3_detector.Sam3Detector`.
+
+        ``text_encoder``: optional ``(TextEncoder, variables)`` pair —
+        prompts embedded by the byte-level causal transformer.
+        ``clip``: optional ``(ClipTokenizer, VETextEncoder, variables)``
+        triple — prompts embedded by the real CLIP tower (the reference
+        path); used with Sam3Detector."""
+        from skix.tracking.sam3_detector import Sam3Detector
+
         self.detector = detector or DetrDetector()
+        self.is_sam3 = isinstance(self.detector, Sam3Detector)
         self.text_encoder = text_encoder
+        self.clip = clip
         size = self.detector.img_size
         if variables is None:
-            variables = jax.jit(self.detector.init)(
-                jax.random.PRNGKey(rng_seed),
-                jnp.zeros((1, size, size, 3)),
-                jnp.zeros((1, self.detector.prompt_dim)))
+            if self.is_sam3:
+                variables = jax.jit(self.detector.init)(
+                    jax.random.PRNGKey(rng_seed),
+                    jnp.zeros((1, size, size, 3)),
+                    jnp.zeros((1, 4, self.detector.d_model)))
+            else:
+                variables = jax.jit(self.detector.init)(
+                    jax.random.PRNGKey(rng_seed),
+                    jnp.zeros((1, size, size, 3)),
+                    jnp.zeros((1, self.detector.prompt_dim)))
         self.variables = variables
         self.cfg = tracker_cfg or TrackerConfig()
         self.batch_size = batch_size
@@ -72,7 +86,16 @@ class VideoPredictor:
 
     def add_prompt(self, session_id: int, text: str) -> None:
         s = self.sessions[session_id]
-        if self.text_encoder is not None:
+        if self.clip is not None:
+            tokenizer, encoder, variables = self.clip
+            tokens = jnp.asarray(tokenizer([text]))
+            _, resized, _ = encoder.apply(variables, tokens)
+            s.prompts[text] = np.asarray(resized[0])       # (L, d_model)
+        elif self.is_sam3:
+            # deterministic hash prompt memory (smoke mode, no CLIP)
+            vec = embed_text_prompt(text, self.detector.d_model)
+            s.prompts[text] = np.tile(np.asarray(vec)[None], (4, 1))
+        elif self.text_encoder is not None:
             from skix.tracking.text_encoder import encode_texts
 
             model, variables = self.text_encoder
@@ -95,6 +118,14 @@ class VideoPredictor:
 
     # ---------------- propagation ----------------
     def _detect_batch(self, variables, images, prompt):
+        if self.is_sam3:
+            det = self.detector.apply(variables, images, prompt)
+            cx, cy, w, h = [det.boxes_cxcywh[..., i] for i in range(4)]
+            size = self.detector.img_size
+            boxes = jnp.stack([(cx - w / 2) * size, (cy - h / 2) * size,
+                               (cx + w / 2) * size, (cy + h / 2) * size],
+                              axis=-1)
+            return boxes, det.scores
         det = self.detector.apply(variables, images, prompt)
         return det.boxes_xyxy, det.scores
 
@@ -124,8 +155,8 @@ class VideoPredictor:
                 imgs = jnp.pad(imgs, ((0, pad), (0, 0), (0, 0), (0, 0)))
             boxes, scores = self._detect(
                 self.variables, imgs,
-                jnp.broadcast_to(prompt, (self.batch_size,
-                                          self.detector.prompt_dim)))
+                jnp.broadcast_to(prompt,
+                                 (self.batch_size, *prompt.shape[1:])))
             boxes = np.array(boxes)[:n]  # writable host copy
             scores = np.array(scores)[:n]
             boxes[..., 0] *= sx

@@ -29,7 +29,12 @@ TEXTS = [
 
 
 def _stub(name, **attrs):
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec(name) keeps working
+    # for code that probes optional deps (e.g. transformers)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules.setdefault(name, mod)
@@ -42,12 +47,11 @@ def ref_tokenizer():
     # the reference imports ftfy + iopath; stub them (test vectors are
     # already-clean text, where ftfy.fix_text is the identity)
     _stub("ftfy", fix_text=lambda s: s)
-    io_common = types.ModuleType("iopath.common.file_io")
-    io_common.g_pathmgr = types.SimpleNamespace(
-        open=lambda p, mode="rb": open(p, mode))
     _stub("iopath")
     _stub("iopath.common")
-    sys.modules.setdefault("iopath.common.file_io", io_common)
+    _stub("iopath.common.file_io",
+          g_pathmgr=types.SimpleNamespace(
+              open=lambda p, mode="rb": open(p, mode)))
     spec = importlib.util.spec_from_file_location(
         "ref_tokenizer_ve", f"{REF_DIR}/tokenizer_ve.py")
     mod = importlib.util.module_from_spec(spec)

@@ -157,6 +157,31 @@ class TestDetector:
         gh = 112 // 14
         assert out.mask_logits.shape[2:] == (gh * 4, gh * 4)
 
+    def test_session_predictor_with_sam3_and_clip(self):
+        """The session API (start_session/add_prompt/propagate) drives the
+        full-capability detector with CLIP prompt memory end-to-end."""
+        import jax.numpy as jnp
+
+        from skix.tracking.clip_text import VETextEncoder
+        from skix.tracking.clip_tokenizer import ClipTokenizer
+        from skix.tracking.session import VideoPredictor
+
+        det = Sam3Detector.tiny(d_model=64)
+        tok = ClipTokenizer(context_length=8)
+        enc = VETextEncoder(d_model=64, width=32, heads=2, layers=1,
+                            context_length=8)
+        enc_vars = enc.init(jax.random.PRNGKey(0),
+                            jnp.asarray(tok(["person"])))
+        pred = VideoPredictor(det, clip=(tok, enc, enc_vars), batch_size=2)
+        frames = (rng.uniform(0, 255, (3, 112, 112, 3))).astype(np.uint8)
+        sid = pred.start_session(frames)
+        pred.add_prompt(sid, "person")
+        outs = list(pred.propagate_in_video(sid, "person"))
+        assert len(outs) == 3
+        o = outs[0]["outputs"]
+        assert np.all(np.isfinite(o["bbox"]))
+        assert o["bbox"].shape[-1] == 4
+
     def test_differentiable(self):
         m, imgs, text, v = self._setup()
 
