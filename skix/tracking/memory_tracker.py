@@ -25,14 +25,33 @@ from skix.models.layers import Mlp
 
 
 class ImageEncoder(nn.Module):
-    """Small conv pyramid → (H/8, W/8, C) frame features (stands in for the
-    reference's hiera/ViT trunk)."""
+    """Frame trunk → (H/stride, W/stride, C) features.
+
+    ``trunk='conv'``: small conv pyramid (stride 8, smoke scale).
+    ``trunk='vitdet'``: the windowed ViT-Det backbone shared with the
+    detector — the reference's tracker uses the same visual trunk via
+    SAM3VLBackbone (model_builder.py:448, backbone_stride 14)."""
 
     features: int = 64
+    trunk: str = "conv"
+    vit_embed_dim: int = 1024
+    vit_depth: int = 32
+    vit_heads: int = 16
+    vit_window: int = 24
+    vit_patch: int = 14
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image):
+        if self.trunk == "vitdet":
+            from skix.tracking.vitdet import ViTDetBackbone
+
+            h = ViTDetBackbone(
+                patch_size=self.vit_patch, embed_dim=self.vit_embed_dim,
+                depth=self.vit_depth, num_heads=self.vit_heads,
+                window_size=self.vit_window, dtype=self.dtype,
+                name="vitdet")((image - 0.5) / 0.5)
+            return nn.Conv(self.features, (1, 1), name="proj")(h)
         h = image.astype(self.dtype)
         for i, (f, s) in enumerate([(self.features // 2, 2),
                                     (self.features, 2),
@@ -45,25 +64,81 @@ class ImageEncoder(nn.Module):
         return h.astype(jnp.float32)
 
 
+class CXBlock(nn.Module):
+    """ConvNeXt block (reference memory.py:83): depthwise 7×7 conv →
+    per-token LayerNorm → 1×1 expand ×4 → GELU → 1×1 project →
+    LayerScale → residual. Channels-last throughout (the torch version
+    permutes; here it's the native layout)."""
+
+    dim: int
+    kernel_size: int = 7
+    layer_scale_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.dim, (self.kernel_size, self.kernel_size),
+                    padding="SAME", feature_group_count=self.dim,
+                    name="dwconv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = nn.Dense(4 * self.dim, name="pwconv1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="pwconv2")(h)
+        gamma = self.param("gamma",
+                           nn.initializers.constant(self.layer_scale_init),
+                           (self.dim,))
+        return x + gamma * h
+
+
+class MaskDownSampler(nn.Module):
+    """Progressive learned mask downsample (reference
+    SimpleMaskDownSampler, memory.py:19): stride-4 convs with channel
+    growth stride², per-token LN + GELU, final 1×1 to ``embed_dim``."""
+
+    embed_dim: int = 64
+    stride: int = 4
+    total_stride: int = 4
+
+    @nn.compact
+    def __call__(self, m):
+        import math
+
+        num_layers = int(math.log2(self.total_stride)
+                         // math.log2(self.stride))
+        ch = 1
+        for i in range(num_layers):
+            ch = ch * self.stride ** 2
+            m = nn.Conv(ch, (self.stride, self.stride),
+                        strides=(self.stride, self.stride), padding="VALID",
+                        name=f"conv_{i}")(m)
+            m = nn.LayerNorm(epsilon=1e-6, name=f"norm_{i}")(m)
+            m = nn.gelu(m, approximate=False)
+        return nn.Conv(self.embed_dim, (1, 1), name="out")(m)
+
+
 class MemoryEncoder(nn.Module):
     """(frame features, mask) → one memory feature map (reference
-    memory.py MemoryEncoder: mask-downsample + fuse)."""
+    SimpleMaskEncoder, memory.py:158): sigmoid mask → learned downsample
+    → ADD to projected pixel features → CXBlock fuser → out proj. The
+    mask logits arrive at feature resolution, so the learned downsample
+    runs on a 4× upsampling of them (the reference downsamples from
+    image resolution; total learned stride is the same)."""
 
     features: int = 64
+    fuser_layers: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats, mask_logits):
-        m = nn.sigmoid(mask_logits)[..., None]
         gh, gw = feats.shape[-3], feats.shape[-2]
-        m = jax.image.resize(m, (*m.shape[:-3], gh, gw, 1), "bilinear")
-        h = jnp.concatenate([feats, m], axis=-1)
-        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="fuse1")(h)
-        h = nn.silu(nn.GroupNorm(num_groups=8, dtype=self.dtype,
-                                 name="norm")(h))
-        return nn.Conv(self.features, (3, 3), padding="SAME",
-                       dtype=jnp.float32, name="fuse2")(h)
+        m = nn.sigmoid(mask_logits)[..., None]
+        m = jax.image.resize(m, (*m.shape[:-3], gh * 4, gw * 4, 1),
+                             "bilinear")
+        m = MaskDownSampler(self.features, name="mask_downsampler")(m)
+        h = nn.Conv(self.features, (1, 1), name="pix_feat_proj")(feats)
+        h = h + m
+        for i in range(self.fuser_layers):
+            h = CXBlock(self.features, name=f"fuser_{i}")(h)
+        return nn.Conv(self.features, (1, 1), name="out_proj")(h)
 
 
 class MemoryAttention(nn.Module):
@@ -146,11 +221,17 @@ class MaskMemoryTracker(nn.Module):
     features: int = 64
     num_heads: int = 4
     mem_slots: int = 4
+    trunk: str = "conv"  # "conv" (smoke) | "vitdet" (reference trunk)
+    vit_embed_dim: int = 1024
+    vit_depth: int = 32
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = ImageEncoder(self.features, self.dtype)
-        self.mem_encoder = MemoryEncoder(self.features, self.dtype)
+        self.encoder = ImageEncoder(self.features, trunk=self.trunk,
+                                    vit_embed_dim=self.vit_embed_dim,
+                                    vit_depth=self.vit_depth,
+                                    dtype=self.dtype)
+        self.mem_encoder = MemoryEncoder(self.features, dtype=self.dtype)
         self.mem_attn = MemoryAttention(self.num_heads, 2, self.dtype)
         self.decoder = MaskDecoder(self.features)
         self.in_proj = nn.Dense(self.features, name="in_proj")

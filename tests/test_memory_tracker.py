@@ -82,3 +82,64 @@ class TestTracker:
         assert masks.shape == (5, 4, 4)
         assert scores.shape == (5,)
         assert np.all(np.isfinite(masks)) and np.all(np.isfinite(scores))
+
+
+class TestReferenceCapabilityPieces:
+    def test_cxblock_residual_identity_at_init_scale(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from skix.tracking.memory_tracker import CXBlock
+
+        blk = CXBlock(dim=16)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 16)),
+                        jnp.float32)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        out = blk.apply(v, x)
+        # layerscale 1e-6 makes the block ≈ identity at init
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-3)
+
+    def test_mask_downsampler_stride(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from skix.tracking.memory_tracker import MaskDownSampler
+
+        ds = MaskDownSampler(embed_dim=8, stride=4, total_stride=4)
+        m = jnp.ones((1, 32, 32, 1))
+        v = ds.init(jax.random.PRNGKey(0), m)
+        out = ds.apply(v, m)
+        assert out.shape == (1, 8, 8, 8)
+
+    def test_vitdet_trunk_tracks(self):
+        import jax
+        import numpy as np
+
+        from skix.tracking.memory_tracker import (MaskMemoryTracker,
+                                                  propagate_object)
+
+        model = MaskMemoryTracker(features=16, num_heads=2, mem_slots=3,
+                                  trunk="vitdet", vit_embed_dim=32,
+                                  vit_depth=1)
+        rng = np.random.default_rng(4)
+        frames = rng.uniform(0, 1, (3, 28, 28, 3)).astype(np.float32)
+        first = np.zeros((28, 28), bool)
+        first[8:20, 8:20] = True
+        variables = jax.jit(lambda k: model.init(
+            k, frames[:1], init_memory_shapes=None), static_argnums=())(
+            jax.random.PRNGKey(0)) if False else model.init(
+            jax.random.PRNGKey(0), frames[:1], method=model.encode_frame)
+        # init full params through one step
+        from skix.tracking.memory_tracker import init_memory
+
+        feats = model.apply(variables, frames[:1],
+                            method=model.encode_frame)
+        gh, gw = feats.shape[1:3]
+        bank = init_memory(3, gh, gw, model.features)
+        variables = model.init(jax.random.PRNGKey(0), frames[:1], bank,
+                               method=model.step)
+        masks, scores = propagate_object(model, variables, frames, first)
+        assert masks.shape == (3, gh, gw)
+        assert np.all(np.isfinite(masks)) and np.all(np.isfinite(scores))
