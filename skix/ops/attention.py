@@ -69,7 +69,8 @@ def _attention_reference(q, k, v, sm_scale: float, bias=None):
 # --------------------------------------------------------------------------
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                 sm_scale: float, kv_tiles: int, kv_len: int,
-                block_k_major: int, block_k: int, needs_mask: bool):
+                block_k_major: int, block_k: int, needs_mask: bool,
+                fixed_max: float | None = None):
     """One (q-tile × kv-major-tile) step of online-softmax accumulation,
     sub-tiled over ``block_k`` chunks for the MXU.
 
@@ -109,18 +110,29 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                                               dimension=1))
             s = jnp.where(col < kv_len, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)      # (bq, 1)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
+        if fixed_max is not None:
+            # softmax is exactly shift-invariant: with a static bound on
+            # the logits (qk-normed models) the online-max bookkeeping —
+            # a full (bq, bk) lane reduction + compare + two rescales per
+            # KV step — is pure overhead. Over/underflow-safe as long as
+            # |s − M| < 126 in base-2.
+            p = jnp.exp2(s - fixed_max * _LOG2E)
+            l_scr[...] += jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[...] += jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        else:
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)      # (bq, 1)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            l_scr[...] = l_next
 
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     @pl.when(kv_idx == kv_tiles - 1)
     def _store():
@@ -128,7 +140,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0, 0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(
             o_ref.dtype)
         if lse_ref is not None:
-            m = m_scr[...]
+            if fixed_max is not None:
+                m = jnp.full_like(l, fixed_max * _LOG2E)
+            else:
+                m = m_scr[...]
             lse = jnp.where(l > 0.0, m + jnp.log2(l), 0.0)  # (bq, 1) base-2
             # lane-replicated (block_q, LANES) layout — scalar-per-row
             # stats must tile as (8, 128) on TPU
@@ -137,7 +152,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
 
 def _flash_forward(q, k, v, sm_scale: float, block_q: int,
                    block_k_major: int, block_k: int, interpret: bool,
-                   save_residuals: bool):
+                   save_residuals: bool, fixed_max: float | None = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -158,7 +173,8 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
 
     base_kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_tiles=nk, kv_len=Sk,
-        block_k_major=block_k_major, block_k=block_k, needs_mask=pk > 0)
+        block_k_major=block_k_major, block_k=block_k, needs_mask=pk > 0,
+        fixed_max=fixed_max)
     out_shape = [jax.ShapeDtypeStruct(qp.shape, q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, D),
                               lambda b, h, i, j: (b, h, i, 0))]
@@ -389,24 +405,28 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 # custom-vjp wrapper + public API
 # --------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash_attention(q, k, v, sm_scale, block_q, block_k_major, block_k,
-                     interpret):
+                     interpret, fixed_max):
     if not (interpret or jax.default_backend() == "tpu"):
         return _attention_reference(q, k, v, sm_scale)
     return _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
-                          block_k, interpret, save_residuals=False)
+                          block_k, interpret, save_residuals=False,
+                          fixed_max=fixed_max)
 
 
-def _fwd(q, k, v, sm_scale, block_q, block_k_major, block_k, interpret):
+def _fwd(q, k, v, sm_scale, block_q, block_k_major, block_k, interpret,
+         fixed_max):
     if not (interpret or jax.default_backend() == "tpu"):
         return _attention_reference(q, k, v, sm_scale), (q, k, v, None, None)
     o, lse = _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
-                            block_k, interpret, save_residuals=True)
+                            block_k, interpret, save_residuals=True,
+                            fixed_max=fixed_max)
     return o, (q, k, v, o, lse)
 
 
-def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, res, g):
+def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
+         res, g):
     q, k, v, o, lse = res
     if lse is None:  # non-TPU fallback: recompute through XLA
         _, vjp = jax.vjp(
@@ -424,7 +444,8 @@ _flash_attention.defvjp(_fwd, _bwd)
 
 def flash_attention(q, k, v, sm_scale: float | None = None,
                     block_q: int = 1024, block_k_major: int = 1024,
-                    block_k: int = 1024, interpret: bool = False):
+                    block_k: int = 1024, interpret: bool = False,
+                    fixed_max: float | None = None):
     """Multi-head attention, shapes ``(B, H, S, D)`` → ``(B, H, Sq, D)``.
 
     Uses the Pallas flash kernels (fwd + bwd) on TPU, the fused-XLA
@@ -442,4 +463,4 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     if not interpret and (q.shape[2] < block_q or k.shape[2] < block_k):
         return _attention_reference(q, k, v, sm_scale)
     return _flash_attention(q, k, v, sm_scale, block_q, block_k_major,
-                            block_k, interpret)
+                            block_k, interpret, fixed_max)

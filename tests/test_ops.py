@@ -63,6 +63,27 @@ class TestPallasKernelInterpret:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
 
+    @pytest.mark.parametrize("case", CASES[:2])
+    def test_fixed_max_mode_matches(self, case):
+        """fixed_max skips the online-max bookkeeping (qk-normed models);
+        softmax shift-invariance keeps it exact within f32 range."""
+        B, H, Sq, Sk, D, bq, bkm, bk = case
+        r = np.random.default_rng(5)
+        q = jnp.asarray(r.normal(size=(B, H, Sq, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+        out = flash_attention(q, k, v, block_q=bq, block_k_major=bkm,
+                              block_k=bk, interpret=True, fixed_max=8.0)
+        ref = _attention_reference(q, k, v, 1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+        g = jax.grad(lambda q: jnp.sum(jnp.sin(flash_attention(
+            q, k, v, block_q=bq, block_k_major=bkm, block_k=bk,
+            interpret=True, fixed_max=8.0))))(q)
+        gr = jax.grad(lambda q: jnp.sum(jnp.sin(_attention_reference(
+            q, k, v, 1.0 / np.sqrt(D)))))(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=3e-4)
+
     @pytest.mark.parametrize("case", CASES)
     def test_backward_matches_reference(self, case):
         B, H, Sq, Sk, D, bq, bkm, bk = case
