@@ -85,13 +85,13 @@ def main():
     from skix.pipelines.videopose3d import save_checkpoint
 
     p2, p3 = [], []
-    for seed in range(96):
+    for seed in range(192):
         x3, px = synth_clip(seed)
         p2.append(np.asarray(
             normalize_screen_coordinates(jnp.asarray(px), W, H)))
         p3.append(x3)
 
-    model = TemporalLifter(filter_widths=(3, 3, 3), channels=96,
+    model = TemporalLifter(filter_widths=(3, 3, 3), channels=128,
                            strided=True)
     gen = ChunkedGenerator(p2, p3, receptive_field=model.rf, batch_size=256,
                            chunk_length=1, augment=False, seed=0)

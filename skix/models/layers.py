@@ -97,6 +97,9 @@ class MultiHeadAttention(nn.Module):
     # sequence-parallel schedule (skix.parallel.context_parallel) over a
     # mesh axis; defaults to the Pallas flash kernel.
     attn_fn: Optional[Callable] = None
+    # static logit bound for the kernel's fixed-max mode (safe with
+    # qk_norm: LayerNorm'd q/k bound |s|; skips online-max bookkeeping)
+    attn_fixed_max: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -115,7 +118,10 @@ class MultiHeadAttention(nn.Module):
         if self.rope_freq > 0 and pos is not None:
             q = rope_2d(q, pos, self.rope_freq)
             k = rope_2d(k, pos, self.rope_freq)
-        out = (self.attn_fn or flash_attention)(q, k, v)
+        if self.attn_fn is not None:
+            out = self.attn_fn(q, k, v)
+        else:
+            out = flash_attention(q, k, v, fixed_max=self.attn_fixed_max)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(C, use_bias=self.proj_bias, dtype=self.dtype,
                         name="proj")(out)
@@ -135,6 +141,7 @@ class Block(nn.Module):
     ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None
+    attn_fixed_max: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -144,6 +151,7 @@ class Block(nn.Module):
         h = MultiHeadAttention(self.num_heads, self.qkv_bias, self.proj_bias,
                                self.qk_norm, self.rope_freq, self.ln_eps,
                                self.dtype, attn_fn=self.attn_fn,
+                               attn_fixed_max=self.attn_fixed_max,
                                name="attn")(h, pos)
         if self.init_values:
             h = LayerScale(self.init_values, name="ls1")(h)

@@ -159,8 +159,11 @@ class TestUnproject:
             jnp.asarray(depth), jnp.asarray(extr), jnp.asarray(K)))
         assert pts.shape == (H, W, 3)
         np.testing.assert_allclose(pts[..., 2], 2.0, atol=1e-6)
-        # center pixel maps close to the optical axis
-        np.testing.assert_allclose(pts[4, 4, :2], [0.25, 0.25], atol=1e-5)
+        # integer pixel coords (reference utils/geometry.py:107 convention):
+        # pixel (4, 4) sits exactly on the principal point
+        np.testing.assert_allclose(pts[4, 4, :2], [0.0, 0.0], atol=1e-5)
+        # one pixel right of the principal point: x = 1/fx·z = 0.5
+        np.testing.assert_allclose(pts[4, 5, :2], [0.5, 0.0], atol=1e-5)
 
     def test_inverts_projection(self):
         from skix.geometry.rotations import rotvec_to_matrix
