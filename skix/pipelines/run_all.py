@@ -163,6 +163,24 @@ def main(cfg):
         summary["fuse"] = str(fused_root)
 
         front_root = cfg.paths.get("front_root")
+        video_root = cfg.paths.get("video_root")
+        if ("prepare_front_results" in stages and not front_root
+                and video_root and Path(video_root).exists()):
+            from skix.pipelines.prepare_front_results import main as front
+
+            front_root = work / "front"
+            cdir = _write_cfg(work, "prepare_front_results", {
+                "paths": {"video_root": str(video_root),
+                          "out_root": str(front_root)},
+                "checkpoint": cfg.get("front_checkpoint"),
+                "prompts": list(cfg.get("front_prompts",
+                                        ["person", "snow"])),
+                "max_frames": cfg.get("max_frames"),
+            })
+            with timer.span("prepare_front_results"):
+                front([f"--config-dir={cdir}"])
+            summary["prepare_front_results"] = str(front_root)
+
         if "front_side" in stages and front_root \
                 and Path(front_root).exists():
             from skix.pipelines.front_side import main as front_side
