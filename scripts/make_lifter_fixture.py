@@ -94,7 +94,7 @@ def main():
     model = TemporalLifter(filter_widths=(3, 3, 3), channels=128,
                            strided=True)
     gen = ChunkedGenerator(p2, p3, receptive_field=model.rf, batch_size=256,
-                           chunk_length=1, augment=False, seed=0)
+                           chunk_length=1, augment=True, seed=0)
     optimizer = make_optimizer(lr=2e-3, lr_decay=0.985,
                                steps_per_epoch=max(len(gen), 1))
     state = init_state(model, jax.random.PRNGKey(0), optimizer)

@@ -177,3 +177,90 @@ def evaluate_hota(
         "AssA_alpha": np.asarray(assa_a),
         "alphas": np.asarray(alphas),
     }
+
+
+def spatiotemporal_mask_iou(pred_masks, pred_ids, gt_masks, gt_ids):
+    """Track-level mask IoU (YTVIS convention): per (pred-track, gt-track)
+    pair, IoU = Σ_t |P_t ∩ G_t| / Σ_t |P_t ∪ G_t| with empty frames
+    counting as empty masks.
+
+    ``pred_masks``/``gt_masks``: per-frame (N_t, H, W) bool arrays with
+    matching id vectors. Returns (iou (P, G), pred_track_ids,
+    gt_track_ids)."""
+    p_ids = sorted({int(i) for ids in pred_ids for i in np.asarray(ids)})
+    g_ids = sorted({int(i) for ids in gt_ids for i in np.asarray(ids)})
+    pmap = {p: i for i, p in enumerate(p_ids)}
+    gmap = {g: i for i, g in enumerate(g_ids)}
+    inter = np.zeros((len(p_ids), len(g_ids)))
+    union = np.zeros((len(p_ids), len(g_ids)))
+    p_area = np.zeros(len(p_ids))
+    g_area = np.zeros(len(g_ids))
+    for pm, pid, gm, gid in zip(pred_masks, pred_ids, gt_masks, gt_ids):
+        pm = np.asarray(pm, bool)
+        gm = np.asarray(gm, bool)
+        pid = np.asarray(pid).reshape(-1)
+        gid = np.asarray(gid).reshape(-1)
+        for a, i in zip(pm, pid):
+            p_area[pmap[int(i)]] += a.sum()
+        for b, j in zip(gm, gid):
+            g_area[gmap[int(j)]] += b.sum()
+        for a, i in zip(pm, pid):
+            for b, j in zip(gm, gid):
+                inter[pmap[int(i)], gmap[int(j)]] += np.logical_and(
+                    a, b).sum()
+    union = p_area[:, None] + g_area[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    return iou, p_ids, g_ids
+
+
+def video_instance_ap(pred_masks, pred_ids, pred_scores, gt_masks, gt_ids,
+                      iou_thresholds=None) -> dict:
+    """YTVIS-style video instance segmentation AP (single class): tracks
+    matched by spatio-temporal mask IoU, score-ordered greedy matching,
+    101-point interpolated AP per threshold, averaged over
+    [.5:.95] (reference ships this in sam3/eval).
+
+    ``pred_scores``: {track_id: score} or per-frame arrays (averaged)."""
+    iou, p_ids, g_ids = spatiotemporal_mask_iou(pred_masks, pred_ids,
+                                                gt_masks, gt_ids)
+    if isinstance(pred_scores, dict):
+        scores = np.asarray([pred_scores[p] for p in p_ids], float)
+    else:  # per-frame score arrays → mean per track
+        acc = {p: [] for p in p_ids}
+        for sc, pid in zip(pred_scores, pred_ids):
+            for s, i in zip(np.asarray(sc).reshape(-1),
+                            np.asarray(pid).reshape(-1)):
+                acc[int(i)].append(float(s))
+        scores = np.asarray([np.mean(acc[p]) if acc[p] else 0.0
+                             for p in p_ids])
+    if iou_thresholds is None:
+        iou_thresholds = np.arange(0.5, 1.0, 0.05)
+
+    aps = {}
+    n_gt = len(g_ids)
+    for thr in iou_thresholds:
+        order = np.argsort(-scores)
+        taken = np.zeros(n_gt, bool)
+        records = []
+        for i in order:
+            tp = False
+            cand = np.where(~taken & (iou[i] >= thr))[0] if n_gt else []
+            if len(cand):
+                j = cand[np.argmax(iou[i][cand])]
+                taken[j] = True
+                tp = True
+            records.append((scores[i], tp))
+        if n_gt == 0:
+            aps[f"AP{int(thr * 100)}"] = float("nan")
+            continue
+        tps = np.cumsum([r[1] for r in records])
+        fps = np.cumsum([not r[1] for r in records])
+        rec = tps / n_gt
+        prec = tps / np.maximum(tps + fps, 1)
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            p = prec[rec >= r]
+            ap += (p.max() if len(p) else 0.0) / 101
+        aps[f"AP{int(thr * 100)}"] = float(ap)
+    vals = [v for v in aps.values() if not np.isnan(v)]
+    return {"mAP": float(np.mean(vals)) if vals else float("nan"), **aps}

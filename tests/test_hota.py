@@ -162,3 +162,55 @@ class TestMotaStillWorks:
         pred_b, pred_i = _seq([[(10, A)], [(10, A)], [(11, A)], [(11, A)]])
         out = evaluate_tracking(pred_b, pred_i, gt_b, gt_i)
         assert out["id_switches"] == 1
+
+
+class TestVideoInstanceAP:
+    def _toy(self):
+        H = W = 16
+        sq = np.zeros((H, W), bool)
+        sq[2:8, 2:8] = True
+        sq2 = np.zeros((H, W), bool)
+        sq2[9:15, 9:15] = True
+        gt_masks = [np.stack([sq, sq2])] * 3
+        gt_ids = [np.array([1, 2])] * 3
+        return sq, sq2, gt_masks, gt_ids
+
+    def test_perfect_tracks(self):
+        from skix.metrics.tracking_eval import video_instance_ap
+
+        sq, sq2, gt_masks, gt_ids = self._toy()
+        out = video_instance_ap(gt_masks, gt_ids, {1: 0.9, 2: 0.8},
+                                gt_masks, gt_ids)
+        assert abs(out["mAP"] - 1.0) < 1e-9
+
+    def test_one_track_half_overlap(self):
+        from skix.metrics.tracking_eval import (spatiotemporal_mask_iou,
+                                                video_instance_ap)
+
+        sq, sq2, gt_masks, gt_ids = self._toy()
+        half = np.zeros_like(sq)
+        half[2:8, 2:5] = True  # covers half the columns of sq
+        pred_masks = [np.stack([half, sq2])] * 3
+        pred_ids = [np.array([10, 20])] * 3
+        iou, p_ids, g_ids = spatiotemporal_mask_iou(pred_masks, pred_ids,
+                                                    gt_masks, gt_ids)
+        # |half|=18, |sq|=36, inter=18, union=36 → 0.5
+        assert abs(iou[p_ids.index(10), g_ids.index(1)] - 0.5) < 1e-9
+        out = video_instance_ap(pred_masks, pred_ids, {10: 0.9, 20: 0.8},
+                                gt_masks, gt_ids)
+        # at thr .5 both match (AP=1); above .5 only sq2 matches
+        assert abs(out["AP50"] - 1.0) < 1e-6
+        assert out["AP75"] < 1.0
+
+    def test_identity_switch_fragments_track(self):
+        from skix.metrics.tracking_eval import video_instance_ap
+
+        sq, sq2, gt_masks, gt_ids = self._toy()
+        # pred id 10 covers frames 0-1, id 11 frame 2 → each has ST-IoU
+        # 2/3 and 1/3 vs gt track 1
+        pred_masks = [np.stack([sq]), np.stack([sq]), np.stack([sq])]
+        pred_ids = [np.array([10]), np.array([10]), np.array([11])]
+        out = video_instance_ap(pred_masks, pred_ids, {10: 0.9, 11: 0.8},
+                                [np.stack([sq])] * 3, [np.array([1])] * 3)
+        assert abs(out["AP50"] - 1.0) < 1e-6   # the 2/3 fragment matches
+        assert abs(out["AP75"] - 0.0) < 1e-6   # nothing reaches 0.75
