@@ -161,6 +161,53 @@ def _residual_blocks(X, rvec, tvec, K, x2d, conf2d, cfg: BAConfig,
     return jnp.concatenate(parts)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_residual(cfg: BAConfig, shapes: tuple, frozen_names: tuple,
+                     ref_is_none: bool):
+    """One residual function object per (config, shape signature) — the
+    same object across bundle_adjust calls, so jitted solvers cache."""
+    import numpy as _np
+
+    sizes = [(k, shp, int(_np.prod(shp))) for k, shp in shapes]
+
+    def fn(flat, frozen_vals, K, x2d, conf2d, rbl):
+        p = {}
+        i = 0
+        for k, shp, n in sizes:
+            p[k] = flat[i:i + n].reshape(shp)
+            i += n
+        p.update(dict(zip(frozen_names, frozen_vals)))
+        return _residual_blocks(p["X"], p["rvec"], p["tvec"], K, x2d,
+                                conf2d, cfg,
+                                None if ref_is_none else rbl)
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _adam_run(residual_fn, iters: int, lr: float, flat0, args):
+    import optax
+
+    def loss_fn(flat):
+        r = residual_fn(flat, *args)
+        return 0.5 * jnp.vdot(r, r).real
+
+    opt = optax.adam(lr)
+    state = opt.init(flat0)
+
+    def body(carry, _):
+        f, s = carry
+        loss, g = jax.value_and_grad(loss_fn)(f)
+        upd, s = opt.update(g, s)
+        return (optax.apply_updates(f, upd), s), loss
+
+    (f, _), losses = jax.lax.scan(body, (flat0, state), None, length=iters)
+    return f, losses[0], loss_fn(f)
+
+
 class BAResult(NamedTuple):
     X: jnp.ndarray            # (T, J, 3) refined joints
     R: jnp.ndarray            # (C, 3, 3) or (T, C, 3, 3)
@@ -214,48 +261,33 @@ def bundle_adjust(
 
     flat0, unravel = ravel_pytree(free)
 
+    # CACHEABLE residual: data flows through args (not a fresh closure per
+    # call), and the function object is lru_cached on (cfg, static shape
+    # signature) — repeated solves hit the jit cache instead of paying a
+    # full recompile (~4 s/call through the remote-compile tunnel).
+    shapes = tuple(sorted((k, tuple(v.shape)) for k, v in free.items()))
+    frozen_names = tuple(sorted(frozen))
+    residual_fn = _cached_residual(cfg, shapes, frozen_names,
+                                   ref_bone_len is None)
+    frozen_vals = tuple(frozen[k] for k in frozen_names)
+    rbl = (jnp.zeros(len(cfg.bones)) if ref_bone_len is None
+           else jnp.asarray(ref_bone_len))
+    args = (frozen_vals, K, x2d, conf2d, rbl)
+
     def assemble(flat):
         p = dict(unravel(flat))
         p.update(frozen)
         return p
 
-    def residual_fn(flat):
-        p = assemble(flat)
-        return _residual_blocks(p["X"], p["rvec"], p["tvec"], K, x2d, conf2d,
-                                cfg, ref_bone_len)
-
     if cfg.method == "lm":
-        res = levenberg_marquardt(residual_fn, flat0,
+        res = levenberg_marquardt(residual_fn, flat0, args,
                                   max_steps=cfg.max_steps,
                                   cg_iters=cfg.cg_iters)
         flat_final, init_cost, final_cost, iters = (
             res.x, res.initial_cost, res.cost, res.iterations)
     elif cfg.method == "adam":
-        import optax
-
-        def loss_fn(flat):
-            r = residual_fn(flat)
-            return 0.5 * jnp.vdot(r, r).real
-
-        opt = optax.adam(cfg.adam_lr)
-
-        @jax.jit
-        def run(flat):
-            state = opt.init(flat)
-
-            def body(carry, _):
-                f, s = carry
-                loss, g = jax.value_and_grad(loss_fn)(f)
-                upd, s = opt.update(g, s)
-                return (optax.apply_updates(f, upd), s), loss
-
-            (f, _), losses = jax.lax.scan(body, (flat, state),
-                                          None, length=cfg.adam_iters)
-            return f, losses
-
-        flat_final, losses_hist = run(flat0)
-        init_cost = losses_hist[0]
-        final_cost = loss_fn(flat_final)
+        flat_final, init_cost, final_cost = _adam_run(
+            residual_fn, cfg.adam_iters, cfg.adam_lr, flat0, args)
         iters = jnp.asarray(cfg.adam_iters)
     else:
         raise ValueError(f"unknown BA method {cfg.method!r}")

@@ -70,10 +70,11 @@ def _estimate_jtj_diag(residual_fn: Callable, x, probes: int):
     return jnp.mean(jax.vmap(one)(vs), axis=0)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 9))
+@partial(jax.jit, static_argnums=(0, 3, 4, 10))
 def levenberg_marquardt(
     residual_fn: Callable,
     x0,
+    args: tuple = (),
     max_steps: int = 50,
     cg_iters: int = 30,
     init_lambda: float = 1e-3,
@@ -83,9 +84,12 @@ def levenberg_marquardt(
     damping_scale=None,
     diag_probes: int = 8,
 ) -> LMResult:
-    """Minimize ``½‖residual_fn(x)‖²`` over a flat parameter vector.
+    """Minimize ``½‖residual_fn(x, *args)‖²`` over a flat parameter vector.
 
-    ``residual_fn``: flat params → flat residuals (any static shape).
+    ``residual_fn``: (flat params, *args) → flat residuals (any static
+    shape). ``args`` is a DYNAMIC pytree: pass observation data through it
+    (instead of closing over it) so repeated solves with the same residual
+    function and shapes hit the jit cache instead of recompiling.
     Jacobian products are taken with jvp/vjp; JᵀJ is never materialized.
 
     Damping is Marquardt-scaled, ``(JᵀJ + λ·diag(JᵀJ))δ = −Jᵀr``: BA
@@ -97,24 +101,27 @@ def levenberg_marquardt(
     """
     x0 = jnp.asarray(x0)
 
+    def rfn(x):
+        return residual_fn(x, *args)
+
     def cost_of(x):
-        r = residual_fn(x)
+        r = rfn(x)
         return 0.5 * jnp.vdot(r, r).real
 
     def step(state):
         x, lam, cost, it, done = state
-        r = residual_fn(x)
-        _, vjp = jax.vjp(residual_fn, x)
+        r = rfn(x)
+        _, vjp = jax.vjp(rfn, x)
         g = vjp(r)[0]  # Jᵀ r
 
         if damping_scale is None:
-            diag = _estimate_jtj_diag(residual_fn, x, diag_probes)
+            diag = _estimate_jtj_diag(rfn, x, diag_probes)
         else:
             diag = jnp.asarray(damping_scale, x.dtype)
         diag = jnp.maximum(diag, 1e-6 * jnp.max(diag) + 1e-12)
 
         def matvec(v):
-            _, jv = jax.jvp(residual_fn, (x,), (v,))
+            _, jv = jax.jvp(rfn, (x,), (v,))
             jtjv = vjp(jv)[0]
             return jtjv + lam * diag * v
 
