@@ -130,7 +130,8 @@ def estimate_depth_batched(model: MonocularDepth, variables, frames_u8,
     """Chunked whole-clip depth: ``frames (T, H, W, 3) uint8`` →
     ``(T, 1, H, W) float32`` (pt_info contract layout)."""
     T = frames_u8.shape[0]
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    from skix.utils.jitapply import apply_model
+    fwd = lambda v, x: apply_model(model, None, v, x)  # noqa: E731
     outs = []
     for s in range(0, T, batch_size):
         chunk = jnp.asarray(frames_u8[s:s + batch_size], jnp.float32) / 255.0

@@ -56,7 +56,8 @@ def estimate_focal_lengths(model: FovEstimator, variables, frames_u8,
     import numpy as np
 
     T, H, W = frames_u8.shape[:3]
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    from skix.utils.jitapply import apply_model
+    fwd = lambda v, x: apply_model(model, None, v, x)  # noqa: E731
     outs = []
     for s in range(0, T, batch_size):
         chunk = jnp.asarray(frames_u8[s:s + batch_size], jnp.float32) / 255.0

@@ -121,7 +121,8 @@ def detect_clip(model: PoseDetector, variables, frames_u8, batch_size: int = 8):
     import numpy as np
 
     T = frames_u8.shape[0]
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    from skix.utils.jitapply import apply_model
+    fwd = lambda v, x: apply_model(model, None, v, x)  # noqa: E731
     boxes, kpts, valid = [], [], []
     for s in range(0, T, batch_size):
         e = min(s + batch_size, T)

@@ -221,7 +221,8 @@ def compute_flow_sequence(model: RAFT, variables, frames_u8,
     frames = np.asarray(frames_u8)
     T, H, W = frames.shape[:3]
     ph, pw = (-H) % 8, (-W) % 8
-    fwd = jax.jit(lambda v, a, b: model.apply(v, a, b))
+    from skix.utils.jitapply import apply_model
+    fwd = lambda v, a, b: apply_model(model, None, v, a, b)  # noqa: E731
     outs = []
     for s in range(0, T - 1, chunk_size):
         e = min(s + chunk_size, T - 1)

@@ -143,20 +143,29 @@ def _skix_backend(cfg, video_path: Path):
     return run
 
 
+def _select_core(boxes, kpts, valid):
+    from skix.perception import fill_invalid_frames, select_person_sequence
+
+    sel = select_person_sequence(boxes, kpts, det_valid=valid)
+    kp = fill_invalid_frames(sel.keypoints, sel.valid)
+    sc = fill_invalid_frames(sel.scores, sel.valid)
+    bx = fill_invalid_frames(sel.boxes, sel.valid)
+    return kp, sc, bx, sel.none_index
+
+
+_SELECT_JIT = None
+
+
 def _select_and_fill(det: dict) -> dict:
-    """Jitted athlete selection + hole filling on raw padded detections."""
+    """Jitted athlete selection + hole filling on raw padded detections
+    (jit cached across videos — not a per-call closure)."""
     import jax
     import jax.numpy as jnp
 
-    from skix.perception import fill_invalid_frames, select_person_sequence
-
-    @jax.jit
-    def run(boxes, kpts, valid):
-        sel = select_person_sequence(boxes, kpts, det_valid=valid)
-        kp = fill_invalid_frames(sel.keypoints, sel.valid)
-        sc = fill_invalid_frames(sel.scores, sel.valid)
-        bx = fill_invalid_frames(sel.boxes, sel.valid)
-        return kp, sc, bx, sel.none_index
+    global _SELECT_JIT
+    if _SELECT_JIT is None:
+        _SELECT_JIT = jax.jit(_select_core)
+    run = _SELECT_JIT
 
     kp, sc, bx, none_mask = run(jnp.asarray(det["boxes"], jnp.float32),
                                 jnp.asarray(det["keypoints"], jnp.float32),

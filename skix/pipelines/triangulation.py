@@ -43,6 +43,37 @@ def fixed_demo_extrinsic(baseline_m: float = 20.0):
     return R, t
 
 
+
+
+def _vmapped_pose_core(ka, kb, ww, ks, K, num_hypotheses: int):
+    import jax
+    import jax.numpy as jnp
+
+    from skix.geometry.epipolar import estimate_relative_pose
+
+    def one(k1, k2, wf, key):
+        pose = estimate_relative_pose(k1, k2, jnp.asarray(K), key=key,
+                                      num_hypotheses=num_hypotheses,
+                                      weights=wf)
+        return pose.R, pose.t, pose.num_inliers
+
+    return jax.vmap(one)(ka, kb, ww, ks)
+
+
+_VMAPPED_POSE_JIT = None
+
+
+def _vmapped_pose(ka, kb, ww, ks, K, num_hypotheses: int):
+    """jit-cached across calls (config static, data dynamic) — a fresh
+    jax.jit closure per person would recompile every time."""
+    global _VMAPPED_POSE_JIT
+    if _VMAPPED_POSE_JIT is None:
+        import jax
+
+        _VMAPPED_POSE_JIT = jax.jit(_vmapped_pose_core, static_argnums=(5,))
+    return _VMAPPED_POSE_JIT(ka, kb, ww, ks, K, num_hypotheses)
+
+
 def estimate_poses_kpt(kpts_a, kpts_b, score_a, score_b, K,
                        baseline_m: float, num_hypotheses: int = 256,
                        min_score: float = 0.3):
@@ -57,18 +88,9 @@ def estimate_poses_kpt(kpts_a, kpts_b, score_a, score_b, K,
     keys = jax.random.split(jax.random.PRNGKey(0), T)
     w = ((score_a > min_score) & (score_b > min_score)).astype(np.float32)
 
-    @jax.jit
-    def run(ka, kb, ww, ks):
-        def one(k1, k2, wf, key):
-            pose = estimate_relative_pose(k1, k2, jnp.asarray(K), key=key,
-                                          num_hypotheses=num_hypotheses,
-                                          weights=wf)
-            return pose.R, pose.t, pose.num_inliers
-
-        return jax.vmap(one)(ka, kb, ww, ks)
-
-    R, t, n_inl = run(jnp.asarray(kpts_a), jnp.asarray(kpts_b),
-                      jnp.asarray(w), keys)
+    R, t, n_inl = _vmapped_pose(jnp.asarray(kpts_a), jnp.asarray(kpts_b),
+                                jnp.asarray(w), keys, jnp.asarray(K),
+                                num_hypotheses)
     t = np.asarray(t)
     t = t / (np.linalg.norm(t, axis=-1, keepdims=True) + 1e-9) * baseline_m
     return np.asarray(R), t, np.asarray(n_inl)
@@ -152,17 +174,8 @@ def estimate_single_view_motion(kpts, scores, K, min_score: float = 0.3,
          & (scores[1:].reshape(T - 1, -1) > min_score)).astype(np.float32)
     keys = jax.random.split(jax.random.PRNGKey(7), T - 1)
 
-    @jax.jit
-    def run(ka, kb, ww, ks):
-        def one(k1, k2, wf, key):
-            pose = estimate_relative_pose(k1, k2, jnp.asarray(K), key=key,
-                                          num_hypotheses=num_hypotheses,
-                                          weights=wf)
-            return pose.R, pose.t
-
-        return jax.vmap(one)(ka, kb, ww, ks)
-
-    R, t = run(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w), keys)
+    R, t, _ = _vmapped_pose(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w),
+                            keys, K, num_hypotheses)
     return np.asarray(R), np.asarray(t)
 
 
@@ -197,13 +210,8 @@ class PoseLog:
                                r["n_inliers"]])
 
 
-def triangulate_and_triage(kpts_a, kpts_b, score_a, score_b, K, R, t, dist,
-                           reproj_px_max: float = 25.0,
-                           savgol_window: int = 11):
-    """Clip-wide DLT + post-triage (positive depth, reprojection gate) +
-    Savitzky–Golay smoothing (reference triangulate.py:60 +
-    postprocess.py:71,126,54) — one jitted program."""
-    import jax
+def _triage_core(ka, kb, wa, wb, K, R, t, d, has_dist: bool,
+                 reproj_px_max: float, savgol_window: int):
     import jax.numpy as jnp
 
     from skix.geometry.camera import reprojection_error
@@ -211,26 +219,43 @@ def triangulate_and_triage(kpts_a, kpts_b, score_a, score_b, K, R, t, dist,
     from skix.geometry.triangulate import (positive_depth_mask,
                                            triangulate_sequence)
 
-    @jax.jit
-    def run(ka, kb, wa, wb):
-        d = None if dist is None else jnp.asarray(dist)
-        X = triangulate_sequence(ka, kb, jnp.asarray(K), jnp.asarray(R),
-                                 jnp.asarray(t), w_a=wa, w_b=wb, dist=d)
-        # gate with distortion applied, against the RAW observed keypoints —
-        # matching the reference's cv2.projectPoints(..., dist) gate
-        # (triangulation/reproject.py:77); projecting without dist vs the
-        # distorted observations is many px off near image edges.
-        err_a = reprojection_error(X, ka, jnp.asarray(K),
-                                   jnp.eye(3), jnp.zeros(3), dist=d)
-        err_b = reprojection_error(X, kb, jnp.asarray(K), jnp.asarray(R),
-                                   jnp.asarray(t), dist=d)
-        ok = (positive_depth_mask(X, jnp.asarray(R), jnp.asarray(t))
-              & (err_a < reproj_px_max) & (err_b < reproj_px_max))
-        Xs = savgol_smooth(X, window=savgol_window)
-        return X, Xs, ok, 0.5 * (err_a + err_b)
+    dd = d if has_dist else None
+    X = triangulate_sequence(ka, kb, K, R, t, w_a=wa, w_b=wb, dist=dd)
+    # gate with distortion applied, against the RAW observed keypoints —
+    # matching the reference's cv2.projectPoints(..., dist) gate
+    # (triangulation/reproject.py:77); projecting without dist vs the
+    # distorted observations is many px off near image edges.
+    err_a = reprojection_error(X, ka, K, jnp.eye(3), jnp.zeros(3), dist=dd)
+    err_b = reprojection_error(X, kb, K, R, t, dist=dd)
+    ok = (positive_depth_mask(X, R, t)
+          & (err_a < reproj_px_max) & (err_b < reproj_px_max))
+    Xs = savgol_smooth(X, window=savgol_window)
+    return X, Xs, ok, 0.5 * (err_a + err_b)
 
-    return run(jnp.asarray(kpts_a), jnp.asarray(kpts_b),
-               jnp.asarray(score_a), jnp.asarray(score_b))
+
+_TRIAGE_JIT = None
+
+
+def triangulate_and_triage(kpts_a, kpts_b, score_a, score_b, K, R, t, dist,
+                           reproj_px_max: float = 25.0,
+                           savgol_window: int = 11):
+    """Clip-wide DLT + post-triage (positive depth, reprojection gate) +
+    Savitzky–Golay smoothing (reference triangulate.py:60 +
+    postprocess.py:71,126,54) — one jitted program, cached across
+    persons/methods (cameras flow through as arguments)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _TRIAGE_JIT
+    if _TRIAGE_JIT is None:
+        _TRIAGE_JIT = jax.jit(_triage_core, static_argnums=(8, 9, 10))
+    d = jnp.zeros(14) if dist is None else jnp.asarray(dist, jnp.float64
+                                                       ).astype(jnp.float32)
+    return _TRIAGE_JIT(jnp.asarray(kpts_a), jnp.asarray(kpts_b),
+                       jnp.asarray(score_a), jnp.asarray(score_b),
+                       jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), d,
+                       dist is not None, float(reproj_px_max),
+                       int(savgol_window))
 
 
 def save_joints_json(path: Path, X, ok, err, R, t, video_paths):

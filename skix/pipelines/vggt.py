@@ -107,7 +107,8 @@ def process_single_view(model, variables, video_path: Path, out_dir: Path,
         raise ValueError(f"no frames in {video_path}")
     x = preprocess_frames(sel, size)
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    from skix.utils.jitapply import apply_model
+    fwd = lambda v, b: apply_model(model, None, v, b)  # noqa: E731
     out = fwd(variables, jnp.asarray(x)[None])
     cams = cameras_from_pose_enc(np.asarray(out["pose_enc"][0]),
                                  (size, size))
@@ -145,7 +146,8 @@ def process_multi_view(model, variables, rec_left, rec_right, out_dir: Path,
     if info_l.frames is None or info_r.frames is None:
         raise ValueError("multi-view VGGT needs frames stored in the records")
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b))
+    from skix.utils.jitapply import apply_model
+    fwd = lambda v, b: apply_model(model, None, v, b)  # noqa: E731
     Rs, ts, Ks = [], [], []
     for i in idxs:
         pair = np.stack([

@@ -294,8 +294,9 @@ def propagate_object(model: MaskMemoryTracker, variables, frames, first_mask,
     bank = init_memory(mem_slots or model.mem_slots, gh, gw, model.features)
     bank = model.apply(variables, frames[:1], first_mask[None], bank,
                        method=model.init_from_mask)
-    step = jax.jit(lambda v, img, b: model.apply(v, img, b,
-                                                 method=model.step))
+    from skix.utils.jitapply import apply_model
+
+    step = lambda v, img, b: apply_model(model, "step", v, img, b)  # noqa: E731
     masks, scores = [], []
     for t in range(T):
         m, s, bank = step(variables, frames[t:t + 1], bank)
