@@ -489,3 +489,59 @@ class Sam3Detector(nn.Module):
                               mask_logits=masks, embeddings=queries,
                               presence=pres_logit,
                               aux_boxes=tuple(all_boxes))
+
+
+# --------------------------------------------------------------------------
+# weight converters (reference torch state dicts → flax params)
+# --------------------------------------------------------------------------
+def _t(x):
+    import numpy as np_
+
+    return jnp.asarray(np_.asarray(x.detach().cpu().numpy()
+                                   if hasattr(x, "detach") else x))
+
+
+def _convert_torch_mha(sd, prefix):
+    """torch nn.MultiheadAttention (packed in_proj) → _MHA params."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])
+    b = _t(sd[f"{prefix}.in_proj_bias"])
+    C = w.shape[1]
+    wq, wk, wv = w[:C], w[C:2 * C], w[2 * C:]
+    bq, bk, bv = b[:C], b[C:2 * C], b[2 * C:]
+    return {
+        "q": {"kernel": wq.T, "bias": bq},
+        "k": {"kernel": wk.T, "bias": bk},
+        "v": {"kernel": wv.T, "bias": bv},
+        "out": {"kernel": _t(sd[f"{prefix}.out_proj.weight"]).T,
+                "bias": _t(sd[f"{prefix}.out_proj.bias"])},
+    }
+
+
+def convert_fusion_encoder_layer(sd, prefix="") -> dict:
+    """Reference TransformerEncoderLayer (encoder.py:13, pre-norm,
+    pos_enc_at_attn) state dict → FusionEncoderLayer params."""
+    def ln(name):
+        return {"scale": _t(sd[f"{prefix}{name}.weight"]),
+                "bias": _t(sd[f"{prefix}{name}.bias"])}
+
+    return {
+        "norm1": ln("norm1"),
+        "norm2": ln("norm2"),
+        "norm3": ln("norm3"),
+        "self_attn": _convert_torch_mha(sd, f"{prefix}self_attn"),
+        "cross_attn_image": _convert_torch_mha(sd,
+                                               f"{prefix}cross_attn_image"),
+        "ffn": {
+            "linear1": {"kernel": _t(sd[f"{prefix}linear1.weight"]).T,
+                        "bias": _t(sd[f"{prefix}linear1.bias"])},
+            "linear2": {"kernel": _t(sd[f"{prefix}linear2.weight"]).T,
+                        "bias": _t(sd[f"{prefix}linear2.bias"])},
+        },
+    }
+
+
+def convert_fusion_encoder(sd, num_layers: int = 6) -> dict:
+    """Full TransformerEncoderFusion stack (layers.{i}.*)."""
+    return {"params": {
+        f"layer_{i}": convert_fusion_encoder_layer(sd, f"layers.{i}.")
+        for i in range(num_layers)}}

@@ -197,3 +197,53 @@ class TestDetector:
         # the backbone receives gradient (end-to-end trainable)
         gb = jax.tree.leaves(g["params"]["backbone"])
         assert any(float(jnp.abs(x).max()) > 0 for x in gb)
+
+
+class TestFusionEncoderConverter:
+    def test_layer_parity_vs_reference(self):
+        """Converted reference TransformerEncoderLayer weights reproduce
+        the reference forward_pre to 1e-4 (oracle import of encoder.py)."""
+        import importlib.util
+        import sys
+        import types
+
+        torch = pytest.importorskip("torch")
+        ref_dir = "/root/reference/prepare_front_results/sam3/model"
+        pkg = types.ModuleType("refsam3e")
+        pkg.__path__ = [ref_dir]
+        sys.modules.setdefault("refsam3e", pkg)
+        spec = importlib.util.spec_from_file_location(
+            "refsam3e.encoder", f"{ref_dir}/encoder.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refsam3e.encoder"] = mod
+        spec.loader.exec_module(mod)
+
+        torch.manual_seed(0)
+        C, H_, FF = 32, 4, 64
+        ref = mod.TransformerEncoderLayer(
+            activation="relu", d_model=C, dim_feedforward=FF, dropout=0.0,
+            pos_enc_at_attn=True, pos_enc_at_cross_attn_keys=False,
+            pos_enc_at_cross_attn_queries=False, pre_norm=True,
+            self_attention=torch.nn.MultiheadAttention(C, H_,
+                                                       batch_first=True),
+            cross_attention=torch.nn.MultiheadAttention(C, H_,
+                                                        batch_first=True))
+        ref.eval()
+        r = np.random.default_rng(2)
+        src = r.normal(size=(2, 10, C)).astype(np.float32)
+        pos = r.normal(size=(2, 10, C)).astype(np.float32)
+        prompt = r.normal(size=(2, 5, C)).astype(np.float32)
+        with torch.no_grad():
+            want = ref.forward_pre(
+                torch.from_numpy(src), torch.from_numpy(prompt),
+                pos=None, query_pos=torch.from_numpy(pos)).numpy()
+
+        from skix.tracking.sam3_detector import (FusionEncoderLayer,
+                                                 convert_fusion_encoder_layer)
+
+        layer = FusionEncoderLayer(num_heads=H_, dim_feedforward=FF)
+        variables = {"params": convert_fusion_encoder_layer(
+            ref.state_dict())}
+        got = layer.apply(variables, jnp.asarray(src), jnp.asarray(pos),
+                          jnp.asarray(prompt))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
