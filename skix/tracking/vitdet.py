@@ -55,6 +55,45 @@ def window_unpartition(windows, window_size: int, pad_hw, hw):
     return x[:, :H, :W]
 
 
+def axial_rope_angles(gh: int, gw: int, head_dim: int,
+                      theta: float = 10000.0,
+                      scale_pos: float = 1.0) -> np.ndarray:
+    """Reference vitdet rope angle table (compute_axial_cis, vitdet.py:41):
+    token t at (x = t % gw, y = t // gw); the first head_dim/4 complex
+    pairs rotate by x·freqs, the next head_dim/4 by y·freqs. Returns
+    ``(gh·gw, head_dim/2)`` angles for interleaved-pair rotation."""
+    freqs = 1.0 / (theta ** (np.arange(0, head_dim, 4)[: head_dim // 4]
+                             / head_dim))
+    t = np.arange(gh * gw, dtype=np.float32)
+    t_x = (t % gw) * scale_pos
+    t_y = (t // gw) * scale_pos
+    ang_x = np.outer(t_x, freqs)
+    ang_y = np.outer(t_y, freqs)
+    return np.concatenate([ang_x, ang_y], axis=-1).astype(np.float32)
+
+
+def apply_rope_interleaved(x, angles):
+    """Rotate interleaved complex pairs: ``x (..., N, D)`` viewed as
+    ``(..., N, D/2, 2)`` (reference apply_rotary_enc, vitdet.py:68)."""
+    shape = x.shape
+    xr = x.reshape(*shape[:-1], shape[-1] // 2, 2)
+    a, b = xr[..., 0], xr[..., 1]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    out = jnp.stack([a * cos - b * sin, a * sin + b * cos], axis=-1)
+    return out.reshape(shape).astype(x.dtype)
+
+
+def _sam3_rope_attention(q, k, v, angles):
+    """Attention core with the reference's interleaved axial rope applied
+    to q/k (plugged in as ``attn_fn``; angles are static per layout)."""
+    from skix.ops.attention import flash_attention
+
+    q = apply_rope_interleaved(q, angles)
+    k = apply_rope_interleaved(k, angles)
+    return flash_attention(q, k, v)
+
+
 def _window_positions(gh: int, gw: int, window_size: int) -> np.ndarray:
     """Global (y, x) coords laid out in window-partition order:
     (nw_windows, ws², 2)."""
@@ -80,6 +119,13 @@ class ViTDetBackbone(nn.Module):
     window_size: int = 24
     global_att_blocks: Sequence[int] = (7, 15, 23, 31)
     rope_freq: float = 100.0
+    # "skix": rope_2d on global grid coords (freq 100). "sam3": the
+    # reference's interleaved axial rope with WINDOW-LOCAL coordinates and
+    # theta 10000 (vitdet.py:41,68) — weight-compatible with SAM3 ckpts.
+    rope_style: str = "skix"
+    # pos-embed table grid = pretrain_img_size//patch (vitdet pretrain 336,
+    # tiled over the runtime grid); None → img_size
+    pretrain_img_size: Optional[int] = None
     ln_pre: bool = True
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -87,13 +133,15 @@ class ViTDetBackbone(nn.Module):
     @nn.compact
     def __call__(self, images):
         """``images (B, H, W, 3)`` normalized → (B, gh, gw, C)."""
+        import functools
+
         B, H, W, _ = images.shape
         x = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
                        name="patch_embed")(images.astype(self.dtype))
         gh, gw = H // self.patch_size, W // self.patch_size
-        # tiled absolute positions (vitdet tile_abs_pos): a pretrain-sized
-        # table tiled over the larger grid
-        base = self.img_size // self.patch_size
+        # tiled absolute positions (vitdet tile_abs_pos / get_abs_pos:175):
+        # a pretrain-sized table tiled over the runtime grid
+        base = (self.pretrain_img_size or self.img_size) // self.patch_size
         pos_tab = self.param("pos_embed", nn.initializers.normal(0.02),
                              (1, base, base, self.embed_dim))
         reps_h = -(-gh // base)
@@ -103,28 +151,99 @@ class ViTDetBackbone(nn.Module):
         if self.ln_pre:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
 
+        hd = self.embed_dim // self.num_heads
+        ws = self.window_size
+        if self.rope_style == "sam3":
+            blk_extra_glob = dict(rope_freq=-1.0, attn_fn=functools.partial(
+                _sam3_rope_attention,
+                angles=jnp.asarray(axial_rope_angles(gh, gw, hd))))
+            blk_extra_win = dict(rope_freq=-1.0, attn_fn=functools.partial(
+                _sam3_rope_attention,
+                angles=jnp.asarray(axial_rope_angles(ws, ws, hd))))
+        else:
+            blk_extra_glob = blk_extra_win = dict(rope_freq=self.rope_freq)
         pos_global = jnp.asarray(make_grid_positions(gh, gw))[None]
-        pos_win = jnp.asarray(_window_positions(gh, gw, self.window_size))
+        pos_win = jnp.asarray(_window_positions(gh, gw, ws))
         BlockCls = nn.remat(Block) if self.remat else Block
         glob = set(self.global_att_blocks)
         for i in range(self.depth):
+            extra = blk_extra_glob if i in glob else blk_extra_win
             blk = BlockCls(self.num_heads, self.mlp_ratio, qk_norm=False,
-                           rope_freq=self.rope_freq, dtype=self.dtype,
-                           name=f"block_{i}")
+                           dtype=self.dtype, name=f"block_{i}", **extra)
             if i in glob:
                 t = x.reshape(B, gh * gw, self.embed_dim)
                 t = blk(t, jnp.broadcast_to(pos_global,
                                             (B, gh * gw, 2)))
                 x = t.reshape(B, gh, gw, self.embed_dim)
             else:
-                wins, pad_hw = window_partition(x, self.window_size)
+                wins, pad_hw = window_partition(x, ws)
                 nw = wins.shape[0] // B
                 p = jnp.broadcast_to(pos_win[None], (B, nw, *pos_win.shape[1:]))
                 p = p.reshape(wins.shape[0], -1, 2)
                 wins = blk(wins, p)
-                x = window_unpartition(wins, self.window_size, pad_hw,
-                                       (gh, gw))
+                x = window_unpartition(wins, ws, pad_hw, (gh, gw))
         return x.astype(jnp.float32)
+
+
+def convert_vitdet_state_dict(sd) -> dict:
+    """Reference SAM3 ViT-Det state dict → ViTDetBackbone params
+    (use with ``rope_style='sam3'``, matching ``pretrain_img_size``,
+    ``ln_pre=True``; builder config model_builder.py:73).
+
+    Mapping: conv patch embed (OIHW→HWIO), sequence pos_embed (cls entry
+    dropped, reshaped to the pretrain grid), per-block norm1/norm2,
+    packed qkv, proj, mlp fc1/fc2. The rope has no weights (angle tables
+    are recomputed); builder ln_post=False and LayerScale disabled."""
+    import numpy as np_
+
+    def t(x):
+        return jnp.asarray(np_.asarray(x.detach().cpu().numpy()
+                                       if hasattr(x, "detach") else x))
+
+    p: dict = {}
+    w = t(sd["patch_embed.proj.weight"])  # (C, 3, ph, pw)
+    pe = {"proj": {"kernel": jnp.transpose(w, (2, 3, 1, 0))}}
+    if "patch_embed.proj.bias" in sd:
+        pe["proj"]["bias"] = t(sd["patch_embed.proj.bias"])
+    else:  # bias_patch_embed=False → zero bias in the flax conv
+        pe["proj"]["bias"] = jnp.zeros(w.shape[0])
+    p["patch_embed"] = pe
+
+    pos = t(sd["pos_embed"])  # (1, P(+1), C)
+    n = pos.shape[1]
+    side = int(np_.sqrt(n))
+    if side * side != n:  # cls entry present → drop it
+        pos = pos[:, 1:]
+        side = int(np_.sqrt(pos.shape[1]))
+    p["pos_embed"] = pos.reshape(1, side, side, -1)
+
+    if "ln_pre.weight" in sd:
+        p["ln_pre"] = {"scale": t(sd["ln_pre.weight"]),
+                       "bias": t(sd["ln_pre.bias"])}
+
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        pre = f"blocks.{i}."
+        p[f"block_{i}"] = {
+            "norm1": {"scale": t(sd[pre + "norm1.weight"]),
+                      "bias": t(sd[pre + "norm1.bias"])},
+            "norm2": {"scale": t(sd[pre + "norm2.weight"]),
+                      "bias": t(sd[pre + "norm2.bias"])},
+            "attn": {
+                "qkv": {"kernel": t(sd[pre + "attn.qkv.weight"]).T,
+                        "bias": t(sd[pre + "attn.qkv.bias"])},
+                "proj": {"kernel": t(sd[pre + "attn.proj.weight"]).T,
+                         "bias": t(sd[pre + "attn.proj.bias"])},
+            },
+            "mlp": {
+                "fc1": {"kernel": t(sd[pre + "mlp.fc1.weight"]).T,
+                        "bias": t(sd[pre + "mlp.fc1.bias"])},
+                "fc2": {"kernel": t(sd[pre + "mlp.fc2.weight"]).T,
+                        "bias": t(sd[pre + "mlp.fc2.bias"])},
+            },
+        }
+        i += 1
+    return {"params": p}
 
 
 def sincos_position_map(gh: int, gw: int, dim: int,

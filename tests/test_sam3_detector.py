@@ -247,3 +247,81 @@ class TestFusionEncoderConverter:
         got = layer.apply(variables, jnp.asarray(src), jnp.asarray(pos),
                           jnp.asarray(prompt))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+class TestViTDetConverter:
+    def test_converted_random_weights_match_reference(self):
+        """Converted reference ViT-Det weights reproduce the reference
+        forward to 1e-4, including window/global blocks, tiled pos-embed
+        with a cls entry, ln_pre, and the interleaved axial rope."""
+        import importlib.util
+        import sys
+        import types
+
+        torch = pytest.importorskip("torch")
+
+        # stub timm (not installed): DropPath/Mlp/trunc_normal_
+        class _Mlp(torch.nn.Module):
+            def __init__(self, in_features, hidden_features=None,
+                         act_layer=torch.nn.GELU, drop=0.0, **kw):
+                super().__init__()
+                self.fc1 = torch.nn.Linear(in_features, hidden_features)
+                self.act = act_layer()
+                self.fc2 = torch.nn.Linear(hidden_features, in_features)
+
+            def forward(self, x):
+                return self.fc2(self.act(self.fc1(x)))
+
+        timm = types.ModuleType("timm")
+        timm.__spec__ = importlib.machinery.ModuleSpec("timm", loader=None)
+        layers_mod = types.ModuleType("timm.layers")
+        layers_mod.__spec__ = importlib.machinery.ModuleSpec(
+            "timm.layers", loader=None)
+        layers_mod.DropPath = torch.nn.Identity
+        layers_mod.Mlp = _Mlp
+        layers_mod.trunc_normal_ = torch.nn.init.trunc_normal_
+        sys.modules.setdefault("timm", timm)
+        sys.modules.setdefault("timm.layers", layers_mod)
+        import importlib.machinery  # noqa: F401
+
+        ref_dir = "/root/reference/prepare_front_results/sam3/model"
+        pkg = types.ModuleType("refsam3v")
+        pkg.__path__ = [ref_dir]
+        sys.modules.setdefault("refsam3v", pkg)
+        spec = importlib.util.spec_from_file_location(
+            "refsam3v.vitdet", f"{ref_dir}/vitdet.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refsam3v.vitdet"] = mod
+        spec.loader.exec_module(mod)
+
+        torch.manual_seed(0)
+        ref = mod.ViT(
+            img_size=56, pretrain_img_size=28, patch_size=14, embed_dim=32,
+            depth=2, num_heads=2, mlp_ratio=2.0, qkv_bias=True,
+            use_abs_pos=True, tile_abs_pos=True, rel_pos_blocks=(),
+            global_att_blocks=(1,), use_rope=True, use_interp_rope=False,
+            window_size=2, pretrain_use_cls_token=True,
+            retain_cls_token=False, ln_pre=True, ln_post=False,
+            bias_patch_embed=False, use_act_checkpoint=False,
+            drop_path_rate=0.0)
+        with torch.no_grad():
+            for prm in ref.parameters():
+                prm.copy_(torch.randn_like(prm) * 0.05)
+        ref.eval()
+
+        r = np.random.default_rng(8)
+        img = r.normal(size=(1, 3, 56, 56)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(img))[-1].numpy()  # (B, C, h, w)
+
+        from skix.tracking.vitdet import convert_vitdet_state_dict
+
+        model = ViTDetBackbone(
+            img_size=56, pretrain_img_size=28, patch_size=14, embed_dim=32,
+            depth=2, num_heads=2, mlp_ratio=2.0, window_size=2,
+            global_att_blocks=(1,), rope_style="sam3", ln_pre=True)
+        variables = convert_vitdet_state_dict(ref.state_dict())
+        got = model.apply(variables,
+                          jnp.asarray(img.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=1e-4)
