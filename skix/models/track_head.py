@@ -121,5 +121,6 @@ class TrackHead(nn.Module):
 
 def track_points(model: TrackHead, variables, features, queries):
     """Convenience jitted call."""
-    return jax.jit(lambda v, f, q: model.apply(v, f, q))(variables, features,
-                                                         queries)
+    from skix.utils.jitapply import apply_model
+
+    return apply_model(model, None, variables, features, queries)

@@ -78,4 +78,6 @@ class TextEncoder(nn.Module):
 
 def encode_texts(model: TextEncoder, variables, texts, max_len: int = 32):
     toks = jnp.asarray(tokenize_batch(texts, max_len))
-    return jax.jit(lambda v, t: model.apply(v, t))(variables, toks)
+    from skix.utils.jitapply import apply_model
+
+    return apply_model(model, None, variables, toks)
