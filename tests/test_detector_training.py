@@ -102,3 +102,52 @@ def test_detector_learns_to_localize():
     iou_trained = mean_best_iou(params)
     assert iou_trained > max(2.0 * iou_init, iou_init + 0.03), \
         f"IoU did not improve: {iou_init:.3f} -> {iou_trained:.3f}"
+
+
+@pytest.mark.slow
+def test_sam3_detector_learns():
+    """The full-capability Sam3Detector trains end-to-end: scores + boxes
+    + masks all receive gradient through the matcher loss and the total
+    drops on a fixed batch (training-at-scale is measured on-chip in
+    docs/PERF.md: 423 ms/step @1008px)."""
+    from skix.tracking.sam3_detector import Sam3Detector
+
+    rng = np.random.default_rng(17)
+    det = Sam3Detector.tiny(num_queries=6)
+    size = det.img_size
+    B = 2
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, size, size, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(0, 0.1, (B, 3, det.d_model)), jnp.float32)
+    gts = jnp.tile(jnp.asarray([[0.45, 0.5, 0.3, 0.4]]), (B, 1, 1))
+    gt_valid = jnp.ones((B, 1), bool)
+
+    variables = det.init(jax.random.PRNGKey(0), imgs, text)
+    params = variables["params"]
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = det.apply({"params": p}, imgs, text)
+
+            def one(b, lg, g, gv):
+                return detection_loss(b, lg, g, gv).total
+
+            main = jnp.mean(jax.vmap(one)(out.boxes_cxcywh, out.scores,
+                                          gts, gt_valid))
+            aux = sum(jnp.mean(jax.vmap(one)(bx, out.scores, gts, gt_valid))
+                      for bx in out.aux_boxes[:-1])
+            return main + 0.5 * aux / max(len(out.aux_boxes) - 1, 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.8 * np.mean(losses[:5]), \
+        f"loss did not drop: {np.mean(losses[:5]):.4f} -> {losses[-1]:.4f}"
