@@ -129,40 +129,45 @@ def evaluate_hota(
     glob_align = pot / np.maximum(
         gt_cnt[:, None] + pr_cnt[None, :] - pot, 1e-12)
 
+    # per-frame Hungarian matching ONCE (the score is α-independent —
+    # TrackEval matches once per timestep and thresholds per α)
+    matched = []  # per frame: (gi_rows, pi_cols, sims)
+    n_gt_total = n_pred_total = 0
+    for gid, pid, sim in frames:
+        n_gt_total += len(gid)
+        n_pred_total += len(pid)
+        if len(gid) == 0 or len(pid) == 0:
+            matched.append((np.zeros(0, int), np.zeros(0, int),
+                            np.zeros(0)))
+            continue
+        gi = np.asarray([gmap[int(g)] for g in gid])
+        pi = np.asarray([pmap[int(p)] for p in pid])
+        score = glob_align[gi[:, None], pi[None, :]] * sim
+        rows, cols = linear_sum_assignment(-score)
+        matched.append((gi[rows], pi[cols], sim[rows, cols]))
+
     hota_a, deta_a, assa_a = [], [], []
     for alpha in alphas:
-        tp = fn = fp = 0
-        # per-(gt-id, pred-id) association accumulators
+        tp = 0
         match_cnt = np.zeros((nG, nP))
-        for gid, pid, sim in frames:
-            if len(gid) == 0:
-                fp += len(pid)
-                continue
-            if len(pid) == 0:
-                fn += len(gid)
-                continue
-            gi = np.asarray([gmap[int(g)] for g in gid])
-            pi = np.asarray([pmap[int(p)] for p in pid])
-            score = glob_align[gi[:, None], pi[None, :]] * sim
-            rows, cols = linear_sum_assignment(-score)
-            ok = sim[rows, cols] >= alpha - np.finfo(float).eps
-            rows, cols = rows[ok], cols[ok]
-            tp += len(rows)
-            fn += len(gid) - len(rows)
-            fp += len(pid) - len(rows)
-            match_cnt[gi[rows], pi[cols]] += 1
+        for gi_m, pi_m, sims in matched:
+            ok = sims >= alpha - np.finfo(float).eps
+            tp += int(ok.sum())
+            match_cnt[gi_m[ok], pi_m[ok]] += 1
+        fn = n_gt_total - tp
+        fp = n_pred_total - tp
         if tp + fn + fp == 0:
             hota_a.append(1.0)
             deta_a.append(1.0)
             assa_a.append(1.0)
             continue
         deta = tp / max(tp + fn + fp, 1)
-        # A(c) per matched pair, weighted by match count
-        gt_match = match_cnt.sum(1)   # matched frames per gt id
-        pr_match = match_cnt.sum(0)
+        # A(c) = TPA / (gt-id dets + pred-id dets − TPA): the denominator
+        # uses GLOBAL per-id detection counts (TrackEval hota.py), so
+        # unmatched detections of either track count as FNA/FPA
         with np.errstate(divide="ignore", invalid="ignore"):
             ass = match_cnt / np.maximum(
-                gt_match[:, None] + pr_match[None, :] - match_cnt, 1e-12)
+                gt_cnt[:, None] + pr_cnt[None, :] - match_cnt, 1e-12)
         assa = float((ass * match_cnt).sum() / max(tp, 1))
         deta = float(deta)
         hota_a.append(float(np.sqrt(deta * assa)))

@@ -6,7 +6,9 @@ Capability parity with the reference's fused "multiple-angles" LoRA
 
     W' = W + scale · (alpha / r) · (down @ up)
 
-applied to every Dense/conv kernel whose flax path matches a LoRA entry.
+applied to every 2-D Dense kernel whose flax path matches a LoRA entry
+(conv kernels are skipped with a warning — reshape them to matrix form
+before fusing).
 ``convert_safetensors_lora`` accepts both common key layouts
 (``*.lora_A.weight``/``*.lora_B.weight`` and
 ``*.lora.down.weight``/``*.lora.up.weight``, with optional ``*.alpha``)
@@ -77,20 +79,20 @@ def apply_lora(params: Dict, lora: Dict[str, Tuple],
     LoRA paths use '.'-separated module names matching the flax tree
     (torch '.' path ↔ flax nesting). Returns (new_params, n_fused).
     """
-    import jax
-
-    params = jax.tree.map(lambda x: x, params)  # shallow copy of leaves
-
     def deep_copy(d):
         return {k: deep_copy(v) if isinstance(v, dict) else v
                 for k, v in d.items()}
 
+    import warnings
+
     root = deep_copy(params["params"] if "params" in params else params)
     fused = 0
+    skipped = []
     for path, (down, up, alpha) in lora.items():
         parts = path.split(".")
         hit = _find_kernel(root, parts)
         if hit is None:
+            skipped.append(path)
             continue
         node, key = hit
         kernel = np.asarray(node[key])
@@ -100,7 +102,16 @@ def apply_lora(params: Dict, lora: Dict[str, Tuple],
             if delta.T.shape == kernel.shape:
                 delta = delta.T
             else:
+                skipped.append(path)
                 continue
         node[key] = jnp.asarray(kernel + delta.astype(kernel.dtype))
         fused += 1
-    return ({"params": root} if "params" in params else root), fused
+    if skipped:
+        warnings.warn(f"apply_lora: {len(skipped)} LoRA entries did not "
+                      f"match any 2-D Dense kernel and were skipped "
+                      f"(first: {skipped[0]!r})", stacklevel=2)
+    if "params" in params:
+        out = dict(params)  # preserve batch_stats/other collections
+        out["params"] = root
+        return out, fused
+    return root, fused

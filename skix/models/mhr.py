@@ -281,6 +281,11 @@ class MHRRig(NamedTuple):
     skin_weights: np.ndarray     # (V, K_influences) f32
     skin_joints: np.ndarray      # (V, K_influences) int
     keypoint_mapping: np.ndarray  # (K, V + J) f32
+    # euler-angle order the rig's GLOBAL-rotation params expect: the
+    # reference head emits roma.rotmat_to_euler('ZYX', ·) for the momentum
+    # asset (mhr_head.py:295); the default template wires root DoFs
+    # through the same XYZ euler as every other joint
+    root_euler_order: str = "xyz"
 
     @property
     def num_joints(self) -> int:

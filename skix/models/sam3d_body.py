@@ -140,7 +140,11 @@ class MHRHead(nn.Module):
         c = 6
         grot6 = pred[:, :c]
         grot_mat = mhr.rot6d_to_matrix_cols(grot6)
-        global_rot = mhr.matrix_to_euler_xyz(grot_mat)
+        # reference-convention output (mhr_head.py:295 rotmat_to_euler
+        # 'ZYX'); the rig is fed whichever order IT declares
+        global_rot = mhr.matrix_to_euler_zyx(grot_mat)
+        rig_rot = (global_rot if rig.root_euler_order == "zyx"
+                   else mhr.matrix_to_euler_xyz(grot_mat))
         body_cont = pred[:, c:c + self.body_cont]
         c += self.body_cont
         body_pose = mhr.cont_to_model_params_body(body_cont)
@@ -158,7 +162,7 @@ class MHRHead(nn.Module):
             hand = hand_override
 
         model_params = mhr.assemble_model_params(
-            jnp.zeros((B, 3)), global_rot, body_pose,
+            jnp.zeros((B, 3)), rig_rot, body_pose,
             hand if self.use_hands else None, scale,
             jnp.asarray(bufs.scale_mean), jnp.asarray(bufs.scale_comps),
             hand_pose_mean=jnp.asarray(bufs.hand_pose_mean),
@@ -370,7 +374,10 @@ class SAM3DBodyEstimator:
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, self.model.crop_size, self.model.crop_size,
                            3)))
-            # hand branch params are created lazily on first hand call
+        # graft the hand-decoder branch when absent — checkpoint-loaded
+        # variables from a body-only training run must still support
+        # inference_type='full'
+        if "hand_init_tokens" not in variables.get("params", {}):
             hand_vars = jax.jit(
                 lambda k: self.model.init(k, jnp.zeros(
                     (1, self.model.crop_size, self.model.crop_size, 3)),
@@ -378,7 +385,7 @@ class SAM3DBodyEstimator:
             merged = dict(variables["params"])
             for key, val in hand_vars["params"].items():
                 merged.setdefault(key, val)
-            variables = {"params": merged}
+            variables = {**variables, "params": merged}
         self.variables = variables
         self._fwd = jax.jit(self._forward_batch, static_argnums=(4,))
 
@@ -389,14 +396,23 @@ class SAM3DBodyEstimator:
             frames, centers, scales, size)
         out = self.model.apply(variables, crops)
         if full:
-            # hand branch on wrist-centered crops (left/right)
+            # hand branch on wrist-centered crops (left/right), cut from
+            # the ORIGINAL frames at native resolution; the box-size gate
+            # measures original-image pixels (reference criterion 2,
+            # sam3d_body.py:1317 — hand_box_size_thresh is in image px)
             lbox, rbox = hand_boxes_from_keypoints(out.joints_2d_crop)
 
-            def run_hand(box):
-                c, s = bbox_center_scale(box, padding=0.9)
-                # hand crop in CROP pixel space → re-crop from the crop
+            def run_hand(box_crop):
+                tl = jax.vmap(crop_to_image_coords,
+                              in_axes=(0, 0, 0, None))(
+                    box_crop[:, :2], centers, scales, size)
+                br = jax.vmap(crop_to_image_coords,
+                              in_axes=(0, 0, 0, None))(
+                    box_crop[:, 2:], centers, scales, size)
+                box_img = jnp.concatenate([tl, br], axis=-1)
+                c, s = bbox_center_scale(box_img, padding=0.9)
                 hc = jax.vmap(crop_resize, in_axes=(0, 0, 0, None))(
-                    crops, c, s, size)
+                    frames, c, s, size)
                 return self.model.apply(variables, hc,
                                         decoder_type="hand"), s[:, 0]
 

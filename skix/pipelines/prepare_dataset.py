@@ -153,19 +153,15 @@ def _select_core(boxes, kpts, valid):
     return kp, sc, bx, sel.none_index
 
 
-_SELECT_JIT = None
-
-
 def _select_and_fill(det: dict) -> dict:
     """Jitted athlete selection + hole filling on raw padded detections
     (jit cached across videos — not a per-call closure)."""
     import jax
     import jax.numpy as jnp
 
-    global _SELECT_JIT
-    if _SELECT_JIT is None:
-        _SELECT_JIT = jax.jit(_select_core)
-    run = _SELECT_JIT
+    if not hasattr(_select_and_fill, "_jit"):
+        _select_and_fill._jit = jax.jit(_select_core)
+    run = _select_and_fill._jit
 
     kp, sc, bx, none_mask = run(jnp.asarray(det["boxes"], jnp.float32),
                                 jnp.asarray(det["keypoints"], jnp.float32),

@@ -114,7 +114,11 @@ def main(cfg):
             vggt([f"--config-dir={cdir}"])
         summary["vggt"] = str(work / "vggt")
 
-    if "bundle_adjustment" in stages and "triangulation" in stages:
+    if "bundle_adjustment" in stages and not (work / "joints_3d").exists():
+        log.warning("bundle_adjustment requested but %s does not exist "
+                    "(run the triangulation stage first) — skipping",
+                    work / "joints_3d")
+    if "bundle_adjustment" in stages and (work / "joints_3d").exists():
         from skix.pipelines.bundle_adjustment import main as ba
 
         cdir = _write_cfg(work, "bundle_adjustment", {
@@ -151,21 +155,30 @@ def main(cfg):
         summary["sam3d_body"] = str(sam3d_root)
 
     fused_root = work / "fused"
-    if "fuse" in stages and sam3d_root and Path(sam3d_root).exists():
-        from skix.pipelines.fuse import main as fuse
+    if "fuse" in stages:
+        if sam3d_root and Path(sam3d_root).exists():
+            from skix.pipelines.fuse import main as fuse
 
-        cdir = _write_cfg(work, "fuse", {
-            "paths": {"in_root": str(sam3d_root),
-                      "out_root": str(fused_root)},
-        })
-        with timer.span("fuse"):
-            fuse([f"--config-dir={cdir}"])
-        summary["fuse"] = str(fused_root)
+            cdir = _write_cfg(work, "fuse", {
+                "paths": {"in_root": str(sam3d_root),
+                          "out_root": str(fused_root)},
+            })
+            with timer.span("fuse"):
+                fuse([f"--config-dir={cdir}"])
+            summary["fuse"] = str(fused_root)
+        else:
+            log.warning("fuse requested but sam3d_root %r missing — "
+                        "skipping", sam3d_root)
 
-        front_root = cfg.paths.get("front_root")
-        video_root = cfg.paths.get("video_root")
-        if ("prepare_front_results" in stages and not front_root
-                and video_root and Path(video_root).exists()):
+    front_root = cfg.paths.get("front_root")
+    video_root = cfg.paths.get("video_root")
+    if "prepare_front_results" in stages:
+        if front_root:
+            log.info("front_root provided — prepare_front_results skipped")
+        elif not (video_root and Path(video_root).exists()):
+            log.warning("prepare_front_results requested but video_root %r "
+                        "missing — skipping", video_root)
+        else:
             from skix.pipelines.prepare_front_results import main as front
 
             front_root = work / "front"
@@ -181,8 +194,14 @@ def main(cfg):
                 front([f"--config-dir={cdir}"])
             summary["prepare_front_results"] = str(front_root)
 
-        if "front_side" in stages and front_root \
-                and Path(front_root).exists():
+    if "front_side" in stages:
+        ok_front = front_root and Path(front_root).exists()
+        ok_side = sam3d_root and Path(sam3d_root).exists()
+        if not (ok_front and ok_side):
+            log.warning("front_side requested but inputs missing "
+                        "(front_root=%r side=%r) — skipping",
+                        front_root, sam3d_root)
+        else:
             from skix.pipelines.front_side import main as front_side
 
             cdir = _write_cfg(work, "front_side", {
@@ -197,6 +216,11 @@ def main(cfg):
                 front_side([f"--config-dir={cdir}"])
             summary["front_side"] = str(work / "front_side")
 
+    if "angle" in stages or "metrics" in stages:
+        if not fused_root.exists():
+            log.warning("angle/metrics requested but %s does not exist — "
+                        "skipping", fused_root)
+    if fused_root.exists():
         if "angle" in stages:
             from skix.pipelines.angle import main as angle
 

@@ -60,18 +60,15 @@ def _vmapped_pose_core(ka, kb, ww, ks, K, num_hypotheses: int):
     return jax.vmap(one)(ka, kb, ww, ks)
 
 
-_VMAPPED_POSE_JIT = None
-
-
 def _vmapped_pose(ka, kb, ww, ks, K, num_hypotheses: int):
     """jit-cached across calls (config static, data dynamic) — a fresh
     jax.jit closure per person would recompile every time."""
-    global _VMAPPED_POSE_JIT
-    if _VMAPPED_POSE_JIT is None:
-        import jax
+    import jax
 
-        _VMAPPED_POSE_JIT = jax.jit(_vmapped_pose_core, static_argnums=(5,))
-    return _VMAPPED_POSE_JIT(ka, kb, ww, ks, K, num_hypotheses)
+    if not hasattr(_vmapped_pose, "_jit"):
+        _vmapped_pose._jit = jax.jit(_vmapped_pose_core,
+                                     static_argnums=(5,))
+    return _vmapped_pose._jit(ka, kb, ww, ks, K, num_hypotheses)
 
 
 def estimate_poses_kpt(kpts_a, kpts_b, score_a, score_b, K,
@@ -233,9 +230,6 @@ def _triage_core(ka, kb, wa, wb, K, R, t, d, has_dist: bool,
     return X, Xs, ok, 0.5 * (err_a + err_b)
 
 
-_TRIAGE_JIT = None
-
-
 def triangulate_and_triage(kpts_a, kpts_b, score_a, score_b, K, R, t, dist,
                            reproj_px_max: float = 25.0,
                            savgol_window: int = 11):
@@ -246,12 +240,13 @@ def triangulate_and_triage(kpts_a, kpts_b, score_a, score_b, K, R, t, dist,
     import jax
     import jax.numpy as jnp
 
-    global _TRIAGE_JIT
-    if _TRIAGE_JIT is None:
-        _TRIAGE_JIT = jax.jit(_triage_core, static_argnums=(8, 9, 10))
+    if not hasattr(triangulate_and_triage, "_jit"):
+        triangulate_and_triage._jit = jax.jit(_triage_core,
+                                              static_argnums=(8, 9, 10))
     d = jnp.zeros(14) if dist is None else jnp.asarray(dist, jnp.float64
                                                        ).astype(jnp.float32)
-    return _TRIAGE_JIT(jnp.asarray(kpts_a), jnp.asarray(kpts_b),
+    return triangulate_and_triage._jit(
+        jnp.asarray(kpts_a), jnp.asarray(kpts_b),
                        jnp.asarray(score_a), jnp.asarray(score_b),
                        jnp.asarray(K), jnp.asarray(R), jnp.asarray(t), d,
                        dist is not None, float(reproj_px_max),

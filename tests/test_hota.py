@@ -55,6 +55,17 @@ class TestHotaHandComputed:
         assert abs(out["AssA"] - 0.75) < 1e-9
         assert abs(out["HOTA"] - np.sqrt(8.0 / 9.0 * 0.75)) < 1e-9
 
+    def test_partial_coverage_lowers_assa(self):
+        """gt track present 4 frames, pred covers only frames 0-1:
+        TPA=2, gt dets=4, pred dets=2 → A = 2/(4+2−2) = 0.5; DetA = 2/4.
+        (Regression: matched-frame denominators inflated AssA to 1.0.)"""
+        gt_b, gt_i = _seq([[(1, A)]] * 4)
+        pred_b, pred_i = _seq([[(10, A)], [(10, A)], [], []])
+        out = evaluate_hota(pred_b, pred_i, gt_b, gt_i)
+        assert abs(out["DetA"] - 0.5) < 1e-9
+        assert abs(out["AssA"] - 0.5) < 1e-9
+        assert abs(out["HOTA"] - 0.5) < 1e-9
+
     def test_missed_detections(self):
         gt_b, gt_i = _seq([[(1, A), (2, B)]] * 4)
         pred_b, pred_i = _seq([

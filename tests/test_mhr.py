@@ -13,7 +13,6 @@ import jax.numpy as jnp
 
 from skix.models import mhr
 
-rng = np.random.default_rng(13)
 
 
 @pytest.fixture(scope="module")
@@ -33,6 +32,7 @@ def ref():
 
 class TestParamConversionParity:
     def test_body_cont_to_model_params(self, ref):
+        rng = np.random.default_rng(930)
         import torch
 
         cont = rng.normal(size=(5, 260)).astype(np.float32)
@@ -42,6 +42,7 @@ class TestParamConversionParity:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_body_model_params_to_cont(self, ref):
+        rng = np.random.default_rng(931)
         import torch
 
         params = rng.uniform(-2, 2, size=(5, 133)).astype(np.float32)
@@ -51,6 +52,7 @@ class TestParamConversionParity:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_hand_cont_to_model_params(self, ref):
+        rng = np.random.default_rng(932)
         import torch
 
         cont = rng.normal(size=(5, 54)).astype(np.float32)
@@ -60,6 +62,7 @@ class TestParamConversionParity:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_hand_model_params_to_cont(self, ref):
+        rng = np.random.default_rng(933)
         import torch
 
         params = rng.uniform(-2, 2, size=(5, 27)).astype(np.float32)
@@ -69,6 +72,7 @@ class TestParamConversionParity:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_euler_6d_roundtrip_matches(self, ref):
+        rng = np.random.default_rng(934)
         import torch
 
         r = rng.uniform(-1.4, 1.4, size=(7, 3)).astype(np.float32)
@@ -80,6 +84,7 @@ class TestParamConversionParity:
         np.testing.assert_allclose(got_e, want_e, atol=1e-5)
 
     def test_fix_wrist_euler(self, ref):
+        rng = np.random.default_rng(935)
         import torch
 
         w = rng.uniform(-np.pi, np.pi, size=(6, 2, 3)).astype(np.float32)
@@ -88,6 +93,7 @@ class TestParamConversionParity:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
     def test_rotation_angle_difference(self, ref):
+        rng = np.random.default_rng(936)
         import torch
 
         r = rng.uniform(-1, 1, size=(6, 3)).astype(np.float32)
@@ -171,6 +177,7 @@ class TestRig:
         assert moved[25] > 1e-3 or moved[30] > 1e-3  # finger joints move
 
     def test_mesh_verts_and_keypoints(self):
+        rng = np.random.default_rng(937)
         rig = mhr.default_rig()
         p = jnp.asarray(rng.normal(0, 0.1, (3, rig.num_params)), jnp.float32)
         out = mhr.rig_forward(rig, p)

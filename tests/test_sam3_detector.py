@@ -22,11 +22,11 @@ from skix.tracking.vitdet import (
     window_unpartition,
 )
 
-rng = np.random.default_rng(9)
 
 
 class TestWindowing:
     def test_partition_roundtrip(self):
+        rng = np.random.default_rng(900)
         x = jnp.asarray(rng.normal(size=(2, 10, 14, 8)), jnp.float32)
         w, pad_hw = window_partition(x, 4)
         back = window_unpartition(w, 4, pad_hw, (10, 14))
@@ -35,6 +35,7 @@ class TestWindowing:
     def test_window_equals_global_when_window_covers_grid(self):
         """A window block whose window spans the whole grid must equal the
         global block exactly (same params, same RoPE coords)."""
+        rng = np.random.default_rng(901)
         m_win = ViTDetBackbone(img_size=56, patch_size=14, embed_dim=32,
                                depth=1, num_heads=2, mlp_ratio=2.0,
                                window_size=4, global_att_blocks=())
@@ -49,6 +50,7 @@ class TestWindowing:
                                    atol=1e-5)
 
     def test_windowed_differs_on_larger_grid(self):
+        rng = np.random.default_rng(902)
         m_win = ViTDetBackbone(img_size=112, patch_size=14, embed_dim=32,
                                depth=1, num_heads=2, mlp_ratio=2.0,
                                window_size=4, global_att_blocks=())
@@ -65,6 +67,7 @@ class TestWindowing:
 
 class TestNeckAndPixelDecoder:
     def test_fpn_levels(self):
+        rng = np.random.default_rng(903)
         neck = SimpleFPNNeck(d_model=32)
         feat = jnp.asarray(rng.normal(size=(1, 8, 8, 64)), jnp.float32)
         v = neck.init(jax.random.PRNGKey(0), feat)
@@ -74,6 +77,7 @@ class TestNeckAndPixelDecoder:
         assert all(p.shape == f.shape[1:] for p, f in zip(poss, feats))
 
     def test_pixel_decoder_output_at_finest(self):
+        rng = np.random.default_rng(904)
         pd = PixelDecoder(hidden_dim=16)
         feats = [jnp.asarray(rng.normal(size=(1, s, s, 16)), jnp.float32)
                  for s in (16, 8, 4)]
@@ -84,6 +88,7 @@ class TestNeckAndPixelDecoder:
 
 class TestGeometry:
     def test_bilinear_sample_exact_at_centers(self):
+        rng = np.random.default_rng(905)
         feat = jnp.asarray(rng.normal(size=(6, 8, 3)), jnp.float32)
         # pixel-center coordinates: exact values
         pts = jnp.asarray([[(1 + 0.5) / 8, (2 + 0.5) / 6],
@@ -101,6 +106,7 @@ class TestGeometry:
         np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
 
     def test_prompt_encoder_masks_invalid(self):
+        rng = np.random.default_rng(906)
         enc = GeometryPromptEncoder(d_model=16, max_points=4, max_boxes=2)
         feat = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), jnp.float32)
         pts = jnp.asarray(rng.uniform(0, 1, (1, 4, 2)), jnp.float32)
@@ -125,6 +131,7 @@ class TestGeometry:
 
 class TestDetector:
     def _setup(self):
+        rng = np.random.default_rng(907)
         m = Sam3Detector.tiny()
         imgs = jnp.asarray(rng.uniform(0, 1, (1, 112, 112, 3)), jnp.float32)
         text = jnp.asarray(rng.normal(0, 0.1, (1, 4, 64)), jnp.float32)
@@ -160,6 +167,7 @@ class TestDetector:
     def test_session_predictor_with_sam3_and_clip(self):
         """The session API (start_session/add_prompt/propagate) drives the
         full-capability detector with CLIP prompt memory end-to-end."""
+        rng = np.random.default_rng(908)
         import jax.numpy as jnp
 
         from skix.tracking.clip_text import VETextEncoder

@@ -9,7 +9,6 @@ import jax.numpy as jnp
 from skix.models.lora import apply_lora, convert_safetensors_lora
 from skix.models.vae import KLVAE, vae_loss
 
-rng = np.random.default_rng(77)
 
 
 class TestVAE:
@@ -17,6 +16,7 @@ class TestVAE:
         return KLVAE(ch=8, ch_mults=(1, 2), latent_channels=4)
 
     def test_roundtrip_shapes(self):
+        rng = np.random.default_rng(960)
         vae = self._tiny()
         x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
         v = vae.init(jax.random.PRNGKey(0), x)
@@ -27,6 +27,7 @@ class TestVAE:
         assert np.all(np.isfinite(np.asarray(recon)))
 
     def test_encode_decode_methods(self):
+        rng = np.random.default_rng(961)
         vae = self._tiny()
         x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
         v = vae.init(jax.random.PRNGKey(0), x)
@@ -37,6 +38,7 @@ class TestVAE:
     def test_overfit_one_image(self):
         """A few Adam steps on one image must reduce reconstruction MSE —
         the round-trip actually learns (not a frozen stand-in)."""
+        rng = np.random.default_rng(962)
         import optax
 
         vae = self._tiny()
@@ -62,6 +64,7 @@ class TestVAE:
         assert float(rec) < 0.7 * float(rec0), (float(rec0), float(rec))
 
     def test_sampling_uses_rng(self):
+        rng = np.random.default_rng(963)
         vae = self._tiny()
         x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
         v = vae.init(jax.random.PRNGKey(0), x)
@@ -105,6 +108,7 @@ class TestLoRA:
             np.asarray(params["params"]["blk"]["attn"]["q"]["kernel"]), 0.0)
 
     def test_zero_up_is_identity(self):
+        rng = np.random.default_rng(964)
         params = {"params": {"m": {"kernel": jnp.asarray(
             rng.normal(size=(6, 3)), jnp.float32)}}}
         lora = {"m": (rng.normal(size=(2, 6)).astype(np.float32),
@@ -115,6 +119,7 @@ class TestLoRA:
                                    np.asarray(params["params"]["m"]["kernel"]))
 
     def test_lora_changes_mmdit_output(self):
+        rng = np.random.default_rng(965)
         from skix.models.mmdit import MMDiT
 
         model = MMDiT(patch_size=2, in_channels=3, dim=32, depth=1,
@@ -151,6 +156,7 @@ class TestLoRA:
 
 class TestCameraEditorVAE:
     def test_editor_with_vae_and_lora(self, tmp_path):
+        rng = np.random.default_rng(966)
         from skix.config import load_config
         from skix.pipelines.image_edit import CameraEditor
 
