@@ -54,33 +54,39 @@ class _MHA(nn.Module):
     mask (True = PAD, torch convention)."""
 
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, key_padding_mask=None):
         B, Lq, C = q.shape
         hd = C // self.num_heads
-        qh = nn.Dense(C, name="q")(q).reshape(B, Lq, self.num_heads, hd)
-        kh = nn.Dense(C, name="k")(k).reshape(B, k.shape[1],
-                                              self.num_heads, hd)
-        vh = nn.Dense(C, name="v")(v).reshape(B, v.shape[1],
-                                              self.num_heads, hd)
+        qh = nn.Dense(C, dtype=self.dtype,
+                      name="q")(q).reshape(B, Lq, self.num_heads, hd)
+        kh = nn.Dense(C, dtype=self.dtype,
+                      name="k")(k).reshape(B, k.shape[1],
+                                           self.num_heads, hd)
+        vh = nn.Dense(C, dtype=self.dtype,
+                      name="v")(v).reshape(B, v.shape[1],
+                                           self.num_heads, hd)
         s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                        preferred_element_type=jnp.float32) / np.sqrt(hd)
         if key_padding_mask is not None:
             s = jnp.where(key_padding_mask[:, None, None, :], -1e9, s)
         p = nn.softmax(s, axis=-1).astype(vh.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, Lq, C)
-        return nn.Dense(C, name="out")(out)
+        return nn.Dense(C, dtype=self.dtype, name="out")(out)
 
 
 class _FFN(nn.Module):
     dim_feedforward: int = 2048
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                     name="linear1")(x)
         h = nn.relu(h)
-        return nn.Dense(x.shape[-1], name="linear2")(h)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="linear2")(h)
 
 
 def pool_prompt(prompt, prompt_pad_mask=None):
@@ -197,17 +203,21 @@ class FusionEncoderLayer(nn.Module):
 
     num_heads: int = 8
     dim_feedforward: int = 2048
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, prompt, prompt_pad_mask=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         qk = h + pos
-        src = src + _MHA(self.num_heads, name="self_attn")(qk, qk, h)
+        src = src + _MHA(self.num_heads, dtype=self.dtype,
+                         name="self_attn")(qk, qk, h)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
-        src = src + _MHA(self.num_heads, name="cross_attn_image")(
+        src = src + _MHA(self.num_heads, dtype=self.dtype,
+                         name="cross_attn_image")(
             h, prompt, prompt, key_padding_mask=prompt_pad_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(src)
-        return src + _FFN(self.dim_feedforward, name="ffn")(h)
+        return src + _FFN(self.dim_feedforward, dtype=self.dtype,
+                          name="ffn")(h)
 
 
 class FusionEncoder(nn.Module):
@@ -215,6 +225,7 @@ class FusionEncoder(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 2048
     add_pooled_text_to_img_feat: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, prompt, prompt_pad_mask=None):
@@ -224,9 +235,10 @@ class FusionEncoder(nn.Module):
                                  name="text_pooling_proj")(pooled)[:, None]
         for i in range(self.num_layers):
             src = FusionEncoderLayer(self.num_heads, self.dim_feedforward,
+                                     dtype=self.dtype,
                                      name=f"layer_{i}")(
                 src, pos, prompt, prompt_pad_mask)
-        return src
+        return src.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -236,23 +248,28 @@ class DecoderLayer(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 2048
     use_text_cross_attention: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q, query_pos, memory, mem_pos, prompt,
                  prompt_pad_mask=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm_sa")(q)
         hq = h + query_pos
-        q = q + _MHA(self.num_heads, name="self_attn")(hq, hq, h)
+        q = q + _MHA(self.num_heads, dtype=self.dtype,
+                     name="self_attn")(hq, hq, h)
         if self.use_text_cross_attention:
             h = nn.LayerNorm(epsilon=1e-5, name="norm_ta")(q)
-            q = q + _MHA(self.num_heads, name="text_cross_attn")(
+            q = q + _MHA(self.num_heads, dtype=self.dtype,
+                         name="text_cross_attn")(
                 h + query_pos, prompt, prompt,
                 key_padding_mask=prompt_pad_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="norm_ca")(q)
-        q = q + _MHA(self.num_heads, name="image_cross_attn")(
+        q = q + _MHA(self.num_heads, dtype=self.dtype,
+                     name="image_cross_attn")(
             h + query_pos, memory + mem_pos, memory)
         h = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")(q)
-        return q + _FFN(self.dim_feedforward, name="ffn")(h)
+        return q + _FFN(self.dim_feedforward, dtype=self.dtype,
+                        name="ffn")(h)
 
 
 class _BoxHead(nn.Module):
@@ -271,6 +288,7 @@ class QueryDecoder(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 2048
     presence_token: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, memory, mem_pos, prompt, prompt_pad_mask=None):
@@ -289,7 +307,7 @@ class QueryDecoder(nn.Module):
         all_boxes = []
         for i in range(self.num_layers):
             q = DecoderLayer(self.num_heads, self.dim_feedforward,
-                             name=f"layer_{i}")(
+                             dtype=self.dtype, name=f"layer_{i}")(
                 q, query_pos, memory, mem_pos, prompt, prompt_pad_mask)
             hq = nn.LayerNorm(epsilon=1e-5, name=f"norm_out_{i}")(q)
             delta = box_head(hq[:, :Q])
@@ -326,19 +344,22 @@ class PixelDecoder(nn.Module):
     (maskformer_segmentation.py:172)."""
 
     hidden_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
         """``feats``: list fine→coarse of (B, h, w, d). Returns (B, H, W, d)
         at the finest level's resolution."""
-        prev = feats[-1]
+        prev = feats[-1].astype(self.dtype)
         for li, f in enumerate(feats[:-1][::-1]):
-            prev = jax.image.resize(prev, f.shape, "nearest") + f
+            prev = jax.image.resize(prev, f.shape, "nearest") \
+                + f.astype(self.dtype)
             prev = nn.Conv(self.hidden_dim, (3, 3), padding="SAME",
-                           name=f"conv_{li}")(prev)
-            prev = nn.GroupNorm(num_groups=8, name=f"norm_{li}")(prev)
+                           dtype=self.dtype, name=f"conv_{li}")(prev)
+            prev = nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                                name=f"norm_{li}")(prev)
             prev = nn.relu(prev)
-        return prev
+        return prev.astype(jnp.float32)
 
 
 class MaskPredictor(nn.Module):
@@ -421,6 +442,8 @@ class Sam3Detector(nn.Module):
             window_size=self.window_size,
             global_att_blocks=self.global_att_blocks, remat=self.remat,
             dtype=self.dtype, name="backbone")(x)
+        # measured on v5e: bf16 on the small-spatial neck/decoder/pixel
+        # stages LOSES (~17 ms of relayouts); only the trunk runs bf16
         feats, poss = SimpleFPNNeck(self.d_model, name="neck")(trunk)
         # encoder memory: the 1.0-scale level (stride = patch size)
         lvl = 2

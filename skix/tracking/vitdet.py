@@ -268,6 +268,7 @@ class SimpleFPNNeck(nn.Module):
 
     d_model: int = 256
     scale_factors: Sequence[float] = (4.0, 2.0, 1.0, 0.5)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat) -> Tuple[list, list]:
@@ -276,24 +277,28 @@ class SimpleFPNNeck(nn.Module):
         dim = feat.shape[-1]
         outs, poss = [], []
         for si, scale in enumerate(self.scale_factors):
-            x = feat
+            x = feat.astype(self.dtype)
             if scale == 4.0:
                 x = nn.ConvTranspose(dim // 2, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype,
                                      name=f"s{si}_dconv0")(x)
                 x = nn.gelu(x, approximate=False)
                 x = nn.ConvTranspose(dim // 4, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype,
                                      name=f"s{si}_dconv1")(x)
             elif scale == 2.0:
                 x = nn.ConvTranspose(dim // 2, (2, 2), strides=(2, 2),
+                                     dtype=self.dtype,
                                      name=f"s{si}_dconv0")(x)
             elif scale == 0.5:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             elif scale != 1.0:
                 raise NotImplementedError(f"scale {scale}")
-            x = nn.Conv(self.d_model, (1, 1), name=f"s{si}_conv1x1")(x)
+            x = nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
+                        name=f"s{si}_conv1x1")(x)
             x = nn.Conv(self.d_model, (3, 3), padding="SAME",
-                        name=f"s{si}_conv3x3")(x)
-            outs.append(x)
+                        dtype=self.dtype, name=f"s{si}_conv3x3")(x)
+            outs.append(x.astype(jnp.float32))
             poss.append(jnp.asarray(sincos_position_map(
                 x.shape[1], x.shape[2], self.d_model)))
         return outs, poss
