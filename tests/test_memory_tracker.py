@@ -143,3 +143,81 @@ class TestReferenceCapabilityPieces:
         masks, scores = propagate_object(model, variables, frames, first)
         assert masks.shape == (3, gh, gw)
         assert np.all(np.isfinite(masks)) and np.all(np.isfinite(scores))
+
+
+class TestSamMaskDecoder:
+    def _setup(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from skix.tracking.sam_decoder import SamMaskDecoder
+
+        rng = np.random.default_rng(77)
+        dec = SamMaskDecoder(transformer_dim=32, num_heads=4, depth=2)
+        feat = jnp.asarray(rng.normal(size=(2, 8, 8, 32)), jnp.float32)
+        v = dec.init(jax.random.PRNGKey(0), feat)
+        return dec, feat, v
+
+    def test_output_contract(self):
+        import numpy as np
+
+        import jax
+
+        dec, feat, v = self._setup()
+        out = dec.apply(v, feat)
+        assert out.mask_logits.shape == (2, 32, 32)        # 4× upscale
+        assert out.all_mask_logits.shape == (2, 4, 32, 32)  # 1 + 3 multi
+        assert out.iou_pred.shape == (2, 4)
+        assert out.obj_score.shape == (2,)
+        assert out.mask_token.shape == (2, 32)
+        for leaf in jax.tree.leaves(out):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def test_multimask_selects_best_iou(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        dec, feat, v = self._setup()
+        out = dec.apply(v, feat, multimask_output=True)
+        best = np.asarray(jnp.argmax(out.iou_pred[:, 1:], -1)) + 1
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out.mask_logits[b]),
+                np.asarray(out.all_mask_logits[b, best[b]]))
+
+    def test_prompt_tokens_condition_output(self):
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from skix.tracking.sam_decoder import SamMaskDecoder
+
+        rng = np.random.default_rng(78)
+        dec = SamMaskDecoder(transformer_dim=32, num_heads=4, depth=1)
+        feat = jnp.asarray(rng.normal(size=(1, 8, 8, 32)), jnp.float32)
+        p1 = jnp.asarray(rng.normal(size=(1, 2, 32)), jnp.float32)
+        v = dec.init(jax.random.PRNGKey(0), feat, prompt_tokens=p1)
+        o1 = dec.apply(v, feat, prompt_tokens=p1)
+        o2 = dec.apply(v, feat, prompt_tokens=p1 * -1.0)
+        assert not np.allclose(np.asarray(o1.mask_logits),
+                               np.asarray(o2.mask_logits))
+
+    def test_jit_and_grad(self):
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        dec, feat, v = self._setup()
+
+        def loss(v):
+            out = dec.apply(v, feat)
+            return (jnp.sum(out.mask_logits ** 2) * 1e-3
+                    + jnp.sum(out.iou_pred ** 2)
+                    + jnp.sum(out.obj_score ** 2))
+
+        g = jax.jit(jax.grad(loss))(v)
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree.leaves(g))
