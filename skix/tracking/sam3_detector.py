@@ -57,7 +57,7 @@ class _MHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v, key_padding_mask=None):
+    def __call__(self, q, k, v, key_padding_mask=None, attn_bias=None):
         B, Lq, C = q.shape
         hd = C // self.num_heads
         qh = nn.Dense(C, dtype=self.dtype,
@@ -70,6 +70,8 @@ class _MHA(nn.Module):
                                            self.num_heads, hd)
         s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+        if attn_bias is not None:
+            s = s + attn_bias  # (B, heads, Lq, Lk)
         if key_padding_mask is not None:
             s = jnp.where(key_padding_mask[:, None, None, :], -1e9, s)
         p = nn.softmax(s, axis=-1).astype(vh.dtype)
@@ -252,7 +254,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, q, query_pos, memory, mem_pos, prompt,
-                 prompt_pad_mask=None):
+                 prompt_pad_mask=None, attn_bias=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm_sa")(q)
         hq = h + query_pos
         q = q + _MHA(self.num_heads, dtype=self.dtype,
@@ -266,10 +268,49 @@ class DecoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="norm_ca")(q)
         q = q + _MHA(self.num_heads, dtype=self.dtype,
                      name="image_cross_attn")(
-            h + query_pos, memory + mem_pos, memory)
+            h + query_pos, memory + mem_pos, memory, attn_bias=attn_bias)
         h = nn.LayerNorm(epsilon=1e-5, name="norm_ffn")(q)
         return q + _FFN(self.dim_feedforward, dtype=self.dtype,
                         name="ffn")(h)
+
+
+class BoxRPB(nn.Module):
+    """Box relative position bias, 'log' mode (reference decoder.py:331):
+    per query box, signed-log deltas from each feature row/column to the
+    box's y/x edges go through per-axis 2-layer MLPs producing per-head
+    biases, combined separably over (H, W)."""
+
+    num_heads: int = 8
+    d_model: int = 256
+
+    @nn.compact
+    def __call__(self, boxes_cxcywh, h: int, w: int):
+        """``boxes (B, Q, 4)`` normalized → bias (B, heads, Q, h·w)."""
+        cx, cy, bw, bh = [boxes_cxcywh[..., i] for i in range(4)]
+        x1, x2 = cx - bw / 2, cx + bw / 2
+        y1, y2 = cy - bh / 2, cy + bh / 2
+        coords_h = (jnp.arange(h) + 0.5) / h
+        coords_w = (jnp.arange(w) + 0.5) / w
+        dy = coords_h[None, None, :, None] - jnp.stack(
+            [y1, y2], -1)[:, :, None, :]                   # (B, Q, h, 2)
+        dx = coords_w[None, None, :, None] - jnp.stack(
+            [x1, x2], -1)[:, :, None, :]                   # (B, Q, w, 2)
+
+        def logmap(d):
+            d = d * 8.0
+            return jnp.sign(d) * jnp.log2(jnp.abs(d) + 1.0) / np.log2(8.0)
+
+        def axis_mlp(d, name):
+            hdn = nn.Dense(self.d_model, name=f"{name}_fc1")(d)
+            hdn = nn.relu(hdn)
+            return nn.Dense(self.num_heads, name=f"{name}_fc2")(hdn)
+
+        by = axis_mlp(logmap(dy), "embed_y")               # (B, Q, h, heads)
+        bx = axis_mlp(logmap(dx), "embed_x")               # (B, Q, w, heads)
+        bias = by[:, :, :, None, :] + bx[:, :, None, :, :]  # (B,Q,h,w,heads)
+        B, Q = boxes_cxcywh.shape[:2]
+        return bias.reshape(B, Q, h * w, self.num_heads).transpose(
+            0, 3, 1, 2)
 
 
 class _BoxHead(nn.Module):
@@ -288,10 +329,12 @@ class QueryDecoder(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 2048
     presence_token: bool = True
+    box_rpb: str = "none"  # "none" | "log" (reference builder: "log")
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, memory, mem_pos, prompt, prompt_pad_mask=None):
+    def __call__(self, memory, mem_pos, prompt, prompt_pad_mask=None,
+                 feat_hw=None):
         B = memory.shape[0]
         C = memory.shape[-1]
         Q = self.num_queries
@@ -304,11 +347,26 @@ class QueryDecoder(nn.Module):
         boxes = jnp.broadcast_to(boxes, (B, Q, 4))
         box_head = _BoxHead(name="box_head")  # shared across layers
 
+        rpb = None
+        if self.box_rpb == "log":
+            assert feat_hw is not None, "box_rpb needs the memory (h, w)"
+            rpb = BoxRPB(self.num_heads, C, name="box_rpb")
         all_boxes = []
         for i in range(self.num_layers):
+            attn_bias = None
+            if rpb is not None:
+                # bias from the CURRENT reference boxes (refined per layer);
+                # the presence token attends unbiased (zero rows)
+                bias_q = rpb(boxes, *feat_hw)
+                if self.presence_token:
+                    attn_bias = jnp.concatenate(
+                        [bias_q, jnp.zeros_like(bias_q[:, :, :1])], axis=2)
+                else:
+                    attn_bias = bias_q
             q = DecoderLayer(self.num_heads, self.dim_feedforward,
                              dtype=self.dtype, name=f"layer_{i}")(
-                q, query_pos, memory, mem_pos, prompt, prompt_pad_mask)
+                q, query_pos, memory, mem_pos, prompt, prompt_pad_mask,
+                attn_bias=attn_bias)
             hq = nn.LayerNorm(epsilon=1e-5, name=f"norm_out_{i}")(q)
             delta = box_head(hq[:, :Q])
             boxes = jax.nn.sigmoid(_inverse_sigmoid(boxes) + delta)
@@ -410,6 +468,7 @@ class Sam3Detector(nn.Module):
     decoder_layers: int = 6
     max_points: int = 8
     max_boxes: int = 4
+    box_rpb: str = "log"  # reference builder config (decoder.py boxRPB)
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -489,8 +548,9 @@ class Sam3Detector(nn.Module):
             src, pos, prompt, prompt_pad)
 
         queries, out_boxes, all_boxes, presence = QueryDecoder(
-            self.num_queries, self.decoder_layers, name="decoder")(
-            memory, pos, prompt, prompt_pad)
+            self.num_queries, self.decoder_layers, box_rpb=self.box_rpb,
+            name="decoder")(
+            memory, pos, prompt, prompt_pad, feat_hw=(h, w))
 
         scores = DotProductScoring(self.d_model, name="scoring")(
             queries, prompt, prompt_pad)

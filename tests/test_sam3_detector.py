@@ -333,3 +333,37 @@ class TestViTDetConverter:
                           jnp.asarray(img.transpose(0, 2, 3, 1)))
         np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
                                    want, atol=1e-4)
+
+
+class TestBoxRPB:
+    def test_bias_peaks_inside_the_box(self):
+        """A head-summed RPB for a box centered at (0.25, 0.25) must differ
+        between feature cells inside vs far from the box."""
+        from skix.tracking.sam3_detector import BoxRPB
+
+        rpb = BoxRPB(num_heads=2, d_model=16)
+        boxes = jnp.asarray([[[0.25, 0.25, 0.3, 0.3]]])
+        v = rpb.init(jax.random.PRNGKey(0), boxes, 8, 8)
+        bias = rpb.apply(v, boxes, 8, 8)  # (1, 2, 1, 64)
+        assert bias.shape == (1, 2, 1, 64)
+        grid = np.asarray(bias[0].sum(0)[0]).reshape(8, 8)
+        # the map must vary with position (a constant bias would be useless)
+        assert grid.std() > 1e-4
+        # symmetric-by-construction inputs: moving the box moves the map
+        boxes2 = jnp.asarray([[[0.75, 0.75, 0.3, 0.3]]])
+        grid2 = np.asarray(rpb.apply(v, boxes2, 8, 8)[0].sum(0)[0]).reshape(
+            8, 8)
+        assert not np.allclose(grid, grid2)
+        # translational structure: the (0.25,0.25) map at cell (2,2)
+        # matches the (0.75,0.75) map at cell (6,6)
+        np.testing.assert_allclose(grid[2, 2], grid2[6, 6], atol=1e-5)
+
+    def test_disabled_rpb_changes_nothing_structurally(self):
+        m = Sam3Detector.tiny(box_rpb="none")
+        rng = np.random.default_rng(905)
+        imgs = jnp.asarray(rng.uniform(0, 1, (1, 112, 112, 3)), jnp.float32)
+        text = jnp.asarray(rng.normal(0, 0.1, (1, 4, 64)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), imgs, text)
+        out = m.apply(v, imgs, text)
+        assert np.all(np.isfinite(np.asarray(out.scores)))
+        assert "box_rpb" not in v["params"]["decoder"]
