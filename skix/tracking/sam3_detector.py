@@ -379,21 +379,26 @@ class QueryDecoder(nn.Module):
 # scoring + segmentation heads
 # --------------------------------------------------------------------------
 class DotProductScoring(nn.Module):
-    """Query ↔ pooled-prompt dot product (model_builder.py:193: residual
-    2-layer prompt MLP with output LN, then scaled inner product)."""
+    """Query ↔ pooled-prompt dot product (model_misc.py:37 + builder
+    model_builder.py:193): residual 2-layer prompt MLP with output LN
+    applied PER TOKEN, masked mean pool, projections to d_proj, scaled
+    inner product, logits clamped to ±12 (the reference's numerical
+    guard for matcher/loss)."""
 
     d_proj: int = 256
+    clamp_max_val: float = 12.0
 
     @nn.compact
     def __call__(self, queries, prompt, prompt_pad_mask=None):
-        pooled = pool_prompt(prompt, prompt_pad_mask)
-        h = nn.Dense(2048, name="prompt_fc1")(pooled)
+        h = nn.Dense(2048, name="prompt_fc1")(prompt)
         h = nn.relu(h)
-        h = nn.Dense(pooled.shape[-1], name="prompt_fc2")(h)
-        pooled = nn.LayerNorm(epsilon=1e-5, name="prompt_norm")(pooled + h)
+        h = nn.Dense(prompt.shape[-1], name="prompt_fc2")(h)
+        prompt = nn.LayerNorm(epsilon=1e-5, name="prompt_norm")(prompt + h)
+        pooled = pool_prompt(prompt, prompt_pad_mask)
         pq = nn.Dense(self.d_proj, name="proj_q")(queries)
         pp = nn.Dense(self.d_proj, name="proj_p")(pooled)
-        return jnp.einsum("bqc,bc->bq", pq, pp) / np.sqrt(self.d_proj)
+        scores = jnp.einsum("bqc,bc->bq", pq, pp) / np.sqrt(self.d_proj)
+        return jnp.clip(scores, -self.clamp_max_val, self.clamp_max_val)
 
 
 class PixelDecoder(nn.Module):
