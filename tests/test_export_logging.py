@@ -51,3 +51,54 @@ class TestMetricLogger:
         with MetricLogger(tmp_path) as ml:
             ml.log(2, a=2.0)
         assert len(read_metrics(tmp_path)) == 2
+
+
+class TestLaunch:
+    def test_single_host_initialize_noop(self):
+        from skix.utils.launch import initialize_distributed
+
+        info = initialize_distributed()
+        assert info["num_processes"] == 1
+        assert info["n_devices"] >= 1
+
+    def test_shard_work_partitions_disjoint_and_complete(self):
+        from skix.utils.launch import shard_work
+
+        items = [f"p{i:02d}" for i in range(11)]
+        parts = [shard_work(items, pid, 3) for pid in range(3)]
+        joined = sorted(sum(parts, []))
+        assert joined == sorted(items)
+        assert all(set(a).isdisjoint(b)
+                   for i, a in enumerate(parts) for b in parts[i + 1:])
+
+    def test_launch_main_runs_a_stage(self, tmp_path):
+        import numpy as np
+
+        from skix.io import PTInfo, save_pt_info
+        from skix.utils.launch import main
+
+        rng = np.random.default_rng(971)
+        T = 8
+        pdir = tmp_path / "pt" / "p01"
+        pdir.mkdir(parents=True)
+        for view in ("osmo_1", "osmo_2"):
+            kpts = rng.uniform(300, 900, (T, 17, 2)).astype(np.float32)
+            score = np.ones((T, 17), np.float32)
+            info = PTInfo(video_name=view, frame_count=T,
+                          img_shape=(1080, 1920), fps=30.0, duration=T / 30,
+                          d2_keypoints=np.concatenate(
+                              [kpts, score[..., None]], -1),
+                          d2_keypoints_score=score)
+            save_pt_info(pdir / f"{view}.npz", info)
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "videopose3d.yaml").write_text(f"""
+paths:
+  pt_root: {tmp_path / 'pt'}
+  out_root: {tmp_path / 'out'}
+checkpoint: null
+filter_widths: [3, 3]
+channels: 16
+""")
+        main(["videopose3d", f"--config-dir={cdir}"])
+        assert list((tmp_path / "out").rglob("*.npy"))
