@@ -367,3 +367,45 @@ class TestBoxRPB:
         out = m.apply(v, imgs, text)
         assert np.all(np.isfinite(np.asarray(out.scores)))
         assert "box_rpb" not in v["params"]["decoder"]
+
+
+class TestSam3Processor:
+    def test_request_protocol(self):
+        """set_image → text prompt → incremental box/point prompts →
+        threshold update → reset (reference Sam3Processor protocol)."""
+        from skix.tracking.image_processor import Sam3Processor
+
+        rng = np.random.default_rng(910)
+        det = Sam3Detector.tiny(d_model=64)
+        proc = Sam3Processor(det, confidence_threshold=0.0)
+        img = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+        state = proc.set_image(img)
+        out = proc.set_text_prompt("person", state)
+        assert out["all_boxes_xyxy"].shape == (det.num_queries, 4)
+        assert np.isfinite(out["all_scores"]).all()
+        # boxes scale back to ORIGINAL image pixels
+        assert float(out["all_boxes_xyxy"][:, 2].max()) <= 300 + 1e-3
+
+        before = out["all_scores"].copy()
+        out2 = proc.add_geometric_prompt([0.5, 0.5, 0.4, 0.6], True, state)
+        assert not np.allclose(out2["all_scores"], before)
+        out3 = proc.add_point_prompt([0.3, 0.4], True, state)
+        assert out3["all_scores"].shape == before.shape
+
+        proc.set_confidence_threshold(1.1, state)
+        assert len(state.results["boxes_xyxy"]) == 0  # nothing passes 1.1
+
+        state = proc.reset_all_prompts(state)
+        assert state.results is None and state.boxes is None
+
+    def test_geometric_only_prompting_uses_visual_text(self):
+        from skix.tracking.image_processor import Sam3Processor
+
+        rng = np.random.default_rng(911)
+        det = Sam3Detector.tiny(d_model=64)
+        proc = Sam3Processor(det, confidence_threshold=0.0)
+        state = proc.set_image(
+            rng.integers(0, 255, (112, 112, 3)).astype(np.uint8))
+        out = proc.add_geometric_prompt([0.5, 0.5, 0.3, 0.3], True, state)
+        assert "all_scores" in out  # ran with the "visual" stand-in text
+        assert state.text_memory is not None
