@@ -185,3 +185,20 @@ def cli_main(name: str):
         return wrapper
 
     return deco
+
+
+def iter_person_dirs(root, cfg=None):
+    """Sorted person directories under ``root``, filtered by the
+    ``only_persons`` override (comma-separated names or a list) — the
+    hook the multi-host launcher uses to shard work across processes
+    (skix.utils.launch)."""
+    from pathlib import Path
+
+    only = cfg.get("only_persons") if cfg is not None else None
+    if isinstance(only, str):
+        only = [p.strip() for p in only.split(",") if p.strip()]
+    dirs = sorted(d for d in Path(root).iterdir() if d.is_dir())
+    if only:
+        keep = set(only)
+        dirs = [d for d in dirs if d.name in keep]
+    return dirs

@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 from skix.front_side import (BEVConfig, bev_homography, draw_bev_skeleton,
                              foot_from_bbox_xyxy, project_world_to_bev)
 
@@ -102,7 +102,7 @@ def main(cfg):
     from skix.pipelines.fuse import _resolve_person_views
 
     reports = {}
-    for person_dir in sorted(d for d in side_root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(side_root, cfg):
         views = _resolve_person_views(person_dir)
         fb = front_root / person_dir.name / "person_bboxes.npy"
         if not views or not fb.exists():

@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -116,7 +116,7 @@ def main(cfg):
     root = Path(cfg.paths.in_root)
     out_root = Path(cfg.paths.out_root)
     reports = {}
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         views = _resolve_person_views(person_dir)
         if not views:
             log.warning("person %s: could not resolve 2 views", person_dir.name)

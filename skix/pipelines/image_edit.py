@@ -23,7 +23,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -155,7 +155,7 @@ def main(cfg):
     edits = cfg.get("edits", [{"rotate_deg": 30.0}, {"rotate_deg": -30.0}])
     stride = int(cfg.get("frame_stride", 30))
     report = {}
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         for video in sorted(person_dir.glob("*.mp4")):
             frames = read_video(video, max_frames=cfg.get("max_frames"))
             out_dir = out_root / person_dir.name / video.stem

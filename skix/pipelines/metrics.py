@@ -15,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -96,7 +96,7 @@ def main(cfg):
     out_root = Path(cfg.paths.out_root)
     gt_root = cfg.get("gt_root")
     results = {}
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         gt_path = None
         if gt_root:
             for cand in (f"{person_dir.name}.npy",

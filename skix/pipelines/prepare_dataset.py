@@ -28,7 +28,7 @@ from typing import Callable, Dict
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 from skix.io import PTInfo, check_pt_info_shapes, save_pt_info
 from skix.io.video import probe_video, read_video_chunks
 
@@ -224,7 +224,7 @@ def main(cfg):
     root = Path(cfg.paths.video_root)
     out_root = Path(cfg.paths.out_root)
     done, failed, skipped = 0, 0, 0
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         for video in sorted(person_dir.glob("*.mp4")):
             out_path = out_root / person_dir.name / f"{video.stem}.npz"
             if out_path.exists() and not bool(cfg.get("overwrite", False)):

@@ -20,7 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -102,7 +102,7 @@ def main(cfg):
     root = Path(cfg.paths.video_root)
     out_root = Path(cfg.paths.out_root)
     reports = {}
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         for video in sorted(person_dir.glob("*.mp4")):
             try:
                 reports[f"{person_dir.name}/{video.stem}"] = process_video(

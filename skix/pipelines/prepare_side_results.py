@@ -20,7 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -75,7 +75,7 @@ def main(cfg):
     root = Path(cfg.paths.pt_root)
     out_root = Path(cfg.paths.out_root)
     report = {}
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         for rec in sorted(person_dir.glob("*.npz")) + sorted(person_dir.glob("*.pt")):
             if rec.name.endswith(".detections.npz"):
                 continue

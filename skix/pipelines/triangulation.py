@@ -22,7 +22,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -288,7 +288,7 @@ def main(cfg):
     out_root = Path(cfg.paths.out_root)
     methods = list(cfg.get("methods", ["kpt"]))
 
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         records = sorted(person_dir.glob("*.npz")) + sorted(person_dir.glob("*.pt"))
         if len(records) < 2:
             continue

@@ -22,7 +22,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -212,7 +212,7 @@ def main(cfg):
     reports = {}
     if mode == "single":
         root = Path(cfg.paths.video_root)
-        for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+        for person_dir in iter_person_dirs(root, cfg):
             for video in sorted(person_dir.glob("*.mp4")):
                 try:
                     reports[f"{person_dir.name}/{video.stem}"] = \
@@ -222,7 +222,7 @@ def main(cfg):
                     log.exception("%s failed", video)
     else:
         root = Path(cfg.paths.pt_root)
-        for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+        for person_dir in iter_person_dirs(root, cfg):
             recs = sorted(person_dir.glob("*.npz")) + sorted(person_dir.glob("*.pt"))
             if len(recs) < 2:
                 continue

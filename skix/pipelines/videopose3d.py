@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from skix.config import cli_main
+from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
@@ -170,7 +170,7 @@ def main(cfg):
     root = Path(cfg.paths.pt_root)
     out_root = Path(cfg.paths.out_root)
     results = {}
-    for person_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+    for person_dir in iter_person_dirs(root, cfg):
         out_dir = out_root / person_dir.name
         out_dir.mkdir(parents=True, exist_ok=True)
         try:

@@ -32,6 +32,7 @@ class _ImageState:
     image: jnp.ndarray            # (1, S, S, 3) resized, [0, 1]
     original_hw: tuple
     text_memory: Optional[jnp.ndarray] = None     # (1, L, d_model)
+    text_pad: Optional[jnp.ndarray] = None        # (1, L) bool True=PAD
     boxes: Optional[np.ndarray] = None            # (Nb, 4) normalized cxcywh
     box_labels: Optional[np.ndarray] = None       # (Nb,)
     points: Optional[np.ndarray] = None           # (Np, 2) normalized xy
@@ -77,31 +78,42 @@ class Sam3Processor:
                 variables = {**variables, "params": merged}
         self.variables = variables
         self._fwd = jax.jit(self._forward)
+        self._preprocess = jax.jit(
+            lambda img: jax.image.resize(img, (size, size, 3),
+                                         "bilinear")[None])
 
     # ---------------- request API ----------------
     def set_image(self, image: np.ndarray, state: Optional[dict] = None
                   ) -> _ImageState:
-        """``image (H, W, 3) uint8/float`` → new prompt state."""
-        img = jnp.asarray(image, jnp.float32)
-        if float(img.max()) > 1.5:
-            img = img / 255.0
-        H, W = img.shape[:2]
-        size = self.detector.img_size
-        img = jax.image.resize(img, (size, size, 3), "bilinear")[None]
-        return _ImageState(image=img, original_hw=(H, W))
+        """``image (H, W, 3)`` uint8 (0..255) or float (0..1) → state.
+        Normalization branches on DTYPE (a value heuristic would
+        mis-scale dark uint8 frames); resize runs jitted (eager dispatch
+        through the axon tunnel is ~0.5 s/op)."""
+        image = np.asarray(image)
+        H, W = image.shape[:2]
+        if np.issubdtype(image.dtype, np.integer):
+            img = jnp.asarray(image, jnp.float32) / 255.0
+        else:
+            img = jnp.asarray(image, jnp.float32)
+        return _ImageState(image=self._preprocess(img),
+                           original_hw=(H, W))
 
     def set_text_prompt(self, prompt: str, state: _ImageState) -> Dict:
         if self.clip is not None:
             tokenizer, encoder, variables = self.clip
             tokens = jnp.asarray(tokenizer([prompt]))
-            _, resized, _ = encoder.apply(variables, tokens)
+            valid_mask, resized, _ = encoder.apply(variables, tokens)
             state.text_memory = resized
+            # VETextEncoder returns True=VALID; the detector pad mask is
+            # True=PAD (torch convention) — invert
+            state.text_pad = ~valid_mask
         else:
             from skix.tracking.detector import embed_text_prompt
 
             vec = embed_text_prompt(prompt, self.detector.d_model)
             state.text_memory = jnp.tile(jnp.asarray(vec)[None, None],
                                          (1, 4, 1))
+            state.text_pad = jnp.zeros((1, 4), bool)
         return self._run(state)
 
     def add_geometric_prompt(self, box: List[float], label: bool,
@@ -137,6 +149,7 @@ class Sam3Processor:
 
     def reset_all_prompts(self, state: _ImageState) -> _ImageState:
         state.text_memory = None
+        state.text_pad = None
         state.boxes = state.box_labels = None
         state.points = state.point_labels = None
         state.results = None
@@ -150,13 +163,18 @@ class Sam3Processor:
         return None
 
     # ---------------- grounding ----------------
-    def _forward(self, variables, image, text, pts, plab, pval, bxs, blab,
-                 bval):
-        det = self.detector.apply(variables, image, text, points=pts,
+    def _forward(self, variables, image, text, text_pad, pts, plab, pval,
+                 bxs, blab, bval):
+        det = self.detector.apply(variables, image, text,
+                                  text_pad_mask=text_pad, points=pts,
                                   point_labels=plab, point_valid=pval,
                                   boxes=bxs, box_labels=blab, box_valid=bval)
-        return (det.boxes_cxcywh[0], jax.nn.sigmoid(det.scores[0]),
-                det.mask_logits[0], det.presence[0])
+        # per-query probabilities gated by the presence head (reference
+        # _forward_grounding: sigmoid(scores) * sigmoid(presence))
+        probs = jax.nn.sigmoid(det.scores[0]) \
+            * jax.nn.sigmoid(det.presence[0])
+        return (det.boxes_cxcywh[0], probs, det.mask_logits[0],
+                det.presence[0])
 
     def _run(self, state: _ImageState) -> Dict:
         Np = self.detector.max_points
@@ -185,9 +203,9 @@ class Sam3Processor:
                 if (state.boxes is not None or state.points is not None) \
                 else {}
         boxes, scores, masks, presence = self._fwd(
-            self.variables, state.image, text, jnp.asarray(pts),
-            jnp.asarray(plab), jnp.asarray(pval), jnp.asarray(bxs),
-            jnp.asarray(blab), jnp.asarray(bval))
+            self.variables, state.image, text, state.text_pad,
+            jnp.asarray(pts), jnp.asarray(plab), jnp.asarray(pval),
+            jnp.asarray(bxs), jnp.asarray(blab), jnp.asarray(bval))
         boxes = np.asarray(boxes)
         scores = np.asarray(scores)
         keep = scores >= self.confidence_threshold

@@ -475,7 +475,11 @@ class Sam3Detector(nn.Module):
     max_boxes: int = 4
     box_rpb: str = "log"  # reference builder config (decoder.py boxRPB)
     remat: bool = False
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32       # trunk compute dtype
+    # compute dtype of the neck/encoder/decoder/pixel-decoder tail —
+    # measured on v5e: bf16 here LOSES (~17 ms of relayouts at small
+    # spatial sizes), so it defaults to f32 independent of the trunk
+    head_dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def full_size(cls, **kw):
@@ -506,9 +510,8 @@ class Sam3Detector(nn.Module):
             window_size=self.window_size,
             global_att_blocks=self.global_att_blocks, remat=self.remat,
             dtype=self.dtype, name="backbone")(x)
-        # measured on v5e: bf16 on the small-spatial neck/decoder/pixel
-        # stages LOSES (~17 ms of relayouts); only the trunk runs bf16
-        feats, poss = SimpleFPNNeck(self.d_model, name="neck")(trunk)
+        feats, poss = SimpleFPNNeck(self.d_model, dtype=self.head_dtype,
+                                    name="neck")(trunk)
         # encoder memory: the 1.0-scale level (stride = patch size)
         lvl = 2
         f = feats[lvl]
@@ -549,12 +552,13 @@ class Sam3Detector(nn.Module):
         prompt = jnp.concatenate(prompt_parts, axis=1)
         prompt_pad = jnp.concatenate(pad_parts, axis=1)
 
-        memory = FusionEncoder(self.encoder_layers, name="encoder")(
+        memory = FusionEncoder(self.encoder_layers, dtype=self.head_dtype,
+                               name="encoder")(
             src, pos, prompt, prompt_pad)
 
         queries, out_boxes, all_boxes, presence = QueryDecoder(
             self.num_queries, self.decoder_layers, box_rpb=self.box_rpb,
-            name="decoder")(
+            dtype=self.head_dtype, name="decoder")(
             memory, pos, prompt, prompt_pad, feat_hw=(h, w))
 
         scores = DotProductScoring(self.d_model, name="scoring")(
@@ -568,8 +572,8 @@ class Sam3Detector(nn.Module):
         # top-down pixel decoding over the finer levels
         fused = memory.reshape(B, h, w, self.d_model)
         pyramid = [feats[0], feats[1], fused]  # fine → coarse
-        pixel_embed = PixelDecoder(self.d_model, name="pixel_decoder")(
-            pyramid)
+        pixel_embed = PixelDecoder(self.d_model, dtype=self.head_dtype,
+                                   name="pixel_decoder")(pyramid)
         masks = MaskPredictor(self.d_model, name="mask_predictor")(
             queries, pixel_embed)
 

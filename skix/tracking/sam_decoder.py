@@ -111,7 +111,11 @@ class SamMaskDecoder(nn.Module):
         if prompt_tokens is not None:
             parts.append(prompt_tokens)
         tokens = jnp.concatenate(parts, axis=1)
-        token_pe = jnp.zeros_like(tokens)
+        # SAM re-injects the ORIGINAL token embeddings as positional
+        # encoding at every two-way block (reference sam/transformer.py:
+        # queries + point_embedding each layer; the first block's
+        # self-attention skips the addition since queries == PE there)
+        token_pe = tokens
 
         if image_pe is None:
             from skix.tracking.vitdet import sincos_position_map

@@ -38,11 +38,23 @@ def initialize_distributed(coordinator: Optional[str] = None,
     process_id = int(process_id if process_id is not None
                      else os.environ.get("SKIX_PROCESS_ID", 0))
     if num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-        log.info("jax.distributed initialized: process %d/%d",
-                 process_id, num_processes)
+        if not coordinator:
+            raise ValueError(
+                "SKIX_NUM_PROCESSES > 1 requires SKIX_COORDINATOR "
+                "(host:port of process 0)")
+        already = getattr(initialize_distributed, "_initialized", False)
+        if already:
+            log.info("jax.distributed already initialized — skipping")
+        elif os.environ.get("SKIX_FAKE_RENDEZVOUS"):
+            log.info("SKIX_FAKE_RENDEZVOUS set — skipping the real "
+                     "jax.distributed rendezvous (tests/smoke only)")
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+            initialize_distributed._initialized = True
+            log.info("jax.distributed initialized: process %d/%d",
+                     process_id, num_processes)
     return {
         "process_id": process_id,
         "num_processes": num_processes,
@@ -60,19 +72,43 @@ def shard_work(items: Sequence, process_id: int, num_processes: int) -> list:
 
 
 def main(argv: Optional[list] = None) -> None:
-    """``python -m skix.utils.launch <stage> [key=value ...]`` — rendezvous
-    (if configured), then run the stage CLI with the person list sharded
-    across processes via the ``only_persons`` override when the stage
-    supports it; otherwise stages dedupe through skip-if-exists."""
+    """``python -m skix.utils.launch <stage> --shard-root=<dir> [k=v ...]``
+
+    Rendezvous (if SKIX_NUM_PROCESSES/SKIX_COORDINATOR configured), shard
+    the person directories under ``--shard-root`` across processes, and
+    run the stage CLI restricted to this process's share via the
+    ``only_persons`` override (every person-iterating stage honors it
+    through skix.config.iter_person_dirs). Without ``--shard-root`` the
+    stage runs unsharded (single host / file-level skip-if-exists)."""
     import importlib
     import sys
+    from pathlib import Path
 
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
         raise SystemExit("usage: python -m skix.utils.launch <stage> "
-                         "[overrides...]")
-    stage, overrides = args[0], args[1:]
+                         "[--shard-root=DIR] [overrides...]")
+    stage = args[0]
+    overrides = []
+    shard_root = os.environ.get("SKIX_SHARD_ROOT")
+    for a in args[1:]:
+        if a.startswith("--shard-root="):
+            shard_root = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
     info = initialize_distributed()
+    if shard_root and info["num_processes"] > 1:
+        persons = [d.name for d in sorted(Path(shard_root).iterdir())
+                   if d.is_dir()]
+        mine = shard_work(persons, info["process_id"],
+                          info["num_processes"])
+        if not mine:
+            log.info("process %d: no persons in its share — exiting",
+                     info["process_id"])
+            return
+        overrides.append("only_persons=" + ",".join(mine))
+        log.info("process %d/%d handles persons: %s", info["process_id"],
+                 info["num_processes"], ",".join(mine))
     log.info("launching stage %s on process %d/%d (%d devices)", stage,
              info["process_id"], info["num_processes"], info["n_devices"])
     mod = importlib.import_module(f"skix.pipelines.{stage}")

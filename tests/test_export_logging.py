@@ -102,3 +102,44 @@ channels: 16
 """)
         main(["videopose3d", f"--config-dir={cdir}"])
         assert list((tmp_path / "out").rglob("*.npy"))
+
+    def test_launch_shards_persons_across_processes(self, tmp_path,
+                                                    monkeypatch):
+        import numpy as np
+
+        from skix.io import PTInfo, save_pt_info
+        from skix.utils.launch import initialize_distributed, main
+
+        rng = np.random.default_rng(972)
+        T = 8
+        for person in ("p01", "p02", "p03"):
+            pdir = tmp_path / "pt" / person
+            pdir.mkdir(parents=True)
+            for view in ("osmo_1", "osmo_2"):
+                kpts = rng.uniform(300, 900, (T, 17, 2)).astype(np.float32)
+                score = np.ones((T, 17), np.float32)
+                save_pt_info(pdir / f"{view}.npz", PTInfo(
+                    video_name=view, frame_count=T, img_shape=(1080, 1920),
+                    fps=30.0, duration=T / 30,
+                    d2_keypoints=np.concatenate(
+                        [kpts, score[..., None]], -1),
+                    d2_keypoints_score=score))
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "videopose3d.yaml").write_text(f"""
+paths:
+  pt_root: {tmp_path / 'pt'}
+  out_root: {tmp_path / 'out'}
+checkpoint: null
+filter_widths: [3, 3]
+channels: 16
+""")
+        monkeypatch.setenv("SKIX_NUM_PROCESSES", "2")
+        monkeypatch.setenv("SKIX_PROCESS_ID", "0")
+        monkeypatch.setenv("SKIX_COORDINATOR", "localhost:0")
+        monkeypatch.setenv("SKIX_FAKE_RENDEZVOUS", "1")
+        initialize_distributed._initialized = False
+        main(["videopose3d", f"--shard-root={tmp_path / 'pt'}",
+              f"--config-dir={cdir}"])
+        done = {p.parent.name for p in (tmp_path / "out").rglob("*.npy")}
+        assert done == {"p01", "p03"}  # process 0 of 2: indices 0, 2
