@@ -15,6 +15,7 @@ arrays; object slots batch/vmap and shard over a mesh axis.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import flax.linen as nn
@@ -141,28 +142,78 @@ class MemoryEncoder(nn.Module):
         return nn.Conv(self.features, (1, 1), name="out_proj")(h)
 
 
+class _SlotCrossAttention(nn.Module):
+    """Cross-attention of query tokens over per-slot memory tokens with an
+    online-softmax ``lax.scan`` over slots — the full (Lq, M·L) score tensor
+    is never materialized (at 64×64 features × 7 slots × 8 objects that
+    tensor is ~30 GB; the per-slot transient is M× smaller). Slot validity
+    makes masking exact: an invalid slot contributes zero probability mass.
+
+    Parameter names (query/key/value/out DenseGenerals) match
+    ``nn.MultiHeadDotProductAttention`` so existing checkpoints load
+    unchanged."""
+
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, mem, slot_valid):
+        """``q_in (B, Lq, C)``; ``mem (B, M, L, C)``; ``slot_valid (B, M)``
+        bool. Returns ``(B, Lq, C)``."""
+        C = q_in.shape[-1]
+        H, hd = self.num_heads, C // self.num_heads
+        q = nn.DenseGeneral((H, hd), dtype=self.dtype, name="query")(q_in)
+        k = nn.DenseGeneral((H, hd), dtype=self.dtype, name="key")(mem)
+        v = nn.DenseGeneral((H, hd), dtype=self.dtype, name="value")(mem)
+        q = q * (1.0 / math.sqrt(hd))
+        B, Lq = q.shape[0], q.shape[1]
+
+        def slot_step(carry, xs):
+            m_run, l_run, acc = carry
+            k_s, v_s, valid_s = xs  # (B, L, H, hd) ×2, (B,)
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k_s,
+                           preferred_element_type=jnp.float32)
+            ok = valid_s[:, None, None, None]
+            s = jnp.where(ok, s, -1e30)
+            m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
+            p = jnp.where(ok, jnp.exp(s - m_new[..., None]), 0.0)
+            corr = jnp.exp(m_run - m_new)
+            l_new = corr * l_run + jnp.sum(p, axis=-1)
+            acc_new = corr[..., None] * acc + jnp.einsum(
+                "bhqk,bkhd->bhqd", p, v_s.astype(jnp.float32))
+            return (m_new, l_new, acc_new), None
+
+        init = (jnp.full((B, H, Lq), -1e30, jnp.float32),
+                jnp.zeros((B, H, Lq), jnp.float32),
+                jnp.zeros((B, H, Lq, hd), jnp.float32))
+        (m, l, acc), _ = jax.lax.scan(
+            slot_step, init,
+            (jnp.moveaxis(k, 1, 0), jnp.moveaxis(v, 1, 0),
+             jnp.moveaxis(slot_valid, 1, 0)))
+        out = acc / jnp.maximum(l, 1e-30)[..., None]       # (B, H, Lq, hd)
+        out = jnp.moveaxis(out, 1, 2).astype(self.dtype)   # (B, Lq, H, hd)
+        return nn.DenseGeneral(C, axis=(-2, -1), dtype=self.dtype,
+                               name="out")(out)
+
+
 class MemoryAttention(nn.Module):
     """Cross-attention of current-frame tokens over the memory bank tokens
-    (reference tracker transformer w/ memory cross-attention)."""
+    (reference tracker transformer w/ memory cross-attention). Memory is
+    passed per-slot (``mem (B, M, L, C)``, ``slot_valid (B, M)``) so the
+    attention never materializes the concatenated score tensor."""
 
     num_heads: int = 4
     layers: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, cur_tokens, mem_tokens, mem_valid):
-        # (B, heads, q, kv) bool mask: every query sees only valid memories
-        mask = jnp.broadcast_to(
-            mem_valid[:, None, None, :],
-            (cur_tokens.shape[0], self.num_heads, cur_tokens.shape[1],
-             mem_tokens.shape[1]))
+    def __call__(self, cur_tokens, mem, slot_valid):
         for i in range(self.layers):
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm_q_{i}")(cur_tokens)
-            mk = nn.LayerNorm(epsilon=1e-5, name=f"norm_kv_{i}")(mem_tokens)
-            attn = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, dtype=self.dtype,
-                name=f"cross_{i}")
-            cur_tokens = cur_tokens + attn(h, mk, mask=mask)
+            mk = nn.LayerNorm(epsilon=1e-5, name=f"norm_kv_{i}")(mem)
+            attn = _SlotCrossAttention(num_heads=self.num_heads,
+                                       dtype=self.dtype, name=f"cross_{i}")
+            cur_tokens = cur_tokens + attn(h, mk, slot_valid)
             h2 = nn.LayerNorm(epsilon=1e-5, name=f"norm_mlp_{i}")(cur_tokens)
             cur_tokens = cur_tokens + Mlp(4 * cur_tokens.shape[-1],
                                           dtype=self.dtype,
@@ -246,17 +297,18 @@ class MaskMemoryTracker(nn.Module):
         feats = self.encoder(image)
         B, gh, gw, C = feats.shape
         cur = self.in_proj(feats.reshape(B, gh * gw, C))
-        mem_tokens = bank.mem.reshape(1, -1, bank.mem.shape[-1])
-        mem_tokens = jnp.broadcast_to(
-            mem_tokens, (B, mem_tokens.shape[1], mem_tokens.shape[2]))
-        slot_valid = jnp.repeat(bank.valid, gh * gw)
+        M = bank.mem.shape[0]
+        mem = jnp.broadcast_to(
+            bank.mem.reshape(1, M, gh * gw, bank.mem.shape[-1]),
+            (B, M, gh * gw, bank.mem.shape[-1]))
         any_mem = jnp.any(bank.valid)
-        # with an empty bank, attend to a zero token instead (frame 0)
-        mem_valid = jnp.broadcast_to(
-            jnp.where(any_mem, slot_valid,
-                      jnp.zeros_like(slot_valid).at[0].set(True))[None],
-            (B, slot_valid.shape[0]))
-        tok = self.mem_attn(cur, mem_tokens, mem_valid)
+        # with an empty bank, attend to the zero slot instead (frame 0):
+        # uniform softmax over identical zero keys/values == one zero token
+        slot_valid = jnp.broadcast_to(
+            jnp.where(any_mem, bank.valid,
+                      jnp.zeros_like(bank.valid).at[0].set(True))[None],
+            (B, M))
+        tok = self.mem_attn(cur, mem, slot_valid)
         mask_logits, score = self.decoder(tok, gh, gw)
         new_mem = self.mem_encoder(feats[0], mask_logits[0])
         bank = jax.lax.cond(write,

@@ -221,3 +221,57 @@ class TestSamMaskDecoder:
         g = jax.jit(jax.grad(loss))(v)
         assert all(bool(jnp.all(jnp.isfinite(x)))
                    for x in jax.tree.leaves(g))
+
+
+class TestSlotCrossAttention:
+    """The online-softmax slot scan must equal a dense masked softmax."""
+
+    def _dense_oracle(self, params, q_in, mem, slot_valid, H):
+        # reconstruct dense masked MHA from the same projection weights
+        def proj(name, x):
+            p = params["params"][name]
+            return np.einsum("...c,chd->...hd", x, np.asarray(p["kernel"])) \
+                + np.asarray(p["bias"])
+
+        B, M, L, C = mem.shape
+        hd = C // H
+        q = proj("query", q_in) / np.sqrt(hd)
+        k = proj("key", mem).reshape(B, M * L, H, hd)
+        v = proj("value", mem).reshape(B, M * L, H, hd)
+        s = np.einsum("bqhd,bkhd->bhqk", q, k)
+        ok = np.repeat(slot_valid, L, axis=1)[:, None, None, :]
+        s = np.where(ok, s, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        out = np.einsum("bhqk,bkhd->bqhd", p, v)
+        po = params["params"]["out"]
+        return np.einsum("bqhd,hdc->bqc", out, np.asarray(po["kernel"])) \
+            + np.asarray(po["bias"])
+
+    def test_matches_dense_masked_softmax(self):
+        from skix.tracking.memory_tracker import _SlotCrossAttention
+
+        r = np.random.default_rng(7)
+        B, M, L, Lq, C, H = 2, 4, 8, 6, 16, 2
+        q_in = jnp.asarray(r.standard_normal((B, Lq, C)), jnp.float32)
+        mem = jnp.asarray(r.standard_normal((B, M, L, C)), jnp.float32)
+        valid = jnp.asarray([[True, False, True, False],
+                             [True, True, True, True]])
+        attn = _SlotCrossAttention(num_heads=H)
+        params = attn.init(jax.random.PRNGKey(0), q_in, mem, valid)
+        got = np.asarray(attn.apply(params, q_in, mem, valid))
+        want = self._dense_oracle(params, np.asarray(q_in), np.asarray(mem),
+                                  np.asarray(valid), H)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_single_valid_zero_slot_is_finite(self):
+        from skix.tracking.memory_tracker import _SlotCrossAttention
+
+        r = np.random.default_rng(8)
+        q_in = jnp.asarray(r.standard_normal((1, 5, 16)), jnp.float32)
+        mem = jnp.zeros((1, 3, 4, 16))
+        valid = jnp.asarray([[True, False, False]])
+        attn = _SlotCrossAttention(num_heads=2)
+        params = attn.init(jax.random.PRNGKey(0), q_in, mem, valid)
+        out = attn.apply(params, q_in, mem, valid)
+        assert bool(jnp.all(jnp.isfinite(out)))
