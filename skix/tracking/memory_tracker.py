@@ -293,8 +293,14 @@ class MaskMemoryTracker(nn.Module):
     def step(self, image, bank: MemoryBank, write: bool = True):
         """One frame: returns (mask_logits (B,gh,gw), score (B,), new bank).
         ``image (B, H, W, 3)`` in [0,1]; batch shares one object bank per
-        row (vmap the whole tracker for multiple objects)."""
-        feats = self.encoder(image)
+        row. For multiple objects encode ONCE and vmap ``step_from_feats``
+        over banks — vmapping the whole step re-runs the (shared) frame
+        encoder per object."""
+        return self.step_from_feats(self.encoder(image), bank, write)
+
+    def step_from_feats(self, feats, bank: MemoryBank, write: bool = True):
+        """Per-object half of ``step``: memory attention + decode + memory
+        write on precomputed frame features ``feats (B, gh, gw, C)``."""
         B, gh, gw, C = feats.shape
         cur = self.in_proj(feats.reshape(B, gh * gw, C))
         M = bank.mem.shape[0]

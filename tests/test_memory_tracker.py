@@ -275,3 +275,29 @@ class TestSlotCrossAttention:
         params = attn.init(jax.random.PRNGKey(0), q_in, mem, valid)
         out = attn.apply(params, q_in, mem, valid)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestMultiObjectStep:
+    def test_encode_once_vmap_matches_full_step(self):
+        model = MaskMemoryTracker(features=16, num_heads=2, mem_slots=3)
+        r = np.random.default_rng(11)
+        img = jnp.asarray(r.random((1, 32, 32, 3)), jnp.float32)
+        bank0 = init_memory(3, 4, 4, 16)
+        variables = model.init(jax.random.PRNGKey(0), img, bank0,
+                               method=model.step)
+        banks = jax.tree.map(
+            lambda x: jnp.stack([x, x + (0.1 if x.dtype != bool else 0)])
+            if x.dtype != bool else jnp.stack([x, x]), bank0)
+        banks = banks._replace(
+            valid=jnp.asarray([[True, False, False], [True, True, False]]),
+            ring_pos=jnp.asarray([1, 2]))
+        full = jax.vmap(
+            lambda b: model.apply(variables, img, b, method=model.step))(banks)
+        feats = model.apply(variables, img, method=model.encode_frame)
+        half = jax.vmap(
+            lambda b: model.apply(variables, feats, b,
+                                  method=model.step_from_feats))(banks)
+        np.testing.assert_allclose(np.asarray(full[0]), np.asarray(half[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(full[1]), np.asarray(half[1]),
+                                   atol=1e-6)
