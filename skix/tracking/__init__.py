@@ -7,3 +7,8 @@ from skix.tracking.lifecycle import (  # noqa: F401
 )
 from skix.tracking.detector import DetrDetector  # noqa: F401
 from skix.tracking.session import VideoPredictor  # noqa: F401
+from skix.tracking.memory_tracker import (  # noqa: F401
+    MaskMemoryTracker,
+    propagate_object,
+    propagate_objects,
+)

@@ -301,3 +301,23 @@ class TestMultiObjectStep:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(full[1]), np.asarray(half[1]),
                                    atol=1e-6)
+
+    def test_propagate_objects_matches_single(self):
+        from skix.tracking.memory_tracker import propagate_objects
+
+        model = MaskMemoryTracker(features=16, num_heads=2, mem_slots=3)
+        r = np.random.default_rng(12)
+        frames = np.asarray(r.random((3, 32, 32, 3)), np.float32)
+        bank = init_memory(3, 4, 4, 16)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.asarray(frames[:1]), bank,
+                               method=model.step)
+        m0 = np.zeros((2, 32, 32), bool)
+        m0[0, 4:12, 4:12] = True
+        m0[1, 16:28, 16:28] = True
+        masks, scores = propagate_objects(model, variables, frames, m0)
+        assert masks.shape == (3, 2, 4, 4) and scores.shape == (3, 2)
+        # each object tracked independently == single-object propagation
+        m_a, s_a = propagate_object(model, variables, frames, m0[0])
+        np.testing.assert_allclose(masks[:, 0], m_a, atol=1e-5)
+        np.testing.assert_allclose(scores[:, 0], s_a, atol=1e-5)
