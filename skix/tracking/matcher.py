@@ -61,22 +61,33 @@ def matching_cost(pred_boxes, pred_scores, gt_boxes, cost_class: float = 1.0,
             - cost_giou * giou)
 
 
-def greedy_assign(cost, gt_valid, rounds: int | None = None):
+def greedy_assign(cost, gt_valid, rounds: int | None = None,
+                  repeats: int = 1):
     """Fixed-iteration greedy assignment: repeatedly take the global
     minimum cost pair. Returns ``(assign (Q,) int — gt index or −1)``.
     jit/vmap-safe; within ~5% of Hungarian cost on random DETR-sized
-    problems and exact when costs are well-separated."""
+    problems and exact when costs are well-separated.
+
+    ``repeats > 1`` gives one-to-MANY matching (reference
+    sam3/train/matcher.py:15 ``_do_matching``: the cost columns are tiled
+    ``repeats`` times, so each ground-truth box can absorb up to
+    ``repeats`` distinct queries) — the assignment used for the DAC o2m
+    query half."""
     Q, G = cost.shape
+    if repeats > 1:
+        cost = jnp.tile(cost, (1, repeats))
+        gt_valid = jnp.tile(gt_valid, repeats)
+    Gr = G * repeats
     big = 1e9
     masked = jnp.where(gt_valid[None, :], cost, big)
-    rounds = rounds if rounds is not None else min(Q, G)
+    rounds = rounds if rounds is not None else min(Q, Gr)
 
     def body(_, state):
         m, assign = state
         flat = jnp.argmin(m)
-        qi, gi = flat // G, flat % G
+        qi, gi = flat // Gr, flat % Gr
         ok = m[qi, gi] < big / 2
-        assign = jnp.where(ok, assign.at[qi].set(gi), assign)
+        assign = jnp.where(ok, assign.at[qi].set(gi % G), assign)
         m = jnp.where(ok, m.at[qi, :].set(big).at[:, gi].set(big), m)
         return m, assign
 
@@ -136,12 +147,15 @@ class DetrLosses(NamedTuple):
 
 def detection_loss(pred_boxes, pred_logits, gt_boxes, gt_valid,
                    w_class: float = 1.0, w_l1: float = 5.0,
-                   w_giou: float = 2.0) -> DetrLosses:
+                   w_giou: float = 2.0, repeats: int = 1) -> DetrLosses:
     """Matched set loss for one image: greedy-assign then focal + L1 +
-    gIoU on matched pairs, focal-negative on the rest."""
+    gIoU on matched pairs, focal-negative on the rest. ``repeats > 1``
+    switches to one-to-many matching (DAC o2m supervision — reference
+    sam3/train/loss/sam3_loss.py:105 matches the ``*_o2m`` outputs with
+    an o2m matcher against the same targets)."""
     scores = jax.nn.sigmoid(pred_logits)
     cost = matching_cost(pred_boxes, scores, gt_boxes)
-    assign = greedy_assign(cost, gt_valid)
+    assign = greedy_assign(cost, gt_valid, repeats=repeats)
     matched = assign >= 0
     safe = jnp.clip(assign, 0)
     tgt = gt_boxes[safe]

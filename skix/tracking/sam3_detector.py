@@ -254,11 +254,30 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, q, query_pos, memory, mem_pos, prompt,
-                 prompt_pad_mask=None, attn_bias=None):
-        h = nn.LayerNorm(epsilon=1e-5, name="norm_sa")(q)
-        hq = h + query_pos
-        q = q + _MHA(self.num_heads, dtype=self.dtype,
-                     name="self_attn")(hq, hq, h)
+                 prompt_pad_mask=None, attn_bias=None, dac_split=None):
+        """``dac_split`` (static int | None): when set, the query axis is
+        laid out ``[o2o(dac_split), o2m(dac_split), presence(rest)]`` and
+        self-attention runs over o2o + presence only — the o2m queries
+        skip it entirely (reference decoder.py:114-145, DAC = divide and
+        conquer: one-to-many aux queries get no query↔query interaction).
+        Cross-attention and the FFN apply to every query either way."""
+        if dac_split is None:
+            h = nn.LayerNorm(epsilon=1e-5, name="norm_sa")(q)
+            hq = h + query_pos
+            q = q + _MHA(self.num_heads, dtype=self.dtype,
+                         name="self_attn")(hq, hq, h)
+        else:
+            Qo = dac_split
+            sa = jnp.concatenate([q[:, :Qo], q[:, 2 * Qo:]], axis=1)
+            sa_pos = jnp.concatenate(
+                [query_pos[:, :Qo], query_pos[:, 2 * Qo:]], axis=1)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm_sa")(sa)
+            hq = h + sa_pos
+            upd = _MHA(self.num_heads, dtype=self.dtype,
+                       name="self_attn")(hq, hq, h)
+            q = jnp.concatenate(
+                [q[:, :Qo] + upd[:, :Qo], q[:, Qo:2 * Qo],
+                 q[:, 2 * Qo:] + upd[:, Qo:]], axis=1)
         if self.use_text_cross_attention:
             h = nn.LayerNorm(epsilon=1e-5, name="norm_ta")(q)
             q = q + _MHA(self.num_heads, dtype=self.dtype,
@@ -323,6 +342,16 @@ class _BoxHead(nn.Module):
         return nn.Dense(4, name="fc3")(h)
 
 
+class DecoderOut(NamedTuple):
+    queries: jnp.ndarray        # (B, Q, C) final-layer o2o features
+    boxes: jnp.ndarray          # (B, Q, 4) refined o2o boxes
+    all_boxes: tuple            # per-layer o2o boxes
+    presence: jnp.ndarray       # (B, C) presence feature (or None)
+    o2m_queries: jnp.ndarray = None   # (B, Q, C) when apply_dac
+    o2m_boxes: jnp.ndarray = None     # (B, Q, 4) when apply_dac
+    o2m_all_boxes: tuple = ()         # per-layer o2m boxes when apply_dac
+
+
 class QueryDecoder(nn.Module):
     num_queries: int = 200
     num_layers: int = 6
@@ -334,17 +363,35 @@ class QueryDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, memory, mem_pos, prompt, prompt_pad_mask=None,
-                 feat_hw=None):
+                 feat_hw=None, apply_dac: bool = False):
+        """``apply_dac`` (reference decoder.py:449-467, builder dac=True):
+        DAC tiles the queries ×2 at TRAINING time — the first half (o2o)
+        behaves exactly as without DAC (self-attention excludes the o2m
+        half, so the o2o outputs are invariant to the flag); the second
+        half (o2m) skips self-attention and is supervised one-to-many.
+        Inference always runs with ``apply_dac=False`` (sam3_image.py:268:
+        ``apply_dac = dac and self.training``)."""
         B = memory.shape[0]
         C = memory.shape[-1]
         Q = self.num_queries
         query_pos = self.param("query_pos", nn.initializers.normal(0.02),
                                (1, Q + int(self.presence_token), C))
-        query_pos = jnp.broadcast_to(query_pos, (B, *query_pos.shape[1:]))
-        q = jnp.zeros((B, Q + int(self.presence_token), C))
-        boxes = jax.nn.sigmoid(
+        init_boxes = jax.nn.sigmoid(
             self.param("init_boxes", nn.initializers.normal(0.5), (1, Q, 4)))
-        boxes = jnp.broadcast_to(boxes, (B, Q, 4))
+        if apply_dac:
+            # layout: [o2o(Q), o2m(Q), presence]; o2m reuses the o2o
+            # query-pos and initial reference boxes (reference .repeat(2,1,1))
+            query_pos = jnp.concatenate(
+                [query_pos[:, :Q], query_pos[:, :Q], query_pos[:, Q:]],
+                axis=1)
+            boxes = jnp.concatenate([init_boxes, init_boxes], axis=1)
+            nq = 2 * Q
+        else:
+            boxes = init_boxes
+            nq = Q
+        query_pos = jnp.broadcast_to(query_pos, (B, *query_pos.shape[1:]))
+        q = jnp.zeros((B, nq + int(self.presence_token), C))
+        boxes = jnp.broadcast_to(boxes, (B, nq, 4))
         box_head = _BoxHead(name="box_head")  # shared across layers
 
         rpb = None
@@ -352,6 +399,7 @@ class QueryDecoder(nn.Module):
             assert feat_hw is not None, "box_rpb needs the memory (h, w)"
             rpb = BoxRPB(self.num_heads, C, name="box_rpb")
         all_boxes = []
+        dac_split = Q if apply_dac else None
         for i in range(self.num_layers):
             attn_bias = None
             if rpb is not None:
@@ -366,13 +414,21 @@ class QueryDecoder(nn.Module):
             q = DecoderLayer(self.num_heads, self.dim_feedforward,
                              dtype=self.dtype, name=f"layer_{i}")(
                 q, query_pos, memory, mem_pos, prompt, prompt_pad_mask,
-                attn_bias=attn_bias)
+                attn_bias=attn_bias, dac_split=dac_split)
             hq = nn.LayerNorm(epsilon=1e-5, name=f"norm_out_{i}")(q)
-            delta = box_head(hq[:, :Q])
+            delta = box_head(hq[:, :nq])
             boxes = jax.nn.sigmoid(_inverse_sigmoid(boxes) + delta)
             all_boxes.append(boxes)
-        presence = hq[:, Q] if self.presence_token else None
-        return hq[:, :Q], boxes, all_boxes, presence
+        presence = hq[:, nq] if self.presence_token else None
+        if apply_dac:
+            return DecoderOut(
+                queries=hq[:, :Q], boxes=boxes[:, :Q],
+                all_boxes=tuple(b[:, :Q] for b in all_boxes),
+                presence=presence,
+                o2m_queries=hq[:, Q:2 * Q], o2m_boxes=boxes[:, Q:],
+                o2m_all_boxes=tuple(b[:, Q:] for b in all_boxes))
+        return DecoderOut(queries=hq[:, :Q], boxes=boxes,
+                          all_boxes=tuple(all_boxes), presence=presence)
 
 
 # --------------------------------------------------------------------------
@@ -451,6 +507,12 @@ class Sam3Detections(NamedTuple):
     embeddings: jnp.ndarray     # (B, Q, C) decoder features
     presence: jnp.ndarray       # (B,) presence logit
     aux_boxes: tuple            # per-layer boxes (training)
+    # DAC one-to-many auxiliary outputs (training only, sam3_image.py:368:
+    # pred_{logits,boxes}_o2m; o2m_mask_predict=True in the builder)
+    o2m_boxes: jnp.ndarray = None       # (B, Q, 4)
+    o2m_scores: jnp.ndarray = None      # (B, Q)
+    o2m_mask_logits: jnp.ndarray = None  # (B, Q, H4, W4)
+    o2m_aux_boxes: tuple = ()           # per-layer o2m boxes
 
 
 class Sam3Detector(nn.Module):
@@ -497,10 +559,13 @@ class Sam3Detector(nn.Module):
     @nn.compact
     def __call__(self, images, text_memory=None, text_pad_mask=None,
                  points=None, point_labels=None, point_valid=None,
-                 boxes=None, box_labels=None, box_valid=None):
+                 boxes=None, box_labels=None, box_valid=None,
+                 apply_dac: bool = False):
         """``images (B, H, W, 3)`` in [0,1]; ``text_memory (B, L, d_model)``
         from the CLIP tower's resizer; geometry prompts optional
-        fixed-capacity slots."""
+        fixed-capacity slots. ``apply_dac=True`` (training only) adds the
+        DAC one-to-many query duplicates to the outputs — the o2o outputs
+        are invariant to the flag (reference sam3_image.py:268)."""
         B = images.shape[0]
         x = (images - 0.5) / 0.5
         trunk = ViTDetBackbone(
@@ -556,13 +621,21 @@ class Sam3Detector(nn.Module):
                                name="encoder")(
             src, pos, prompt, prompt_pad)
 
-        queries, out_boxes, all_boxes, presence = QueryDecoder(
+        dec = QueryDecoder(
             self.num_queries, self.decoder_layers, box_rpb=self.box_rpb,
             dtype=self.head_dtype, name="decoder")(
-            memory, pos, prompt, prompt_pad, feat_hw=(h, w))
+            memory, pos, prompt, prompt_pad, feat_hw=(h, w),
+            apply_dac=apply_dac)
+        queries, out_boxes, all_boxes, presence = (
+            dec.queries, dec.boxes, dec.all_boxes, dec.presence)
 
-        scores = DotProductScoring(self.d_model, name="scoring")(
-            queries, prompt, prompt_pad)
+        # score/mask the o2o and (when DAC) o2m halves through the SAME
+        # heads in one pass — one matmul, shared parameters
+        head_q = queries
+        if apply_dac:
+            head_q = jnp.concatenate([queries, dec.o2m_queries], axis=1)
+        scores_all = DotProductScoring(self.d_model, name="scoring")(
+            head_q, prompt, prompt_pad)
         if presence is not None:
             pres_logit = nn.Dense(1, name="presence_head")(presence)[..., 0]
         else:
@@ -574,13 +647,22 @@ class Sam3Detector(nn.Module):
         pyramid = [feats[0], feats[1], fused]  # fine → coarse
         pixel_embed = PixelDecoder(self.d_model, dtype=self.head_dtype,
                                    name="pixel_decoder")(pyramid)
-        masks = MaskPredictor(self.d_model, name="mask_predictor")(
-            queries, pixel_embed)
+        masks_all = MaskPredictor(self.d_model, name="mask_predictor")(
+            head_q, pixel_embed)
 
-        return Sam3Detections(boxes_cxcywh=out_boxes, scores=scores,
-                              mask_logits=masks, embeddings=queries,
+        Q = self.num_queries
+        o2m_kw = {}
+        if apply_dac:
+            o2m_kw = dict(o2m_boxes=dec.o2m_boxes,
+                          o2m_scores=scores_all[:, Q:],
+                          o2m_mask_logits=masks_all[:, Q:],
+                          o2m_aux_boxes=dec.o2m_all_boxes)
+        return Sam3Detections(boxes_cxcywh=out_boxes,
+                              scores=scores_all[:, :Q],
+                              mask_logits=masks_all[:, :Q],
+                              embeddings=queries,
                               presence=pres_logit,
-                              aux_boxes=tuple(all_boxes))
+                              aux_boxes=tuple(all_boxes), **o2m_kw)
 
 
 # --------------------------------------------------------------------------

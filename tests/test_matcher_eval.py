@@ -47,6 +47,26 @@ class TestMatching:
         c = np.asarray(matching_cost(pred, scores, gt))
         assert c[0, 0] < c[1, 0]
 
+    def test_one_to_many_repeats(self):
+        """repeats=k tiles the GT columns (reference matcher.py:15-17):
+        each ground truth absorbs up to k distinct queries."""
+        # 6 queries, 2 GTs; queries 0-2 close to GT0, 3-5 close to GT1
+        cost = np.full((6, 2), 5.0)
+        cost[:3, 0] = [0.1, 0.2, 0.3]
+        cost[3:, 1] = [0.1, 0.2, 0.3]
+        valid = np.ones(2, bool)
+        g1 = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(valid)))
+        assert (g1 == 0).sum() == 1 and (g1 == 1).sum() == 1
+        g3 = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(valid),
+                                      repeats=3))
+        assert (g3 == 0).sum() == 3 and (g3 == 1).sum() == 3
+        np.testing.assert_array_equal(g3[:3], 0)
+        np.testing.assert_array_equal(g3[3:], 1)
+        # a query is never assigned twice (assignment is a function of q)
+        g2 = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(valid),
+                                      repeats=2))
+        assert (g2 >= 0).sum() == 4
+
     def test_giou_identity_and_disjoint(self):
         a = cxcywh_to_xyxy(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]))
         b = cxcywh_to_xyxy(jnp.asarray([[0.9, 0.9, 0.1, 0.1]]))

@@ -207,6 +207,76 @@ class TestDetector:
         assert any(float(jnp.abs(x).max()) > 0 for x in gb)
 
 
+class TestDAC:
+    """DAC (divide-and-conquer) one-to-many training queries — reference
+    decoder.py:114-145 + sam3_image.py:268 (train-time only, dac=True in
+    model_builder.py:178)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(911)
+        m = Sam3Detector.tiny()
+        imgs = jnp.asarray(rng.uniform(0, 1, (1, 112, 112, 3)), jnp.float32)
+        text = jnp.asarray(rng.normal(0, 0.1, (1, 4, 64)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), imgs, text)
+        return m, imgs, text, v
+
+    def test_dac_adds_no_parameters(self):
+        m, imgs, text, v = self._setup()
+        v_dac = m.init(jax.random.PRNGKey(0), imgs, text, apply_dac=True)
+        assert jax.tree.structure(v) == jax.tree.structure(v_dac)
+
+    def test_o2o_outputs_invariant_to_dac(self):
+        """Self-attention excludes the o2m half, so the o2o outputs are
+        identical with and without DAC (the reference property that lets
+        dac models run inference with apply_dac=False)."""
+        m, imgs, text, v = self._setup()
+        base = m.apply(v, imgs, text)
+        dac = m.apply(v, imgs, text, apply_dac=True)
+        for a, b in [(base.boxes_cxcywh, dac.boxes_cxcywh),
+                     (base.scores, dac.scores),
+                     (base.mask_logits, dac.mask_logits),
+                     (base.presence, dac.presence)]:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_o2m_outputs_shapes_and_divergence(self):
+        m, imgs, text, v = self._setup()
+        out = m.apply(v, imgs, text, apply_dac=True)
+        Q = m.num_queries
+        assert out.o2m_boxes.shape == (1, Q, 4)
+        assert out.o2m_scores.shape == (1, Q)
+        assert out.o2m_mask_logits.shape == out.mask_logits.shape
+        assert len(out.o2m_aux_boxes) == m.decoder_layers
+        for leaf in (out.o2m_boxes, out.o2m_scores, out.o2m_mask_logits):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        # o2m skips self-attention → diverges from the o2o half
+        assert not np.allclose(np.asarray(out.o2m_boxes),
+                               np.asarray(out.boxes_cxcywh), atol=1e-4)
+
+    def test_o2m_supervision_differentiable(self):
+        m, imgs, text, v = self._setup()
+        from skix.tracking.matcher import detection_loss
+
+        gt_boxes = jnp.asarray([[[0.4, 0.4, 0.2, 0.2],
+                                 [0.7, 0.6, 0.1, 0.3]]])
+        gt_valid = jnp.asarray([[True, True]])
+
+        def loss(v):
+            out = m.apply(v, imgs, text, apply_dac=True)
+            o2o = detection_loss(out.boxes_cxcywh[0], out.scores[0],
+                                 gt_boxes[0], gt_valid[0]).total
+            o2m = detection_loss(out.o2m_boxes[0], out.o2m_scores[0],
+                                 gt_boxes[0], gt_valid[0],
+                                 repeats=3).total
+            return o2o + 1.0 * o2m
+
+        g = jax.grad(loss)(v)
+        assert all(bool(jnp.all(jnp.isfinite(x)))
+                   for x in jax.tree.leaves(g))
+        gb = jax.tree.leaves(g["params"]["backbone"])
+        assert any(float(jnp.abs(x).max()) > 0 for x in gb)
+
+
 class TestFusionEncoderConverter:
     def test_layer_parity_vs_reference(self):
         """Converted reference TransformerEncoderLayer weights reproduce
