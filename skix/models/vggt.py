@@ -377,6 +377,7 @@ class VGGT(nn.Module):
     enable_point: bool = True
     intermediate_layer_idx: Sequence[int] = (4, 11, 17, 23)
     patch_embed_kind: str = "conv"
+    remat: bool = False  # rematerialize aggregator blocks (training)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -389,7 +390,8 @@ class VGGT(nn.Module):
             embed_dim=self.embed_dim, depth=self.depth,
             num_heads=self.num_heads,
             patch_embed_kind=self.patch_embed_kind,
-            output_layers=sorted(needed), dtype=self.dtype, name="aggregator")
+            output_layers=sorted(needed), remat=self.remat,
+            dtype=self.dtype, name="aggregator")
         outputs, patch_start = agg(images)
         layer_of = {L: i for i, L in enumerate(sorted(needed))}
         last = outputs[layer_of[self.depth - 1]]

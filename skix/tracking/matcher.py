@@ -138,6 +138,42 @@ def dice_loss(mask_logits, target_masks, eps: float = 1.0):
     return 1 - num / den
 
 
+def sam3_detection_loss(out, gt_boxes, gt_valid,
+                        aux_weight: float = 0.5,
+                        o2m_weight: float = 1.0,
+                        o2m_repeats: int = 3):
+    """Batched SAM3 detector loss (reference train/loss/sam3_loss.py):
+    main one-to-one matched loss + per-layer aux box supervision + (when
+    the detections carry DAC ``o2m_*`` outputs) the one-to-many matched
+    o2m loss at ``o2m_weight``. ``out`` is a ``Sam3Detections``;
+    ``gt_boxes (B, G, 4)`` cxcywh; ``gt_valid (B, G)`` bool."""
+
+    def one(b, lg, g, gv, repeats=1):
+        return detection_loss(b, lg, g, gv, repeats=repeats).total
+
+    main = jnp.mean(jax.vmap(one)(out.boxes_cxcywh, out.scores,
+                                  gt_boxes, gt_valid))
+    total = main
+    n_aux = max(len(out.aux_boxes) - 1, 1)
+    if len(out.aux_boxes) > 1:
+        aux = sum(jnp.mean(jax.vmap(one)(bx, out.scores, gt_boxes, gt_valid))
+                  for bx in out.aux_boxes[:-1])
+        total = total + aux_weight * aux / n_aux
+    if getattr(out, "o2m_boxes", None) is not None:
+        o2m_one = lambda b, lg, g, gv: one(b, lg, g, gv,
+                                           repeats=o2m_repeats)
+        o2m = jnp.mean(jax.vmap(o2m_one)(out.o2m_boxes, out.o2m_scores,
+                                         gt_boxes, gt_valid))
+        if len(out.o2m_aux_boxes) > 1:
+            o2m_aux = sum(
+                jnp.mean(jax.vmap(o2m_one)(bx, out.o2m_scores, gt_boxes,
+                                           gt_valid))
+                for bx in out.o2m_aux_boxes[:-1])
+            o2m = o2m + aux_weight * o2m_aux / n_aux
+        total = total + o2m_weight * o2m
+    return total
+
+
 class DetrLosses(NamedTuple):
     total: jnp.ndarray
     cls: jnp.ndarray

@@ -1,0 +1,73 @@
+"""Detection output post-processing (COCO-style result preparation).
+
+Capability parity with the reference's ``PostProcessImage``
+(``sam3/eval/postprocessors.py:30``): converts raw detector outputs into
+evaluator-ready results —
+
+- per-query probabilities ``sigmoid(logits)``, gated by the presence head
+  when enabled (``use_presence``, postprocessors.py:104-106);
+- boxes cxcywh → xyxy, scaled to the target image size
+  (postprocessors.py:232-236);
+- masks bilinearly resized to the target size and binarized at
+  ``sigmoid > 0.5`` (postprocessors.py:161-168);
+- top-``max_dets`` selection by score (postprocessors.py:300-315) and an
+  optional detection threshold (postprocessors.py:242-249).
+
+TPU-first: fixed-capacity outputs under jit — the threshold produces a
+boolean ``valid`` mask instead of ragged filtering (mask-based missing
+data, never dynamic shapes), and top-k uses ``lax.top_k``. Host-side
+ragged conversion for evaluators is a one-liner on the returned arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class ProcessedDetections(NamedTuple):
+    boxes_xyxy: jnp.ndarray   # (B, K, 4) in target-size pixels
+    scores: jnp.ndarray       # (B, K) presence-gated probabilities
+    masks: Optional[jnp.ndarray]  # (B, K, H, W) bool, or None
+    valid: jnp.ndarray        # (B, K) bool — above detection threshold
+
+
+def postprocess_detections(
+    boxes_cxcywh: jnp.ndarray,        # (B, Q, 4) normalized
+    logits: jnp.ndarray,              # (B, Q) score logits
+    presence_logit: jnp.ndarray | None = None,  # (B,)
+    mask_logits: jnp.ndarray | None = None,     # (B, Q, h, w)
+    target_size: tuple[int, int] = (1, 1),      # (H, W); (1,1) = normalized
+    max_dets: int = 100,
+    detection_threshold: float = -1.0,
+    use_presence: bool = True,
+) -> ProcessedDetections:
+    """Jit-compatible (static ``target_size``/``max_dets``)."""
+    B, Q = logits.shape
+    probs = jax.nn.sigmoid(logits)
+    if use_presence and presence_logit is not None:
+        probs = probs * jax.nn.sigmoid(presence_logit)[:, None]
+
+    k = min(max_dets, Q) if max_dets > 0 else Q
+    scores, idx = jax.lax.top_k(probs, k)                     # (B, K)
+    take = jax.vmap(lambda a, i: a[i])
+    boxes = take(boxes_cxcywh, idx)                           # (B, K, 4)
+
+    cx, cy, w, h = [boxes[..., i] for i in range(4)]
+    H, W = target_size
+    boxes_xyxy = jnp.stack(
+        [(cx - w / 2) * W, (cy - h / 2) * H,
+         (cx + w / 2) * W, (cy + h / 2) * H], axis=-1)
+
+    masks = None
+    if mask_logits is not None:
+        m = take(mask_logits, idx)                            # (B, K, h, w)
+        m = jax.image.resize(m, (B, k, H, W), "bilinear")
+        masks = jax.nn.sigmoid(m) > 0.5
+
+    valid = (scores > detection_threshold if detection_threshold > 0
+             else jnp.ones_like(scores, bool))
+    return ProcessedDetections(boxes_xyxy=boxes_xyxy, scores=scores,
+                               masks=masks, valid=valid)

@@ -151,3 +151,53 @@ def test_sam3_detector_learns():
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.8 * np.mean(losses[:5]), \
         f"loss did not drop: {np.mean(losses[:5]):.4f} -> {losses[-1]:.4f}"
+
+
+@pytest.mark.slow
+def test_sam3_detector_learns_with_dac():
+    """DAC training path: apply_dac=True + the library sam3_detection_loss
+    (one-to-one main + one-to-many o2m supervision) drops on a fixed
+    batch; the o2m term contributes real gradient."""
+    from skix.tracking.matcher import sam3_detection_loss
+    from skix.tracking.sam3_detector import Sam3Detector
+
+    rng = np.random.default_rng(18)
+    det = Sam3Detector.tiny(num_queries=6)
+    size = det.img_size
+    B = 2
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, size, size, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(0, 0.1, (B, 3, det.d_model)), jnp.float32)
+    gts = jnp.tile(jnp.asarray([[0.45, 0.5, 0.3, 0.4]]), (B, 1, 1))
+    gt_valid = jnp.ones((B, 1), bool)
+
+    variables = det.init(jax.random.PRNGKey(0), imgs, text)
+    params = variables["params"]
+
+    def loss_fn(p, o2m_weight):
+        out = det.apply({"params": p}, imgs, text, apply_dac=True)
+        return sam3_detection_loss(out, gts, gt_valid,
+                                   o2m_weight=o2m_weight)
+
+    # the o2m term changes the gradient (it is not a no-op)
+    g_with = jax.grad(loss_fn)(params, 1.0)
+    g_without = jax.grad(loss_fn)(params, 0.0)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         g_with, g_without)
+    assert max(jax.tree.leaves(diffs)) > 1e-8
+
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params, 1.0)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.8 * np.mean(losses[:5]), \
+        f"loss did not drop: {np.mean(losses[:5]):.4f} -> {losses[-1]:.4f}"

@@ -277,6 +277,71 @@ class TestDAC:
         assert any(float(jnp.abs(x).max()) > 0 for x in gb)
 
 
+class TestPostprocess:
+    """COCO-style result prep — reference PostProcessImage
+    (postprocessors.py:30)."""
+
+    def _outs(self):
+        rng = np.random.default_rng(77)
+        B, Q = 2, 12
+        boxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, Q, 4)) * 0.5)
+        logits = jnp.asarray(rng.normal(0, 2, (B, Q)))
+        presence = jnp.asarray([3.0, -3.0])
+        masks = jnp.asarray(rng.normal(0, 1, (B, Q, 8, 8)))
+        return boxes, logits, presence, masks
+
+    def test_topk_scaling_and_presence(self):
+        from skix.tracking.postprocess import postprocess_detections
+        boxes, logits, presence, masks = self._outs()
+        out = postprocess_detections(boxes, logits, presence, masks,
+                                     target_size=(100, 200), max_dets=5)
+        assert out.boxes_xyxy.shape == (2, 5, 4)
+        assert out.masks.shape == (2, 5, 100, 200)
+        assert out.masks.dtype == jnp.bool_
+        # scores sorted descending and presence-gated: image 1 has
+        # presence logit −3 → all its scores crushed below image 0's top
+        s = np.asarray(out.scores)
+        assert np.all(np.diff(s, axis=1) <= 1e-6)
+        assert s[1].max() < s[0].max()
+        # xyxy in pixels: x within [0, 200], y within [0, 100]
+        b = np.asarray(out.boxes_xyxy)
+        assert b[..., 2].max() <= 200 + 1e-3 and b[..., 3].max() <= 100 + 1e-3
+        assert np.all(b[..., 2] >= b[..., 0]) and np.all(b[..., 3] >= b[..., 1])
+
+    def test_threshold_gives_valid_mask_not_ragged(self):
+        from skix.tracking.postprocess import postprocess_detections
+        boxes, logits, presence, _ = self._outs()
+        out = postprocess_detections(boxes, logits, presence,
+                                     detection_threshold=0.5,
+                                     use_presence=False, max_dets=0)
+        assert out.valid.shape == out.scores.shape
+        np.testing.assert_array_equal(
+            np.asarray(out.valid), np.asarray(out.scores) > 0.5)
+
+    def test_jit_compatible(self):
+        from skix.tracking.postprocess import postprocess_detections
+        import functools
+        boxes, logits, presence, masks = self._outs()
+        f = jax.jit(functools.partial(postprocess_detections,
+                                      target_size=(50, 50), max_dets=4))
+        out = f(boxes, logits, presence, masks)
+        assert out.scores.shape == (2, 4)
+
+    def test_matches_reference_semantics_manually(self):
+        """sigmoid(logit)·sigmoid(presence), cxcywh→xyxy·[W,H]."""
+        from skix.tracking.postprocess import postprocess_detections
+        boxes = jnp.asarray([[[0.5, 0.5, 0.2, 0.4]]])
+        logits = jnp.asarray([[0.0]])
+        presence = jnp.asarray([0.0])
+        out = postprocess_detections(boxes, logits, presence,
+                                     target_size=(100, 200), max_dets=1)
+        np.testing.assert_allclose(np.asarray(out.scores), [[0.25]],
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.boxes_xyxy)[0, 0],
+            [0.4 * 200, 0.3 * 100, 0.6 * 200, 0.7 * 100], atol=1e-5)
+
+
 class TestFusionEncoderConverter:
     def test_layer_parity_vs_reference(self):
         """Converted reference TransformerEncoderLayer weights reproduce

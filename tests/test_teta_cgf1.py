@@ -163,6 +163,46 @@ class TestEvaluateTETA:
         assert out2["LocA"] == pytest.approx(1.0)
 
 
+class TestSuite:
+    def test_perfect_tracking_all_metrics(self):
+        """VEvalEvaluator composition (saco_veval_eval.py:17): all five
+        metric families over one sequence in one call."""
+        from skix.metrics.suite import evaluate_tracking_suite
+
+        frames = 3
+        boxes = np.array([_box(20, 20), _box(60, 60)])
+        masks = np.zeros((2, 32, 32), bool)
+        masks[0, 4:12, 4:12] = True
+        masks[1, 20:30, 20:30] = True
+        ids = np.array([0, 1])
+        scores = np.array([0.9, 0.9])
+        out = evaluate_tracking_suite(
+            [boxes] * frames, [ids] * frames, [scores] * frames,
+            [boxes] * frames, [ids + 7] * frames,
+            pred_masks=[masks] * frames, gt_masks=[masks] * frames)
+        for key in ("HOTA", "MOTA", "TETA", "mask_AP"):
+            assert out[key] == pytest.approx(1.0, abs=1e-6), (key, out)
+        assert out["pmF1"] > 0.99
+        assert out["id_switches"] == 0
+
+    def test_degraded_tracking_degrades(self):
+        from skix.metrics.suite import evaluate_tracking_suite
+
+        frames = 4
+        boxes = np.array([_box(20, 20), _box(60, 60)])
+        ids_good = np.array([0, 1])
+        # identity flips halfway → association metrics drop
+        pids = [ids_good, ids_good, ids_good[::-1], ids_good[::-1]]
+        scores = np.array([0.9, 0.9])
+        out = evaluate_tracking_suite(
+            [boxes] * frames, pids, [scores] * frames,
+            [boxes] * frames, [ids_good] * frames)
+        assert out["HOTA"] < 1.0
+        assert out["AssocA"] < 1.0
+        assert out["LocA"] == pytest.approx(1.0)
+        assert out["id_switches"] >= 2
+
+
 class TestCGF1:
     def test_hand_computed_toy(self):
         # img0: two perfect matches; img1: low-score det only (→ IL_TN
