@@ -31,12 +31,12 @@ def time_fn(step, x, iters=10):
 
 
 def bench_config(B, H, S, D, bq, bkm, bk, dtype=jnp.bfloat16, iters=10,
-                 mode="fwd"):
+                 mode="fwd", fixed_max=None):
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (B, H, S, D), dtype)
 
     attn = functools.partial(flash_attention, block_q=bq, block_k_major=bkm,
-                             block_k=bk)
+                             block_k=bk, fixed_max=fixed_max)
 
     if mode == "fwd":
         @jax.jit
@@ -89,6 +89,23 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"cfg": [bq, bkm, bk], "mode": "fwdbwd",
                                   "error": str(e)[:200]}), flush=True)
+    elif mode_arg == "fmsweep":
+        # single-level tiles (the measured winner pattern) × fixed_max —
+        # large block_q amortizes K/V HBM reloads further
+        grids = [(1024, 1024, 1024), (2048, 1024, 1024),
+                 (4096, 1024, 1024), (1024, 2048, 2048),
+                 (2048, 2048, 2048), (8192, 1024, 1024)]
+        for fm in (None, 12.0):
+            for bq, bkm, bk in grids:
+                try:
+                    tf = bench_config(B, H, S, D, bq, bkm, bk, mode="fwd",
+                                      fixed_max=fm)
+                    print(json.dumps({"cfg": [bq, bkm, bk],
+                                      "fixed_max": fm, "mode": "fwd",
+                                      "tf_s": round(tf, 1)}), flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"cfg": [bq, bkm, bk], "fixed_max": fm,
+                                      "error": str(e)[:160]}), flush=True)
     else:
         for mode in ("fwd", "fwdbwd"):
             tf = bench_config(B, H, S, D, 1024, 1024, 512, mode=mode)

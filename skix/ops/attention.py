@@ -462,5 +462,10 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     # small sequences: tiling overhead dominates — use the XLA path.
     if not interpret and (q.shape[2] < block_q or k.shape[2] < block_k):
         return _attention_reference(q, k, v, sm_scale)
+    # wider Q tiles amortize K/V HBM reloads: measured +7% fwd at S=8192
+    # (fixed-max, v5e — docs/PERF.md sweep). Applied only when Sq divides
+    # the tile exactly, so shorter sequences keep the padding-free 1024.
+    if block_q == 1024 and q.shape[2] % 2048 == 0:
+        block_q = 2048
     return _flash_attention(q, k, v, sm_scale, block_q, block_k_major,
                             block_k, interpret, fixed_max)

@@ -87,6 +87,45 @@ class TestCollectives:
                                    np.asarray(x) * 2 + 1)
 
 
+class TestFrameShardedDetection:
+    def test_detector_frames_axis_parity(self):
+        """Frame-sharded open-vocabulary detection: the TPU-native analog
+        of the reference's Sam3ImageOnVideoMultiGPU (sam3_image.py:687,
+        SURVEY §2.16 — detection sharded over frames across GPUs). A
+        batch of frames shards over a 'frames' mesh axis; outputs must
+        match the unsharded forward."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from skix.tracking.sam3_detector import Sam3Detector
+
+        rng_l = np.random.default_rng(101)
+        det = Sam3Detector.tiny(num_queries=4)
+        F = 8  # one frame per device
+        imgs = jnp.asarray(rng_l.uniform(0, 1, (F, 112, 112, 3)),
+                           jnp.float32)
+        text = jnp.asarray(
+            np.tile(rng_l.normal(0, 0.1, (1, 3, 64)), (F, 1, 1)),
+            jnp.float32)
+        v = det.init(jax.random.PRNGKey(0), imgs[:1], text[:1])
+
+        fwd = jax.jit(lambda p, i, t: det.apply(p, i, t))
+        ref = fwd(v, imgs, text)
+
+        mesh = make_mesh({"frames": 8})
+        sh = NamedSharding(mesh, P("frames"))
+        imgs_s = jax.device_put(imgs, sh)
+        text_s = jax.device_put(text, sh)
+        v_rep = jax.device_put(v, NamedSharding(mesh, P()))
+        with mesh:
+            out = fwd(v_rep, imgs_s, text_s)
+            jax.block_until_ready(out.scores)
+        np.testing.assert_allclose(np.asarray(out.scores),
+                                   np.asarray(ref.scores), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.boxes_cxcywh),
+                                   np.asarray(ref.boxes_cxcywh), atol=1e-4)
+
+
 class TestEDT:
     def test_zero_inside(self):
         from skix.ops.edt import edt
