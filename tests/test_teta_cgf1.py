@@ -163,6 +163,47 @@ class TestEvaluateTETA:
         assert out2["LocA"] == pytest.approx(1.0)
 
 
+class TestTETAMultiClass:
+    def test_cls_fp_cross_charging(self):
+        """A detection matched under class A's cluster but predicted as
+        class B charges Cls_FP to class B (reference teta.py:160-164 via
+        eval_sequence's cls_fp pooling)."""
+        frames = 3
+        b0, b1 = _box(20, 20), _box(60, 60)
+        gt_b = [np.array([b0, b1])] * frames
+        gt_i = [np.array([0, 1])] * frames
+        gt_c = [np.array([0, 1])] * frames  # one GT per class
+        pb = [np.array([b0, b1])] * frames
+        pi = [np.array([10, 11])] * frames
+        # tracker calls BOTH objects class 1 → class 0's match is a
+        # classification miss charged to class 1
+        pc = [np.array([1, 1])] * frames
+        out = evaluate_teta(pb, pi, pc, gt_b, gt_i, gt_c)
+        r0 = out["per_class"][0]
+        r1 = out["per_class"][1]
+        # localization unaffected for both classes
+        assert np.mean(r0["LocA"]) == pytest.approx(1.0)
+        assert np.mean(r1["LocA"]) == pytest.approx(1.0)
+        # class 0: its matched det is wrongly classified → ClsA = 0
+        assert r0["ClsA"] == pytest.approx(0.0)
+        # class 1: own match correct but carries the cross-charged FP:
+        # Cls_TP = 3 (frames), Cls_FP = 3 → ClsA = 3/(3+0+3) = 0.5
+        np.testing.assert_allclose(r1["Cls_FP"], 3.0)
+        assert r1["ClsA"] == pytest.approx(0.5)
+
+    def test_class_average(self):
+        frames = 2
+        gt_b = [np.array([_box(20, 20)])] * frames
+        gt_i = [np.array([0])] * frames
+        gt_c = [np.array([2])] * frames
+        pb = [np.array([_box(20, 20)])] * frames
+        pi = [np.array([5])] * frames
+        pc = [np.array([2])] * frames
+        out = evaluate_teta(pb, pi, pc, gt_b, gt_i, gt_c,
+                            class_list=[2])
+        assert out["TETA"] == pytest.approx(1.0)
+
+
 class TestSuite:
     def test_perfect_tracking_all_metrics(self):
         """VEvalEvaluator composition (saco_veval_eval.py:17): all five
