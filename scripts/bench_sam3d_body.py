@@ -33,23 +33,25 @@ def main():
                   flush=True)
 
         # chain INSIDE jit: eager ops between calls go through the axon
-        # tunnel at ~50 ms each and would inflate the measurement
+        # tunnel at ~78 ms each and would inflate the measurement. Pass
+        # variables as an ARGUMENT — closing over them captures 2.7 GB of
+        # constants into the lowered program and breaks the remote compile.
         @jax.jit
-        def step(x):
-            out = model.apply(variables, x)
+        def step(v, x):
+            out = model.apply(v, x)
             nxt = x * 0.999 + jnp.mean(
                 out.joints_2d_crop.astype(jnp.float32)) * 1e-6
             return jnp.sum(out.joints_3d.astype(jnp.float32)), nxt
 
         t0 = time.time()
-        s, x = step(crops)
+        s, x = step(variables, crops)
         _ = float(s)
         print(f"B={B} compile+first {time.time()-t0:.0f}s", flush=True)
 
         iters = 10
         t0 = time.time()
         for i in range(iters):
-            s, x = step(x)
+            s, x = step(variables, x)
         _ = float(s)
         dt = (time.time() - t0) / iters
         print(f"B={B}: {dt*1000:.1f} ms/call = {B/dt:.1f} crops/s/chip",

@@ -22,20 +22,22 @@ def measure(model, tag, iters=10):
     t0 = time.time()
     v = jax.jit(model.init)(jax.random.PRNGKey(0), imgs)
 
+    # params flow through arguments — closing over them captures GBs of
+    # constants into the lowered program and breaks the remote compile
     @jax.jit
-    def step(x):
+    def step(v, x):
         out = model.apply(v, x)
         leaves = [l.astype(jnp.float32).mean() for l in
                   jax.tree.leaves(out)]
         s = sum(leaves)
         return s, x * 0.999 + s * 1e-9
 
-    s, x = step(imgs)
+    s, x = step(v, imgs)
     _ = float(s)
     print(f"{tag}: compile {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
     for _ in range(iters):
-        s, x = step(x)
+        s, x = step(v, x)
     _ = float(s)
     dt = (time.time() - t0) / iters
     print(f"{tag}: {dt*1000:.1f} ms/pair", flush=True)

@@ -12,3 +12,9 @@ from skix.tracking.memory_tracker import (  # noqa: F401
     propagate_object,
     propagate_objects,
 )
+from skix.tracking.postprocess import postprocess_detections  # noqa: F401
+from skix.tracking.sam_prompt_encoder import (  # noqa: F401
+    InteractiveSegmenter,
+    SamImagePredictor,
+    SamPromptEncoder,
+)

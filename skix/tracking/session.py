@@ -32,6 +32,8 @@ class _Session:
     frames: np.ndarray            # (T, H, W, 3) uint8
     prompts: Dict[str, np.ndarray]
     removed_ids: set
+    # frame_idx → geometric prompt arrays (normalized coords + validity)
+    geometry: Dict[int, dict] = dataclasses.field(default_factory=dict)
 
 
 class VideoPredictor:
@@ -58,10 +60,20 @@ class VideoPredictor:
         size = self.detector.img_size
         if variables is None:
             if self.is_sam3:
+                # init WITH (all-invalid) geometry slots so the geometry
+                # encoder's params exist for point/box-prompted sessions
+                Np = self.detector.max_points
+                Nb = self.detector.max_boxes
                 variables = jax.jit(self.detector.init)(
                     jax.random.PRNGKey(rng_seed),
                     jnp.zeros((1, size, size, 3)),
-                    jnp.zeros((1, 4, self.detector.d_model)))
+                    jnp.zeros((1, 4, self.detector.d_model)),
+                    points=jnp.zeros((1, Np, 2)),
+                    point_labels=jnp.zeros((1, Np), jnp.int32),
+                    point_valid=jnp.zeros((1, Np), bool),
+                    boxes=jnp.zeros((1, Nb, 4)),
+                    box_labels=jnp.zeros((1, Nb), jnp.int32),
+                    box_valid=jnp.zeros((1, Nb), bool))
             else:
                 variables = jax.jit(self.detector.init)(
                     jax.random.PRNGKey(rng_seed),
@@ -84,8 +96,55 @@ class VideoPredictor:
                                       removed_ids=set())
         return sid
 
-    def add_prompt(self, session_id: int, text: str) -> None:
+    def add_prompt(self, session_id: int, text: Optional[str] = None,
+                   frame_idx: int = 0, points=None, point_labels=None,
+                   boxes_xyxy=None, box_labels=None) -> None:
+        """Add a text and/or geometric prompt (reference
+        sam3_video_predictor.py:131: text, points + labels, boxes +
+        labels on a specific frame). Geometric prompts are stored in
+        fixed-capacity slots and condition detection on ``frame_idx``
+        via the detector's geometry encoder (Sam3Detector only);
+        ``points``/``boxes_xyxy`` are in ORIGINAL frame pixels."""
         s = self.sessions[session_id]
+        if points is not None or boxes_xyxy is not None:
+            if not self.is_sam3:
+                raise ValueError(
+                    "geometric prompts need the Sam3Detector path")
+            H, W = s.frames.shape[1:3]
+            Np = self.detector.max_points
+            Nb = self.detector.max_boxes
+            g = {"points": np.zeros((Np, 2), np.float32),
+                 "point_labels": np.zeros((Np,), np.int32),
+                 "point_valid": np.zeros((Np,), bool),
+                 "boxes": np.zeros((Nb, 4), np.float32),
+                 "box_labels": np.zeros((Nb,), np.int32),
+                 "box_valid": np.zeros((Nb,), bool)}
+            if points is not None:
+                pts = np.asarray(points, np.float32).reshape(-1, 2)
+                lab = (np.asarray(point_labels, np.int32).reshape(-1)
+                       if point_labels is not None
+                       else np.ones(len(pts), np.int32))
+                k = min(len(pts), Np)
+                g["points"][:k] = pts[:k] / [W, H]
+                g["point_labels"][:k] = lab[:k]
+                g["point_valid"][:k] = True
+            if boxes_xyxy is not None:
+                bx = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4)
+                lab = (np.asarray(box_labels, np.int32).reshape(-1)
+                       if box_labels is not None
+                       else np.ones(len(bx), np.int32))
+                k = min(len(bx), Nb)
+                # normalized cxcywh (the geometry encoder's convention)
+                cx = (bx[:k, 0] + bx[:k, 2]) / 2 / W
+                cy = (bx[:k, 1] + bx[:k, 3]) / 2 / H
+                bw = (bx[:k, 2] - bx[:k, 0]) / W
+                bh = (bx[:k, 3] - bx[:k, 1]) / H
+                g["boxes"][:k] = np.stack([cx, cy, bw, bh], -1)
+                g["box_labels"][:k] = lab[:k]
+                g["box_valid"][:k] = True
+            s.geometry[int(frame_idx)] = g
+        if text is None:
+            return
         if self.clip is not None:
             tokenizer, encoder, variables = self.clip
             tokens = jnp.asarray(tokenizer([text]))
@@ -112,14 +171,16 @@ class VideoPredictor:
         s = self.sessions[session_id]
         s.prompts.clear()
         s.removed_ids.clear()
+        s.geometry.clear()
 
     def close_session(self, session_id: int) -> None:
         self.sessions.pop(session_id, None)
 
     # ---------------- propagation ----------------
-    def _detect_batch(self, variables, images, prompt):
+    def _detect_batch(self, variables, images, prompt, geometry=None):
         if self.is_sam3:
-            det = self.detector.apply(variables, images, prompt)
+            geo = geometry or {}
+            det = self.detector.apply(variables, images, prompt, **geo)
             cx, cy, w, h = [det.boxes_cxcywh[..., i] for i in range(4)]
             size = self.detector.img_size
             boxes = jnp.stack([(cx - w / 2) * size, (cy - h / 2) * size,
@@ -136,6 +197,10 @@ class VideoPredictor:
         (streaming, like reference handle_stream_request :88)."""
         s = self.sessions[session_id]
         if prompt_text is None:
+            if not s.prompts and s.geometry:
+                # geometry-only prompting uses the 'visual' concept token
+                # (reference sam3_image_processor.py geometric-only path)
+                self.add_prompt(session_id, "visual")
             if not s.prompts:
                 raise ValueError("no prompt added to session")
             prompt_text = next(iter(s.prompts))
@@ -145,6 +210,7 @@ class VideoPredictor:
         state = init_tracker_state(self.cfg)
         sx, sy = W / size, H / size
 
+        use_geo = self.is_sam3 and bool(s.geometry)
         for start in range(0, T, self.batch_size):
             chunk = s.frames[start:start + self.batch_size]
             n = len(chunk)
@@ -153,10 +219,28 @@ class VideoPredictor:
             pad = self.batch_size - n
             if pad:
                 imgs = jnp.pad(imgs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            geometry = None
+            if use_geo:
+                B = self.batch_size
+                Np = self.detector.max_points
+                Nb = self.detector.max_boxes
+                gb = {"points": np.zeros((B, Np, 2), np.float32),
+                      "point_labels": np.zeros((B, Np), np.int32),
+                      "point_valid": np.zeros((B, Np), bool),
+                      "boxes": np.zeros((B, Nb, 4), np.float32),
+                      "box_labels": np.zeros((B, Nb), np.int32),
+                      "box_valid": np.zeros((B, Nb), bool)}
+                for i in range(n):
+                    g = s.geometry.get(start + i)
+                    if g is not None:
+                        for k in gb:
+                            gb[k][i] = g[k]
+                geometry = {k: jnp.asarray(v) for k, v in gb.items()}
             boxes, scores = self._detect(
                 self.variables, imgs,
                 jnp.broadcast_to(prompt,
-                                 (self.batch_size, *prompt.shape[1:])))
+                                 (self.batch_size, *prompt.shape[1:])),
+                geometry)
             boxes = np.array(boxes)[:n]  # writable host copy
             scores = np.array(scores)[:n]
             boxes[..., 0] *= sx
@@ -178,4 +262,5 @@ class VideoPredictor:
         s = self.sessions[session_id]
         return {"frames": int(len(s.frames)),
                 "prompts": sorted(s.prompts),
-                "removed_ids": sorted(s.removed_ids)}
+                "removed_ids": sorted(s.removed_ids),
+                "geometry_frames": sorted(s.geometry)}

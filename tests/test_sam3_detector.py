@@ -190,6 +190,41 @@ class TestDetector:
         assert np.all(np.isfinite(o["bbox"]))
         assert o["bbox"].shape[-1] == 4
 
+    def test_session_geometric_prompts(self):
+        """add_prompt(points=..., boxes_xyxy=...) — the reference video
+        request protocol (sam3_video_predictor.py:131-157): geometry
+        conditions detection on the prompted frame; geometry-only
+        sessions fall back to the 'visual' concept."""
+        rng = np.random.default_rng(909)
+        from skix.tracking.session import VideoPredictor
+
+        det = Sam3Detector.tiny(d_model=64)
+        pred = VideoPredictor(det, batch_size=2)
+        frames = (rng.uniform(0, 255, (2, 112, 112, 3))).astype(np.uint8)
+
+        sid = pred.start_session(frames)
+        pred.add_prompt(sid, "person")
+        base = [o["outputs"]["score"].copy()
+                for o in pred.propagate_in_video(sid, "person")]
+
+        sid2 = pred.start_session(frames)
+        pred.add_prompt(sid2, "person", frame_idx=0,
+                        points=[[30.0, 40.0]], point_labels=[1],
+                        boxes_xyxy=[[10.0, 10.0, 60.0, 80.0]])
+        assert pred.session_stats(sid2)["geometry_frames"] == [0]
+        geo = [o["outputs"]["score"].copy()
+               for o in pred.propagate_in_video(sid2, "person")]
+        assert len(geo) == 2
+        # geometry changes the prompted-frame detections
+        assert not np.allclose(base[0], geo[0])
+
+        # geometry-only session uses the 'visual' concept token
+        sid3 = pred.start_session(frames)
+        pred.add_prompt(sid3, points=[[30.0, 40.0]], point_labels=[1])
+        outs = list(pred.propagate_in_video(sid3))
+        assert len(outs) == 2
+        assert "visual" in pred.session_stats(sid3)["prompts"]
+
     def test_differentiable(self):
         m, imgs, text, v = self._setup()
 
