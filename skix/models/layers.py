@@ -100,6 +100,11 @@ class MultiHeadAttention(nn.Module):
     # static logit bound for the kernel's fixed-max mode (safe with
     # qk_norm: LayerNorm'd q/k bound |s|; skips online-max bookkeeping)
     attn_fixed_max: Optional[float] = None
+    # fuse rope into the attention kernel via cos/sin tables — valid only
+    # when every batch row shares the same positions (the caller asserts
+    # this by opting in; VGGT's aggregator layouts qualify). Measured
+    # ~12 ms/pair on VGGT-1B vs XLA-level rope (relayout copies).
+    rope_tables: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -115,11 +120,19 @@ class MultiHeadAttention(nn.Module):
         if self.qk_norm:
             q = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="q_norm")(q)
             k = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="k_norm")(k)
-        if self.rope_freq > 0 and pos is not None:
+        fuse_rope = (self.rope_freq > 0 and pos is not None
+                     and self.rope_tables and self.attn_fn is None)
+        if self.rope_freq > 0 and pos is not None and not fuse_rope:
             q = rope_2d(q, pos, self.rope_freq)
             k = rope_2d(k, pos, self.rope_freq)
         if self.attn_fn is not None:
             out = self.attn_fn(q, k, v)
+        elif fuse_rope:
+            from skix.ops.attention import rope_2d_tables
+
+            cos, sin = rope_2d_tables(pos[0], hd, self.rope_freq)
+            out = flash_attention(q, k, v, fixed_max=self.attn_fixed_max,
+                                  rope_cos=cos, rope_sin=sin)
         else:
             out = flash_attention(q, k, v, fixed_max=self.attn_fixed_max)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
@@ -142,6 +155,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_fn: Optional[Callable] = None
     attn_fixed_max: Optional[float] = None
+    rope_tables: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -152,6 +166,7 @@ class Block(nn.Module):
                                self.qk_norm, self.rope_freq, self.ln_eps,
                                self.dtype, attn_fn=self.attn_fn,
                                attn_fixed_max=self.attn_fixed_max,
+                               rope_tables=self.rope_tables,
                                name="attn")(h, pos)
         if self.init_values:
             h = LayerScale(self.init_values, name="ls1")(h)

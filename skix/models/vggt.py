@@ -189,7 +189,10 @@ class Aggregator(nn.Module):
             num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
             qk_norm=self.qk_norm, init_values=self.init_values,
             rope_freq=self.rope_freq, dtype=self.dtype,
-            attn_fixed_max=self.attn_fixed_max if self.qk_norm else None)
+            attn_fixed_max=self.attn_fixed_max if self.qk_norm else None,
+            # every batch row shares the same position grid in both the
+            # frame and global layouts → rope can fuse into the kernel
+            rope_tables=True)
 
         outputs = []
         want = set(self.output_layers) if self.output_layers is not None else None

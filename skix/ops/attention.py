@@ -65,21 +65,89 @@ def _attention_reference(q, k, v, sm_scale: float, bias=None):
 
 
 # --------------------------------------------------------------------------
+# fused rotary embedding (rope) support
+# --------------------------------------------------------------------------
+def rotate_half_matrix(d: int, num_halves: int = 2) -> np.ndarray:
+    """Static signed-permutation matrix R with ``x @ R == rotate_half(x)``
+    applied independently within each of ``num_halves`` contiguous D
+    segments (the VGGT 2D-rope convention: rotate-half per axis half,
+    reference rope.py:129). On TPU the lane shuffle becomes one cheap
+    64-deep MXU matmul inside the kernel instead of an XLA relayout."""
+    assert d % num_halves == 0
+    m = d // num_halves
+    assert m % 2 == 0
+    R = np.zeros((d, d), np.float32)
+    for h in range(num_halves):
+        o = h * m
+        for j in range(m // 2):
+            R[o + j + m // 2, o + j] = -1.0   # y[j]      = -x[j + m/2]
+            R[o + j, o + j + m // 2] = 1.0    # y[m/2 + j] = x[j]
+    return R
+
+
+def rope_2d_tables(pos, d: int, base_freq: float):
+    """Full-width cos/sin tables for the 2D rope (skix.models.layers
+    rope_2d convention): ``pos (N, 2)`` integer (y, x) coords →
+    ``(cos, sin)`` each (N, d); the first d/2 features carry the y
+    rotation, the second the x rotation. ``x∘cos + (x@R)∘sin`` with
+    ``R = rotate_half_matrix(d)`` equals ``rope_2d(x, pos)`` exactly."""
+    half = d // 2
+    exponents = jnp.arange(0, half, 2, dtype=jnp.float32) / half
+    inv_freq = 1.0 / (base_freq ** exponents)          # (d/4,)
+    ay = pos[..., 0:1].astype(jnp.float32) * inv_freq  # (N, d/4)
+    ax = pos[..., 1:2].astype(jnp.float32) * inv_freq
+    angles = jnp.concatenate([ay, ay, ax, ax], axis=-1)  # (N, d)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def _apply_rope_tables(x, cos, sin, R):
+    """XLA-level rope via the matmul trick (fallback + backward path);
+    ``x (B, H, S, D)``, tables ``(S, D)``."""
+    xr = jnp.einsum("bhsd,de->bhse", x.astype(jnp.float32), R)
+    out = (x.astype(jnp.float32) * cos[None, None] + xr * sin[None, None])
+    return out.astype(x.dtype)
+
+
+def _unrope_grad(g, cos, sin, R):
+    """VJP of ``_apply_rope_tables`` w.r.t. x: dx = g∘cos + (g∘sin)@Rᵀ."""
+    gs = g.astype(jnp.float32) * sin[None, None]
+    gr = jnp.einsum("bhsd,ed->bhse", gs, R)
+    out = g.astype(jnp.float32) * cos[None, None] + gr
+    return out.astype(g.dtype)
+
+
+# --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
                 sm_scale: float, kv_tiles: int, kv_len: int,
                 block_k_major: int, block_k: int, needs_mask: bool,
-                fixed_max: float | None = None):
+                fixed_max: float | None = None, with_rope: bool = False,
+                save_residuals: bool = True):
     """One (q-tile × kv-major-tile) step of online-softmax accumulation,
     sub-tiled over ``block_k`` chunks for the MXU.
 
     ``sm_scale`` is folded into Q once per tile (saves a full (bq, bk)
     multiply per KV step); the padding mask is elided entirely at trace
     time when S divides the tile (``needs_mask=False``) — both measured
-    wins on v5e.
+    wins on v5e. ``with_rope``: extra (cos, sin, R) operands apply the
+    rotary embedding to the q/k tiles IN-KERNEL — the lane shuffle runs
+    as one 64-deep MXU matmul (``x @ R``) on VMEM tiles instead of XLA
+    relayout copies (measured ~12 ms/pair on VGGT-1B).
     """
     from jax.experimental import pallas as pl
+
+    # unpack the variadic refs: [cosq, sinq, cosk, sink, R]? (rope) +
+    # outputs + scratch
+    idx = 0
+    if with_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, r_ref = refs[idx:idx + 5]
+        idx += 5
+    o_ref = refs[idx]
+    idx += 1
+    lse_ref = refs[idx] if save_residuals else None
+    idx += 1 if save_residuals else 0
+    m_scr, l_scr, acc_scr = refs[idx:idx + 3]
 
     kv_idx = pl.program_id(3)
 
@@ -89,16 +157,32 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = (q_ref[0, 0].astype(jnp.float32)
-         * (sm_scale * _LOG2E)).astype(q_ref.dtype)
+    q_raw = q_ref[0, 0]
+    if with_rope:
+        R = r_ref[...].astype(q_raw.dtype)
+        qrot = jax.lax.dot(q_raw, R, preferred_element_type=jnp.float32)
+        q32 = (q_raw.astype(jnp.float32) * cosq_ref[...]
+               + qrot * sinq_ref[...])
+        q = (q32 * (sm_scale * _LOG2E)).astype(q_raw.dtype)
+    else:
+        q = (q_raw.astype(jnp.float32)
+             * (sm_scale * _LOG2E)).astype(q_raw.dtype)
 
     for sub in range(block_k_major // block_k):
         if block_k == block_k_major:
             k = k_ref[0, 0]
             v = v_ref[0, 0]
+            if with_rope:
+                kc, ks = cosk_ref[...], sink_ref[...]
         else:
             k = k_ref[0, 0, sub * block_k:(sub + 1) * block_k, :]
             v = v_ref[0, 0, sub * block_k:(sub + 1) * block_k, :]
+            if with_rope:
+                kc = cosk_ref[sub * block_k:(sub + 1) * block_k, :]
+                ks = sink_ref[sub * block_k:(sub + 1) * block_k, :]
+        if with_rope:
+            krot = jax.lax.dot(k, R, preferred_element_type=jnp.float32)
+            k = (k.astype(jnp.float32) * kc + krot * ks).astype(k.dtype)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -152,12 +236,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
 
 def _flash_forward(q, k, v, sm_scale: float, block_q: int,
                    block_k_major: int, block_k: int, interpret: bool,
-                   save_residuals: bool, fixed_max: float | None = None):
+                   save_residuals: bool, fixed_max: float | None = None,
+                   rope_cos=None, rope_sin=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
+    with_rope = rope_cos is not None
     block_q = min(block_q, _round_up(Sq, 8))
     block_k_major = min(block_k_major, _round_up(Sk, 8))
     block_k = min(block_k, block_k_major)
@@ -171,34 +257,47 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
     nq = (Sq + pq) // block_q
     nk = (Sk + pk) // block_k_major
 
-    base_kernel = functools.partial(
+    kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_tiles=nk, kv_len=Sk,
         block_k_major=block_k_major, block_k=block_k, needs_mask=pk > 0,
-        fixed_max=fixed_max)
+        fixed_max=fixed_max, with_rope=with_rope,
+        save_residuals=save_residuals)
+
+    operands = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k_major, D),
+                     lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_k_major, D),
+                     lambda b, h, i, j: (b, h, j, 0)),
+    ]
+    if with_rope:
+        assert Sq == Sk, "fused rope expects self-attention layouts"
+        cosp = jnp.pad(rope_cos.astype(jnp.float32), ((0, pq), (0, 0)))
+        sinp = jnp.pad(rope_sin.astype(jnp.float32), ((0, pq), (0, 0)))
+        R = jnp.asarray(rotate_half_matrix(D))
+        operands += [cosp, sinp, cosp, sinp, R]
+        in_specs += [
+            pl.BlockSpec((block_q, D), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((block_q, D), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((block_k_major, D), lambda b, h, i, j: (j, 0)),
+            pl.BlockSpec((block_k_major, D), lambda b, h, i, j: (j, 0)),
+            pl.BlockSpec((D, D), lambda b, h, i, j: (0, 0)),
+        ]
+
     out_shape = [jax.ShapeDtypeStruct(qp.shape, q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, D),
                               lambda b, h, i, j: (b, h, i, 0))]
     if save_residuals:
-        kernel = base_kernel
         out_shape.append(jax.ShapeDtypeStruct((B, H, Sq + pq, _LANES),
                                               jnp.float32))
         out_specs.append(pl.BlockSpec((1, 1, block_q, _LANES),
                                       lambda b, h, i, j: (b, h, i, 0)))
-    else:
-        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
-            base_kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr,
-                        acc_scr)
 
     outs = pl.pallas_call(
         kernel,
         grid=(B, H, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k_major, D),
-                         lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k_major, D),
-                         lambda b, h, i, j: (b, h, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -211,7 +310,7 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*operands)
     o = outs[0][:, :, :Sq, :]
     if save_residuals:
         return o, outs[1]  # lse kept PADDED (bwd kernels slice themselves)
@@ -405,38 +504,72 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 # custom-vjp wrapper + public API
 # --------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_attention(q, k, v, sm_scale, block_q, block_k_major, block_k,
-                     interpret, fixed_max):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
+                     block_k_major, block_k, interpret, fixed_max):
+    with_rope = rope_cos is not None
     if not (interpret or jax.default_backend() == "tpu"):
+        if with_rope:
+            R = jnp.asarray(rotate_half_matrix(q.shape[-1]))
+            q = _apply_rope_tables(q, rope_cos, rope_sin, R)
+            k = _apply_rope_tables(k, rope_cos, rope_sin, R)
         return _attention_reference(q, k, v, sm_scale)
     return _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
                           block_k, interpret, save_residuals=False,
-                          fixed_max=fixed_max)
+                          fixed_max=fixed_max, rope_cos=rope_cos,
+                          rope_sin=rope_sin)
 
 
-def _fwd(q, k, v, sm_scale, block_q, block_k_major, block_k, interpret,
-         fixed_max):
+def _fwd(q, k, v, rope_cos, rope_sin, sm_scale, block_q, block_k_major,
+         block_k, interpret, fixed_max):
+    with_rope = rope_cos is not None
     if not (interpret or jax.default_backend() == "tpu"):
-        return _attention_reference(q, k, v, sm_scale), (q, k, v, None, None)
+        o = _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale,
+                             block_q, block_k_major, block_k, interpret,
+                             fixed_max)
+        return o, (q, k, v, None, None, rope_cos, rope_sin)
     o, lse = _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
                             block_k, interpret, save_residuals=True,
-                            fixed_max=fixed_max)
-    return o, (q, k, v, o, lse)
+                            fixed_max=fixed_max, rope_cos=rope_cos,
+                            rope_sin=rope_sin)
+    return o, (q, k, v, o, lse, rope_cos, rope_sin)
 
 
 def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
          res, g):
-    q, k, v, o, lse = res
+    q, k, v, o, lse, rope_cos, rope_sin = res
+    with_rope = rope_cos is not None
+    zt = ((jnp.zeros_like(rope_cos), jnp.zeros_like(rope_sin))
+          if with_rope else (None, None))
     if lse is None:  # non-TPU fallback: recompute through XLA
-        _, vjp = jax.vjp(
-            lambda a, b, c: _attention_reference(a, b, c, sm_scale), q, k, v)
-        return vjp(g)
+        def f(a, b, c):
+            if with_rope:
+                R = jnp.asarray(rotate_half_matrix(a.shape[-1]))
+                a = _apply_rope_tables(a, rope_cos, rope_sin, R)
+                b = _apply_rope_tables(b, rope_cos, rope_sin, R)
+            return _attention_reference(a, b, c, sm_scale)
+
+        _, vjp = jax.vjp(f, q, k, v)
+        return (*vjp(g), *zt)
     # backward tiles: the dKV inner sweep holds (bq×bk) f32 scores plus two
     # f32 (bk, D) accumulators — cap both at 512 regardless of fwd tiling
     bq = min(block_q, 512)
     bk = min(block_k, 512)
-    return _flash_backward(q, k, v, o, lse, g, sm_scale, bq, bk, interpret)
+    if with_rope:
+        # the backward kernels recompute s from q/k — feed them the ROPED
+        # tensors (one XLA-level rope each, ~0.1 ms), then rotate the q/k
+        # gradients back through the orthogonal rope map
+        R = jnp.asarray(rotate_half_matrix(q.shape[-1]))
+        qr = _apply_rope_tables(q, rope_cos, rope_sin, R)
+        kr = _apply_rope_tables(k, rope_cos, rope_sin, R)
+        dqr, dkr, dv = _flash_backward(qr, kr, v, o, lse, g, sm_scale,
+                                       bq, bk, interpret)
+        dq = _unrope_grad(dqr, rope_cos, rope_sin, R)
+        dk = _unrope_grad(dkr, rope_cos, rope_sin, R)
+        return dq, dk, dv, *zt
+    dq, dk, dv = _flash_backward(q, k, v, o, lse, g, sm_scale, bq, bk,
+                                 interpret)
+    return dq, dk, dv, None, None
 
 
 _flash_attention.defvjp(_fwd, _bwd)
@@ -445,7 +578,8 @@ _flash_attention.defvjp(_fwd, _bwd)
 def flash_attention(q, k, v, sm_scale: float | None = None,
                     block_q: int = 1024, block_k_major: int = 1024,
                     block_k: int = 1024, interpret: bool = False,
-                    fixed_max: float | None = None):
+                    fixed_max: float | None = None,
+                    rope_cos=None, rope_sin=None):
     """Multi-head attention, shapes ``(B, H, S, D)`` → ``(B, H, Sq, D)``.
 
     Uses the Pallas flash kernels (fwd + bwd) on TPU, the fused-XLA
@@ -453,6 +587,11 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     the interpreter on any backend (used by CI). ``sm_scale`` defaults to
     1/√D. Block sizes: ``block_q × block_k_major`` tiles the HBM loads,
     ``block_k`` sub-tiles the MXU matmuls inside a major tile.
+
+    ``rope_cos``/``rope_sin`` ((S, D), see :func:`rope_2d_tables`) fuse
+    the rotary embedding of q AND k into the kernel: the rotate-half lane
+    shuffle runs as a 64-deep MXU matmul on VMEM tiles instead of XLA
+    relayout copies (self-attention layouts only, Sq == Sk).
     """
     q = jnp.asarray(q)
     k = jnp.asarray(k)
@@ -461,11 +600,15 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     # small sequences: tiling overhead dominates — use the XLA path.
     if not interpret and (q.shape[2] < block_q or k.shape[2] < block_k):
+        if rope_cos is not None:
+            R = jnp.asarray(rotate_half_matrix(q.shape[-1]))
+            q = _apply_rope_tables(q, rope_cos, rope_sin, R)
+            k = _apply_rope_tables(k, rope_cos, rope_sin, R)
         return _attention_reference(q, k, v, sm_scale)
     # wider Q tiles amortize K/V HBM reloads: measured +7% fwd at S=8192
     # (fixed-max, v5e — docs/PERF.md sweep). Applied only when Sq divides
     # the tile exactly, so shorter sequences keep the padding-free 1024.
     if block_q == 1024 and q.shape[2] % 2048 == 0:
         block_q = 2048
-    return _flash_attention(q, k, v, sm_scale, block_q, block_k_major,
-                            block_k, interpret, fixed_max)
+    return _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
+                            block_k_major, block_k, interpret, fixed_max)

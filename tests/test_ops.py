@@ -107,6 +107,59 @@ class TestPallasKernelInterpret:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4)
 
+    def test_fused_rope_matches_xla_rope(self):
+        """In-kernel rope (cos/sin tables + rotate-half-as-matmul) equals
+        rope_2d applied at the XLA level before plain attention."""
+        from skix.models.layers import rope_2d
+        from skix.ops.attention import rope_2d_tables
+
+        B, H, S, D = 1, 2, 64, 32
+        r = np.random.default_rng(19)
+        q = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        pos = jnp.asarray(np.stack([ys, xs], -1).reshape(1, S, 2))
+
+        cos, sin = rope_2d_tables(pos[0], D, 100.0)
+        out = flash_attention(q, k, v, block_q=32, block_k_major=32,
+                              block_k=32, interpret=True,
+                              rope_cos=cos, rope_sin=sin)
+        qr = rope_2d(q, pos, 100.0)
+        kr = rope_2d(k, pos, 100.0)
+        ref = _attention_reference(qr, kr, v, 1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_fused_rope_backward(self):
+        from skix.ops.attention import rope_2d_tables
+        from skix.models.layers import rope_2d
+
+        B, H, S, D = 1, 2, 32, 16
+        r = np.random.default_rng(23)
+        q = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        ys, xs = np.meshgrid(np.arange(4), np.arange(8), indexing="ij")
+        pos = jnp.asarray(np.stack([ys, xs], -1).reshape(1, S, 2))
+        cos, sin = rope_2d_tables(pos[0], D, 50.0)
+
+        def f(q, k, v):
+            return jnp.sum(jnp.sin(flash_attention(
+                q, k, v, block_q=16, block_k_major=16, block_k=16,
+                interpret=True, rope_cos=cos, rope_sin=sin)))
+
+        def fr(q, k, v):
+            return jnp.sum(jnp.sin(_attention_reference(
+                rope_2d(q, pos, 50.0), rope_2d(k, pos, 50.0), v,
+                1.0 / np.sqrt(D))))
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
+
 
 class TestNMS:
     def test_box_iou_identity(self):
