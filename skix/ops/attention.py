@@ -85,6 +85,34 @@ def rotate_half_matrix(d: int, num_halves: int = 2) -> np.ndarray:
     return R
 
 
+def interleaved_rotate_matrix(d: int) -> np.ndarray:
+    """Signed permutation for the INTERLEAVED-pair rope convention
+    (SAM3 ViT-Det, reference vitdet.py:68 apply_rotary_enc):
+    ``y[2i] = -x[2i+1], y[2i+1] = x[2i]`` as ``x @ R``."""
+    assert d % 2 == 0
+    R = np.zeros((d, d), np.float32)
+    for i in range(d // 2):
+        R[2 * i + 1, 2 * i] = -1.0
+        R[2 * i, 2 * i + 1] = 1.0
+    return R
+
+
+def _rot_matrix(d: int, style: str) -> np.ndarray:
+    if style == "half":
+        return rotate_half_matrix(d)
+    if style == "interleaved":
+        return interleaved_rotate_matrix(d)
+    raise ValueError(f"unknown rope_rotate style: {style}")
+
+
+def interleaved_rope_tables(angles):
+    """Per-pair angles (N, D/2) → full-width (cos, sin) tables (N, D)
+    for the interleaved convention: each pair shares its angle."""
+    cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)
+    sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)
+    return cos, sin
+
+
 def rope_2d_tables(pos, d: int, base_freq: float):
     """Full-width cos/sin tables for the 2D rope (skix.models.layers
     rope_2d convention): ``pos (N, 2)`` integer (y, x) coords →
@@ -237,7 +265,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
 def _flash_forward(q, k, v, sm_scale: float, block_q: int,
                    block_k_major: int, block_k: int, interpret: bool,
                    save_residuals: bool, fixed_max: float | None = None,
-                   rope_cos=None, rope_sin=None):
+                   rope_cos=None, rope_sin=None,
+                   rope_rotate: str = "half"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -275,7 +304,7 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
         assert Sq == Sk, "fused rope expects self-attention layouts"
         cosp = jnp.pad(rope_cos.astype(jnp.float32), ((0, pq), (0, 0)))
         sinp = jnp.pad(rope_sin.astype(jnp.float32), ((0, pq), (0, 0)))
-        R = jnp.asarray(rotate_half_matrix(D))
+        R = jnp.asarray(_rot_matrix(D, rope_rotate))
         operands += [cosp, sinp, cosp, sinp, R]
         in_specs += [
             pl.BlockSpec((block_q, D), lambda b, h, i, j: (i, 0)),
@@ -504,39 +533,40 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 # custom-vjp wrapper + public API
 # --------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
-                     block_k_major, block_k, interpret, fixed_max):
+                     block_k_major, block_k, interpret, fixed_max,
+                     rope_rotate):
     with_rope = rope_cos is not None
     if not (interpret or jax.default_backend() == "tpu"):
         if with_rope:
-            R = jnp.asarray(rotate_half_matrix(q.shape[-1]))
+            R = jnp.asarray(_rot_matrix(q.shape[-1], rope_rotate))
             q = _apply_rope_tables(q, rope_cos, rope_sin, R)
             k = _apply_rope_tables(k, rope_cos, rope_sin, R)
         return _attention_reference(q, k, v, sm_scale)
     return _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
                           block_k, interpret, save_residuals=False,
                           fixed_max=fixed_max, rope_cos=rope_cos,
-                          rope_sin=rope_sin)
+                          rope_sin=rope_sin, rope_rotate=rope_rotate)
 
 
 def _fwd(q, k, v, rope_cos, rope_sin, sm_scale, block_q, block_k_major,
-         block_k, interpret, fixed_max):
+         block_k, interpret, fixed_max, rope_rotate):
     with_rope = rope_cos is not None
     if not (interpret or jax.default_backend() == "tpu"):
         o = _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale,
                              block_q, block_k_major, block_k, interpret,
-                             fixed_max)
+                             fixed_max, rope_rotate)
         return o, (q, k, v, None, None, rope_cos, rope_sin)
     o, lse = _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
                             block_k, interpret, save_residuals=True,
                             fixed_max=fixed_max, rope_cos=rope_cos,
-                            rope_sin=rope_sin)
+                            rope_sin=rope_sin, rope_rotate=rope_rotate)
     return o, (q, k, v, o, lse, rope_cos, rope_sin)
 
 
 def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
-         res, g):
+         rope_rotate, res, g):
     q, k, v, o, lse, rope_cos, rope_sin = res
     with_rope = rope_cos is not None
     zt = ((jnp.zeros_like(rope_cos), jnp.zeros_like(rope_sin))
@@ -544,7 +574,7 @@ def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
     if lse is None:  # non-TPU fallback: recompute through XLA
         def f(a, b, c):
             if with_rope:
-                R = jnp.asarray(rotate_half_matrix(a.shape[-1]))
+                R = jnp.asarray(_rot_matrix(a.shape[-1], rope_rotate))
                 a = _apply_rope_tables(a, rope_cos, rope_sin, R)
                 b = _apply_rope_tables(b, rope_cos, rope_sin, R)
             return _attention_reference(a, b, c, sm_scale)
@@ -559,7 +589,7 @@ def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
         # the backward kernels recompute s from q/k — feed them the ROPED
         # tensors (one XLA-level rope each, ~0.1 ms), then rotate the q/k
         # gradients back through the orthogonal rope map
-        R = jnp.asarray(rotate_half_matrix(q.shape[-1]))
+        R = jnp.asarray(_rot_matrix(q.shape[-1], rope_rotate))
         qr = _apply_rope_tables(q, rope_cos, rope_sin, R)
         kr = _apply_rope_tables(k, rope_cos, rope_sin, R)
         dqr, dkr, dv = _flash_backward(qr, kr, v, o, lse, g, sm_scale,
@@ -579,7 +609,8 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
                     block_q: int = 1024, block_k_major: int = 1024,
                     block_k: int = 1024, interpret: bool = False,
                     fixed_max: float | None = None,
-                    rope_cos=None, rope_sin=None):
+                    rope_cos=None, rope_sin=None,
+                    rope_rotate: str = "half"):
     """Multi-head attention, shapes ``(B, H, S, D)`` → ``(B, H, Sq, D)``.
 
     Uses the Pallas flash kernels (fwd + bwd) on TPU, the fused-XLA
@@ -601,7 +632,7 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     # small sequences: tiling overhead dominates — use the XLA path.
     if not interpret and (q.shape[2] < block_q or k.shape[2] < block_k):
         if rope_cos is not None:
-            R = jnp.asarray(rotate_half_matrix(q.shape[-1]))
+            R = jnp.asarray(_rot_matrix(q.shape[-1], rope_rotate))
             q = _apply_rope_tables(q, rope_cos, rope_sin, R)
             k = _apply_rope_tables(k, rope_cos, rope_sin, R)
         return _attention_reference(q, k, v, sm_scale)
@@ -611,4 +642,5 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     if block_q == 1024 and q.shape[2] % 2048 == 0:
         block_q = 2048
     return _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
-                            block_k_major, block_k, interpret, fixed_max)
+                            block_k_major, block_k, interpret, fixed_max,
+                            rope_rotate)

@@ -86,12 +86,18 @@ def apply_rope_interleaved(x, angles):
 
 def _sam3_rope_attention(q, k, v, angles):
     """Attention core with the reference's interleaved axial rope applied
-    to q/k (plugged in as ``attn_fn``; angles are static per layout)."""
-    from skix.ops.attention import flash_attention
+    to q/k (plugged in as ``attn_fn``; angles are static per layout).
 
-    q = apply_rope_interleaved(q, angles)
-    k = apply_rope_interleaved(k, angles)
-    return flash_attention(q, k, v)
+    The rope goes through the table + signed-permutation-matmul form
+    (skix.ops.attention): fused into the flash kernel on long sequences
+    (the 4 global blocks at 1008 px), and applied as einsum@R at the XLA
+    level otherwise — both avoid the reshape-pair relayout copies of the
+    naive interleaved rotation."""
+    from skix.ops.attention import flash_attention, interleaved_rope_tables
+
+    cos, sin = interleaved_rope_tables(jnp.asarray(angles))
+    return flash_attention(q, k, v, rope_cos=cos, rope_sin=sin,
+                           rope_rotate="interleaved")
 
 
 def _window_positions(gh: int, gw: int, window_size: int) -> np.ndarray:

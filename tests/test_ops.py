@@ -131,6 +131,28 @@ class TestPallasKernelInterpret:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
 
+    def test_fused_interleaved_rope_matches_reference_rotation(self):
+        """The interleaved-pair convention (SAM3 ViT-Det) through the
+        table + signed-permutation form equals apply_rope_interleaved."""
+        from skix.ops.attention import interleaved_rope_tables
+        from skix.tracking.vitdet import apply_rope_interleaved
+
+        B, H, S, D = 1, 2, 64, 32
+        r = np.random.default_rng(29)
+        q = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        angles = jnp.asarray(r.uniform(0, 3, (S, D // 2)), jnp.float32)
+        cos, sin = interleaved_rope_tables(angles)
+        out = flash_attention(q, k, v, block_q=32, block_k_major=32,
+                              block_k=32, interpret=True, rope_cos=cos,
+                              rope_sin=sin, rope_rotate="interleaved")
+        qr = apply_rope_interleaved(q, angles)
+        kr = apply_rope_interleaved(k, angles)
+        ref = _attention_reference(qr, kr, v, 1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
     def test_fused_rope_backward(self):
         from skix.ops.attention import rope_2d_tables
         from skix.models.layers import rope_2d
