@@ -108,7 +108,7 @@ def main():
                                       "error": str(e)[:160]}), flush=True)
     else:
         for mode in ("fwd", "fwdbwd"):
-            tf = bench_config(B, H, S, D, 1024, 1024, 512, mode=mode)
+            tf = bench_config(B, H, S, D, 1024, 1024, 1024, mode=mode)
             print(json.dumps({"metric": f"flash_attention_{mode}",
                               "value": round(tf, 1), "unit": "TF/s",
                               "shape": [B, H, S, D]}), flush=True)

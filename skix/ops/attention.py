@@ -637,9 +637,12 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
             k = _apply_rope_tables(k, rope_cos, rope_sin, R)
         return _attention_reference(q, k, v, sm_scale)
     # wider Q tiles amortize K/V HBM reloads: measured +7% fwd at S=8192
-    # (fixed-max, v5e — docs/PERF.md sweep). Applied only when Sq divides
-    # the tile exactly, so shorter sequences keep the padding-free 1024.
-    if block_q == 1024 and q.shape[2] % 2048 == 0:
+    # (fixed-max, v5e — docs/PERF.md sweep). Applied only when the caller
+    # left ALL tiling at defaults (an explicit sub-tiled block_k combined
+    # with bq=2048 lands in the measured-loss regime) and Sq divides the
+    # tile exactly, so shorter sequences keep the padding-free 1024.
+    if (block_q == 1024 and block_k_major == 1024 and block_k == 1024
+            and q.shape[2] % 2048 == 0):
         block_q = 2048
     return _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
                             block_k_major, block_k, interpret, fixed_max,

@@ -188,7 +188,7 @@ class TestSession:
         assert outs[0]["outputs"]["bbox"].shape == (4, 4)
         stats = pred.session_stats(sid)
         assert stats == {"frames": 5, "prompts": ["person"],
-                         "removed_ids": []}
+                         "removed_ids": [], "geometry_frames": []}
         # second prompt + reset + close
         pred.add_prompt(sid, "snow")
         pred.reset_session(sid)
