@@ -91,16 +91,22 @@ class JointBlock(nn.Module):
                              name="txt_norm1")(txt) * (1 + t_sc1) + t_sh1
         qi, ki, vi = qkv(img_n, "img_qkv")
         qt, kt, vt = qkv(txt_n, "txt_qkv")
-        qi = rope_3d(qi, img_pos, axes_dim=self.axes_dim)
-        ki = rope_3d(ki, img_pos, axes_dim=self.axes_dim)
-        qt = rope_3d(qt, txt_pos, axes_dim=self.axes_dim)
-        kt = rope_3d(kt, txt_pos, axes_dim=self.axes_dim)
 
         Lt = txt.shape[1]
         q = jnp.concatenate([qt, qi], axis=2)
         k = jnp.concatenate([kt, ki], axis=2)
         v = jnp.concatenate([vt, vi], axis=2)
-        out = flash_attention(q, k, v)
+        # rope via fused cos/sin tables over the concatenated [txt, img]
+        # sequence (positions are identical across the batch): the
+        # rotate-half runs as a signed-permutation MXU matmul in the
+        # kernel/XLA instead of per-stream relayout copies
+        from skix.ops.attention import rope_3d_tables
+
+        full_pos = jnp.concatenate([txt_pos[0], img_pos[0]], axis=0)
+        cos, sin = rope_3d_tables(full_pos, hd, self.axes_dim)
+        out = flash_attention(q, k, v, rope_cos=cos, rope_sin=sin,
+                              rope_rotate=("segments",
+                                           tuple(self.axes_dim)))
         out = out.transpose(0, 2, 1, 3).reshape(q.shape[0], q.shape[2], C)
         txt_att, img_att = out[:, :Lt], out[:, Lt:]
 

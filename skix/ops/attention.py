@@ -97,11 +97,29 @@ def interleaved_rotate_matrix(d: int) -> np.ndarray:
     return R
 
 
-def _rot_matrix(d: int, style: str) -> np.ndarray:
+def segmented_rotate_half_matrix(d: int, segments) -> np.ndarray:
+    """Rotate-half independently within contiguous segments of sizes
+    ``segments`` (the MMDiT 3D-rope convention: one segment per (t, y, x)
+    axis); features past ``sum(segments)`` are untouched (their table
+    rows carry sin = 0, so the zero R block is never felt)."""
+    R = np.zeros((d, d), np.float32)
+    o = 0
+    for m in segments:
+        assert m % 2 == 0 and o + m <= d
+        for j in range(m // 2):
+            R[o + j + m // 2, o + j] = -1.0
+            R[o + j, o + j + m // 2] = 1.0
+        o += m
+    return R
+
+
+def _rot_matrix(d: int, style) -> np.ndarray:
     if style == "half":
         return rotate_half_matrix(d)
     if style == "interleaved":
         return interleaved_rotate_matrix(d)
+    if isinstance(style, tuple) and style and style[0] == "segments":
+        return segmented_rotate_half_matrix(d, style[1])
     raise ValueError(f"unknown rope_rotate style: {style}")
 
 
@@ -111,6 +129,30 @@ def interleaved_rope_tables(angles):
     cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)
     sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)
     return cos, sin
+
+
+def rope_3d_tables(pos, d: int, axes_dim, base_freq: float = 10000.0):
+    """Full-width cos/sin tables for the 3D rope (skix.models.mmdit
+    rope_3d convention): ``pos (N, 3)`` (t, y, x) coords; segment ``i`` of
+    width ``axes_dim[i]`` rotates with axis ``i``'s positions (rotate-half
+    within the segment, matching ``_rope_1d``); any tail features stay
+    untouched (cos = 1, sin = 0). Use with
+    ``rope_rotate=("segments", tuple(axes_dim))``."""
+    parts_c, parts_s = [], []
+    for ax, m in enumerate(axes_dim):
+        exponents = jnp.arange(0, m, 2, dtype=jnp.float32) / m
+        inv_freq = 1.0 / (base_freq ** exponents)      # (m/2,)
+        ang = pos[..., ax:ax + 1].astype(jnp.float32) * inv_freq
+        ang = jnp.concatenate([ang, ang], axis=-1)     # (N, m)
+        parts_c.append(jnp.cos(ang))
+        parts_s.append(jnp.sin(ang))
+    tail = d - sum(axes_dim)
+    if tail:
+        N = pos.shape[0]
+        parts_c.append(jnp.ones((N, tail)))
+        parts_s.append(jnp.zeros((N, tail)))
+    return (jnp.concatenate(parts_c, axis=-1),
+            jnp.concatenate(parts_s, axis=-1))
 
 
 def rope_2d_tables(pos, d: int, base_freq: float):

@@ -153,6 +153,31 @@ class TestPallasKernelInterpret:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
 
+    def test_fused_segmented_rope_matches_rope_3d(self):
+        """The MMDiT 3D-rope convention (per-axis rotate-half segments +
+        untouched tail) through the fused table path equals rope_3d."""
+        from skix.models.mmdit import rope_3d
+        from skix.ops.attention import rope_3d_tables
+
+        B, H, S, D = 1, 2, 64, 32
+        axes = (8, 12, 8)  # sums to 28 < 32 → 4 untouched tail features
+        r = np.random.default_rng(31)
+        q = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        pos = jnp.asarray(r.integers(0, 12, (1, S, 3)), jnp.float32)
+
+        cos, sin = rope_3d_tables(pos[0], D, axes)
+        out = flash_attention(q, k, v, block_q=32, block_k_major=32,
+                              block_k=32, interpret=True, rope_cos=cos,
+                              rope_sin=sin,
+                              rope_rotate=("segments", axes))
+        qr = rope_3d(q, pos, axes_dim=axes)
+        kr = rope_3d(k, pos, axes_dim=axes)
+        ref = _attention_reference(qr, kr, v, 1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
     def test_fused_rope_backward(self):
         from skix.ops.attention import rope_2d_tables
         from skix.models.layers import rope_2d
