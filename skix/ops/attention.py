@@ -391,11 +391,17 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
 # --------------------------------------------------------------------------
 # backward kernels
 # --------------------------------------------------------------------------
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
                     sm_scale: float, q_tiles: int, kv_len: int,
-                    block_k: int, needs_mask: bool):
+                    block_k: int, needs_mask: bool,
+                    with_rope: bool = False):
     from jax.experimental import pallas as pl
+
+    idx = 0
+    if with_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, r_ref = refs[idx:idx + 5]
+        idx += 5
+    dk_ref, dv_ref, dk_scr, dv_scr = refs[idx:idx + 4]
 
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
@@ -411,6 +417,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     do = do_ref[0, 0]               # (bq, d)
     lse = lse_ref[0, 0][:, :1]      # (bq, 1) f32 (lane-replicated input)
     di = di_ref[0, 0][:, :1]        # (bq, 1) f32
+
+    if with_rope:
+        R = r_ref[...].astype(q.dtype)
+        q = (q.astype(jnp.float32) * cosq_ref[...]
+             + jax.lax.dot(q, R, preferred_element_type=jnp.float32)
+             * sinq_ref[...]).astype(q.dtype)
+        k = (k.astype(jnp.float32) * cosk_ref[...]
+             + jax.lax.dot(k, R, preferred_element_type=jnp.float32)
+             * sink_ref[...]).astype(k.dtype)
 
     qs = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
     s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
@@ -436,14 +451,30 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
     @pl.when(q_idx == q_tiles - 1)
     def _store():
-        dk_ref[0, 0] = (dk_scr[...] * sm_scale).astype(dk_ref.dtype)
+        dkr = dk_scr[...] * sm_scale
+        if with_rope:
+            # gradient through the orthogonal rope map (Rᵀ = −R):
+            # dk = dkr∘cos − (dkr@R)∘sin, fused at store time
+            R32 = r_ref[...]
+            dkr = (dkr * cosk_ref[...]
+                   - jax.lax.dot(dkr.astype(jnp.float32), R32,
+                                 preferred_element_type=jnp.float32)
+                   * sink_ref[...])
+        dk_ref[0, 0] = dkr.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                   dq_ref, dq_scr, *, sm_scale: float, kv_tiles: int,
-                   kv_len: int, block_k: int, needs_mask: bool):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
+                   sm_scale: float, kv_tiles: int,
+                   kv_len: int, block_k: int, needs_mask: bool,
+                   with_rope: bool = False):
     from jax.experimental import pallas as pl
+
+    idx = 0
+    if with_rope:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, r_ref = refs[idx:idx + 5]
+        idx += 5
+    dq_ref, dq_scr = refs[idx:idx + 2]
 
     kv_idx = pl.program_id(3)
 
@@ -457,6 +488,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     do = do_ref[0, 0]
     lse = lse_ref[0, 0][:, :1]
     di = di_ref[0, 0][:, :1]
+
+    if with_rope:
+        R = r_ref[...].astype(q.dtype)
+        q = (q.astype(jnp.float32) * cosq_ref[...]
+             + jax.lax.dot(q, R, preferred_element_type=jnp.float32)
+             * sinq_ref[...]).astype(q.dtype)
+        k = (k.astype(jnp.float32) * cosk_ref[...]
+             + jax.lax.dot(k, R, preferred_element_type=jnp.float32)
+             * sink_ref[...]).astype(k.dtype)
 
     qs = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
     s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
@@ -474,16 +514,26 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
     @pl.when(kv_idx == kv_tiles - 1)
     def _store():
-        dq_ref[0, 0] = (dq_scr[...] * sm_scale).astype(dq_ref.dtype)
+        dqr = dq_scr[...] * sm_scale
+        if with_rope:
+            R32 = r_ref[...]
+            dqr = (dqr * cosq_ref[...]
+                   - jax.lax.dot(dqr.astype(jnp.float32), R32,
+                                 preferred_element_type=jnp.float32)
+                   * sinq_ref[...])
+        dq_ref[0, 0] = dqr.astype(dq_ref.dtype)
 
 
 def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
-                    block_q: int, block_k: int, interpret: bool):
+                    block_q: int, block_k: int, interpret: bool,
+                    rope_cos=None, rope_sin=None,
+                    rope_rotate="half"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
+    with_rope = rope_cos is not None
     block_q = min(block_q, _round_up(Sq, 8))
     block_k = min(block_k, _round_up(Sk, 8))
     pq = (-Sq) % block_q
@@ -510,6 +560,34 @@ def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
     lsep = jnp.pad(lse, ((0, 0), (0, 0), (0, pq), (0, 0)),
                    constant_values=1e9)
 
+    rope_ops_kv, rope_ops_q = [], []
+    rope_specs_kv, rope_specs_q = [], []
+    if with_rope:
+        cq = jnp.pad(rope_cos.astype(jnp.float32), ((0, pq), (0, 0)))
+        sq = jnp.pad(rope_sin.astype(jnp.float32), ((0, pq), (0, 0)))
+        ck = jnp.pad(rope_cos.astype(jnp.float32), ((0, pk), (0, 0)))
+        sk = jnp.pad(rope_sin.astype(jnp.float32), ((0, pk), (0, 0)))
+        R = jnp.asarray(_rot_matrix(D, rope_rotate))
+        rope_ops_kv = [cq, sq, ck, sk, R]
+        rope_ops_q = [cq, sq, ck, sk, R]
+        r_spec = pl.BlockSpec((D, D), lambda b, h, i, j: (0, 0))
+        # dkv grid: q tiles indexed by j, kv tiles by i
+        rope_specs_kv = [
+            pl.BlockSpec((block_q, D), lambda b, h, i, j: (j, 0)),
+            pl.BlockSpec((block_q, D), lambda b, h, i, j: (j, 0)),
+            pl.BlockSpec((block_k, D), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((block_k, D), lambda b, h, i, j: (i, 0)),
+            r_spec,
+        ]
+        # dq grid: q tiles indexed by i, kv tiles by j
+        rope_specs_q = [
+            pl.BlockSpec((block_q, D), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((block_q, D), lambda b, h, i, j: (i, 0)),
+            pl.BlockSpec((block_k, D), lambda b, h, i, j: (j, 0)),
+            pl.BlockSpec((block_k, D), lambda b, h, i, j: (j, 0)),
+            r_spec,
+        ]
+
     q_spec = pl.BlockSpec((1, 1, block_q, D),
                           lambda b, h, i, j: (b, h, j, 0))
     kv_spec = pl.BlockSpec((1, 1, block_k, D),
@@ -519,9 +597,11 @@ def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, q_tiles=nq,
-                          kv_len=Sk, block_k=block_k, needs_mask=pk > 0),
+                          kv_len=Sk, block_k=block_k, needs_mask=pk > 0,
+                          with_rope=with_rope),
         grid=(B, H, nk, nq),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, vec_q_spec, vec_q_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, vec_q_spec,
+                  vec_q_spec] + rope_specs_kv,
         out_specs=[
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0)),
@@ -539,7 +619,7 @@ def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, gp, lsep, dip)
+    )(qp, kp, vp, gp, lsep, dip, *rope_ops_kv)
 
     q_spec2 = pl.BlockSpec((1, 1, block_q, D),
                            lambda b, h, i, j: (b, h, i, 0))
@@ -550,10 +630,11 @@ def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, kv_tiles=nk,
-                          kv_len=Sk, block_k=block_k, needs_mask=pk > 0),
+                          kv_len=Sk, block_k=block_k, needs_mask=pk > 0,
+                          with_rope=with_rope),
         grid=(B, H, nq, nk),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, vec_q_spec2,
-                  vec_q_spec2],
+                  vec_q_spec2] + rope_specs_q,
         out_specs=pl.BlockSpec((1, 1, block_q, D),
                                lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
@@ -563,7 +644,7 @@ def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, gp, lsep, dip)
+    )(qp, kp, vp, gp, lsep, dip, *rope_ops_q)
 
     return dq[:, :, :Sq, :], dk[:, :, :Sk, :], dv[:, :, :Sk, :]
 
@@ -628,16 +709,12 @@ def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
     bq = min(block_q, 512)
     bk = min(block_k, 512)
     if with_rope:
-        # the backward kernels recompute s from q/k — feed them the ROPED
-        # tensors (one XLA-level rope each, ~0.1 ms), then rotate the q/k
-        # gradients back through the orthogonal rope map
-        R = jnp.asarray(_rot_matrix(q.shape[-1], rope_rotate))
-        qr = _apply_rope_tables(q, rope_cos, rope_sin, R)
-        kr = _apply_rope_tables(k, rope_cos, rope_sin, R)
-        dqr, dkr, dv = _flash_backward(qr, kr, v, o, lse, g, sm_scale,
-                                       bq, bk, interpret)
-        dq = _unrope_grad(dqr, rope_cos, rope_sin, R)
-        dk = _unrope_grad(dkr, rope_cos, rope_sin, R)
+        # rope + gradient un-rotation run INSIDE the backward kernels
+        # (store-time epilogue; Rᵀ = −R for every supported convention)
+        dq, dk, dv = _flash_backward(q, k, v, o, lse, g, sm_scale, bq, bk,
+                                     interpret, rope_cos=rope_cos,
+                                     rope_sin=rope_sin,
+                                     rope_rotate=rope_rotate)
         return dq, dk, dv, *zt
     dq, dk, dv = _flash_backward(q, k, v, o, lse, g, sm_scale, bq, bk,
                                  interpret)
