@@ -20,36 +20,30 @@ import numpy as np
 
 def mask_to_rle(mask: np.ndarray) -> dict:
     """Binary (H, W) mask → COCO uncompressed RLE (column-major runs,
-    first count is the number of leading zeros)."""
+    first count is the number of leading zeros). Vectorized — a
+    per-pixel Python loop takes ~0.5 s per megapixel mask."""
     m = np.asarray(mask).astype(bool)
     H, W = m.shape
     flat = m.T.reshape(-1)  # column-major (Fortran) order
-    # run-length encode, starting with a zero-run
-    counts = []
-    prev = False
-    run = 0
-    for v in flat:
-        if v == prev:
-            run += 1
-        else:
-            counts.append(run)
-            prev = v
-            run = 1
-    counts.append(run)
+    if flat.size == 0:
+        return {"size": [int(H), int(W)], "counts": [0]}
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    bounds = np.r_[0, change, flat.size]
+    counts = np.diff(bounds).tolist()
+    if flat[0]:
+        counts = [0] + counts  # RLE starts with a zero-run by convention
     return {"size": [int(H), int(W)], "counts": counts}
 
 
 def rle_to_mask(rle: dict) -> np.ndarray:
-    """Inverse of :func:`mask_to_rle`."""
+    """Inverse of :func:`mask_to_rle` (vectorized)."""
     H, W = rle["size"]
+    counts = np.asarray(rle["counts"], np.int64)
+    ends = np.cumsum(counts)
+    starts = np.r_[0, ends[:-1]]
     flat = np.zeros(H * W, bool)
-    pos = 0
-    val = False
-    for c in rle["counts"]:
-        if val:
-            flat[pos:pos + c] = True
-        pos += c
-        val = not val
+    for s, e in zip(starts[1::2], ends[1::2]):  # runs of ones only
+        flat[s:e] = True
     return flat.reshape(W, H).T
 
 

@@ -63,14 +63,9 @@ def evaluate_tracking_suite(
     out["pmF1"] = cg["positive_micro_F1"]
 
     if pred_masks is not None and gt_masks is not None:
-        scores_by_track: dict = {}
-        for sc, pid in zip(pred_scores, pred_ids):
-            for s, i in zip(np.asarray(sc).reshape(-1),
-                            np.asarray(pid).reshape(-1)):
-                scores_by_track.setdefault(int(i), []).append(float(s))
-        track_scores = {k: float(np.mean(v))
-                        for k, v in scores_by_track.items()}
-        ap = video_instance_ap(pred_masks, pred_ids, track_scores,
+        # video_instance_ap accepts per-frame score arrays directly and
+        # averages them per track internally
+        ap = video_instance_ap(pred_masks, pred_ids, list(pred_scores),
                                gt_masks, gt_ids)
         out["mask_AP"] = ap["mAP"]
     return out

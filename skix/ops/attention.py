@@ -178,14 +178,6 @@ def _apply_rope_tables(x, cos, sin, R):
     return out.astype(x.dtype)
 
 
-def _unrope_grad(g, cos, sin, R):
-    """VJP of ``_apply_rope_tables`` w.r.t. x: dx = g∘cos + (g∘sin)@Rᵀ."""
-    gs = g.astype(jnp.float32) * sin[None, None]
-    gr = jnp.einsum("bhsd,ed->bhse", gs, R)
-    out = g.astype(jnp.float32) * cos[None, None] + gr
-    return out.astype(g.dtype)
-
-
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
@@ -344,10 +336,15 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
     ]
     if with_rope:
         assert Sq == Sk, "fused rope expects self-attention layouts"
-        cosp = jnp.pad(rope_cos.astype(jnp.float32), ((0, pq), (0, 0)))
-        sinp = jnp.pad(rope_sin.astype(jnp.float32), ((0, pq), (0, 0)))
+        # q and k tables pad to THEIR OWN tile multiples (pq vs pk):
+        # with block_q != block_k_major the K BlockSpec indexes
+        # nk·block_k_major rows — padding with pq would read past the end
+        cq = jnp.pad(rope_cos.astype(jnp.float32), ((0, pq), (0, 0)))
+        sq = jnp.pad(rope_sin.astype(jnp.float32), ((0, pq), (0, 0)))
+        ck = jnp.pad(rope_cos.astype(jnp.float32), ((0, pk), (0, 0)))
+        sk = jnp.pad(rope_sin.astype(jnp.float32), ((0, pk), (0, 0)))
         R = jnp.asarray(_rot_matrix(D, rope_rotate))
-        operands += [cosp, sinp, cosp, sinp, R]
+        operands += [cq, sq, ck, sk, R]
         in_specs += [
             pl.BlockSpec((block_q, D), lambda b, h, i, j: (i, 0)),
             pl.BlockSpec((block_q, D), lambda b, h, i, j: (i, 0)),

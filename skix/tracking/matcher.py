@@ -146,7 +146,14 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
     main one-to-one matched loss + per-layer aux box supervision + (when
     the detections carry DAC ``o2m_*`` outputs) the one-to-many matched
     o2m loss at ``o2m_weight``. ``out`` is a ``Sam3Detections``;
-    ``gt_boxes (B, G, 4)`` cxcywh; ``gt_valid (B, G)`` bool."""
+    ``gt_boxes (B, G, 4)`` cxcywh; ``gt_valid (B, G)`` bool.
+
+    Documented deviation: the aux terms match each layer's BOXES against
+    the FINAL-layer logits (the decoder emits per-layer boxes but only
+    final-layer queries/scores), whereas the reference scores every aux
+    layer's own logits. The duplicated classification term re-weights
+    cls vs box gradients by ~(1 + aux_weight); per-layer logits would
+    need per-layer query outputs from the decoder."""
 
     def one(b, lg, g, gv, repeats=1):
         return detection_loss(b, lg, g, gv, repeats=repeats).total

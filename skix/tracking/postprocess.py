@@ -39,12 +39,16 @@ def postprocess_detections(
     logits: jnp.ndarray,              # (B, Q) score logits
     presence_logit: jnp.ndarray | None = None,  # (B,)
     mask_logits: jnp.ndarray | None = None,     # (B, Q, h, w)
-    target_size: tuple[int, int] = (1, 1),      # (H, W); (1,1) = normalized
+    target_size: tuple[int, int] | None = None,  # (H, W) pixels
     max_dets: int = 100,
     detection_threshold: float = -1.0,
     use_presence: bool = True,
 ) -> ProcessedDetections:
-    """Jit-compatible (static ``target_size``/``max_dets``)."""
+    """Jit-compatible (static ``target_size``/``max_dets``).
+
+    ``target_size=None`` keeps boxes normalized and masks at their
+    native feature resolution (an explicit size is required to rescale
+    — a (1, 1) default would silently collapse masks to one pixel)."""
     B, Q = logits.shape
     probs = jax.nn.sigmoid(logits)
     if use_presence and presence_logit is not None:
@@ -56,7 +60,7 @@ def postprocess_detections(
     boxes = take(boxes_cxcywh, idx)                           # (B, K, 4)
 
     cx, cy, w, h = [boxes[..., i] for i in range(4)]
-    H, W = target_size
+    H, W = target_size if target_size is not None else (1, 1)
     boxes_xyxy = jnp.stack(
         [(cx - w / 2) * W, (cy - h / 2) * H,
          (cx + w / 2) * W, (cy + h / 2) * H], axis=-1)
@@ -64,7 +68,8 @@ def postprocess_detections(
     masks = None
     if mask_logits is not None:
         m = take(mask_logits, idx)                            # (B, K, h, w)
-        m = jax.image.resize(m, (B, k, H, W), "bilinear")
+        if target_size is not None:
+            m = jax.image.resize(m, (B, k, H, W), "bilinear")
         masks = jax.nn.sigmoid(m) > 0.5
 
     valid = (scores > detection_threshold if detection_threshold > 0

@@ -221,6 +221,11 @@ class SamImagePredictor:
                 v, f, p, l, multimask_output=mm,
                 method=model.predict_from_embedding),
             static_argnums=(4,))
+        self._decode_box = jax.jit(
+            lambda v, f, p, l, b, mm: model.apply(
+                v, f, p, l, boxes=b, multimask_output=mm,
+                method=model.predict_from_embedding),
+            static_argnums=(5,))
 
     def set_image(self, image: np.ndarray) -> None:
         """``image (H, W, 3)`` uint8/float; resized to the model square."""
@@ -237,11 +242,13 @@ class SamImagePredictor:
             raise RuntimeError("call set_image first")
         return self._feats
 
-    def predict(self, point_coords, point_labels,
+    def predict(self, point_coords, point_labels, box=None,
                 multimask_output: bool = True):
         """``point_coords (P, 2)`` in ORIGINAL-image pixels, ``point_labels
-        (P,)`` 1=fg / 0=bg. Returns (masks (M, H, W) bool at the original
-        size, iou_pred (M,), lowres_logits)."""
+        (P,)`` 1=fg / 0=bg; ``box`` optional (4,) xyxy in original pixels
+        (the reference predict signature, sam1_task_predictor.py:230).
+        Returns (masks (M, H, W) bool at the original size, iou_pred (M,),
+        lowres_logits)."""
         if self._feats is None:
             raise RuntimeError("call set_image first")
         H, W = self._orig_hw
@@ -256,9 +263,20 @@ class SamImagePredictor:
             raise ValueError(f"at most {P} points")
         pts = np.pad(pts, ((0, pad), (0, 0)))
         lab = np.pad(lab, (0, pad), constant_values=-1)
-        out = self._decode(self.variables, self._feats,
-                           jnp.asarray(pts)[None], jnp.asarray(lab)[None],
-                           bool(multimask_output))
+        if box is not None:
+            bx = np.asarray(box, np.float32).reshape(4).copy()
+            bx[0::2] *= s / W
+            bx[1::2] *= s / H
+            out = self._decode_box(self.variables, self._feats,
+                                   jnp.asarray(pts)[None],
+                                   jnp.asarray(lab)[None],
+                                   jnp.asarray(bx)[None],
+                                   bool(multimask_output))
+        else:
+            out = self._decode(self.variables, self._feats,
+                               jnp.asarray(pts)[None],
+                               jnp.asarray(lab)[None],
+                               bool(multimask_output))
         logits = out.all_mask_logits if multimask_output \
             else out.mask_logits[:, None]
         up = jax.image.resize(logits, (*logits.shape[:2], H, W), "bilinear")

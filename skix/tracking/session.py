@@ -113,35 +113,42 @@ class VideoPredictor:
             H, W = s.frames.shape[1:3]
             Np = self.detector.max_points
             Nb = self.detector.max_boxes
-            g = {"points": np.zeros((Np, 2), np.float32),
-                 "point_labels": np.zeros((Np,), np.int32),
-                 "point_valid": np.zeros((Np,), bool),
-                 "boxes": np.zeros((Nb, 4), np.float32),
-                 "box_labels": np.zeros((Nb,), np.int32),
-                 "box_valid": np.zeros((Nb,), bool)}
+            # merge into the frame's existing slots (repeated add_prompt
+            # calls on the same frame ACCUMULATE prompts, like the
+            # reference's interactive refinement)
+            g = s.geometry.get(int(frame_idx))
+            if g is None:
+                g = {"points": np.zeros((Np, 2), np.float32),
+                     "point_labels": np.zeros((Np,), np.int32),
+                     "point_valid": np.zeros((Np,), bool),
+                     "boxes": np.zeros((Nb, 4), np.float32),
+                     "box_labels": np.zeros((Nb,), np.int32),
+                     "box_valid": np.zeros((Nb,), bool)}
             if points is not None:
                 pts = np.asarray(points, np.float32).reshape(-1, 2)
                 lab = (np.asarray(point_labels, np.int32).reshape(-1)
                        if point_labels is not None
                        else np.ones(len(pts), np.int32))
-                k = min(len(pts), Np)
-                g["points"][:k] = pts[:k] / [W, H]
-                g["point_labels"][:k] = lab[:k]
-                g["point_valid"][:k] = True
+                o = int(g["point_valid"].sum())
+                k = min(len(pts), Np - o)
+                g["points"][o:o + k] = pts[:k] / [W, H]
+                g["point_labels"][o:o + k] = lab[:k]
+                g["point_valid"][o:o + k] = True
             if boxes_xyxy is not None:
                 bx = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4)
                 lab = (np.asarray(box_labels, np.int32).reshape(-1)
                        if box_labels is not None
                        else np.ones(len(bx), np.int32))
-                k = min(len(bx), Nb)
+                o = int(g["box_valid"].sum())
+                k = min(len(bx), Nb - o)
                 # normalized cxcywh (the geometry encoder's convention)
                 cx = (bx[:k, 0] + bx[:k, 2]) / 2 / W
                 cy = (bx[:k, 1] + bx[:k, 3]) / 2 / H
                 bw = (bx[:k, 2] - bx[:k, 0]) / W
                 bh = (bx[:k, 3] - bx[:k, 1]) / H
-                g["boxes"][:k] = np.stack([cx, cy, bw, bh], -1)
-                g["box_labels"][:k] = lab[:k]
-                g["box_valid"][:k] = True
+                g["boxes"][o:o + k] = np.stack([cx, cy, bw, bh], -1)
+                g["box_labels"][o:o + k] = lab[:k]
+                g["box_valid"][o:o + k] = True
             s.geometry[int(frame_idx)] = g
         if text is None:
             return

@@ -201,6 +201,23 @@ class TestInteractivePredictor:
         with pytest.raises(RuntimeError):
             pred.predict([[10, 10]], [1])
 
+    def test_box_prompt(self):
+        """predict(pts, labels, box=...) — the reference predict
+        signature; the box conditions the output."""
+        rng = np.random.default_rng(7)
+        model = InteractiveSegmenter(features=32, img_size=64, num_heads=4)
+        pts = jnp.zeros((1, 8, 2))
+        lab = jnp.full((1, 8), -1, jnp.int32)
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 3)), pts, lab)
+        pred = SamImagePredictor(model, v)
+        pred.set_image(rng.uniform(0, 255, (50, 70, 3)).astype(np.uint8))
+        m_box, iou_box, lo_box = pred.predict(
+            [[30, 20]], [1], box=[10, 10, 60, 45])
+        assert m_box.shape == (4, 50, 70)
+        _, _, lo_pts = pred.predict([[30, 20]], [1])
+        assert not np.allclose(lo_box, lo_pts)
+
     def test_prompt_changes_output(self):
         rng = np.random.default_rng(6)
         model = InteractiveSegmenter(features=32, img_size=64, num_heads=4)

@@ -131,6 +131,29 @@ class TestPallasKernelInterpret:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
 
+    def test_fused_rope_mismatched_tiles_and_padding(self):
+        """Regression: K cos/sin tables must pad to the K tile multiple
+        (block_q != block_k_major with ragged S used to read past the
+        table on the last K tile)."""
+        from skix.models.layers import rope_2d
+        from skix.ops.attention import rope_2d_tables
+
+        B, H, S, D = 1, 2, 100, 32    # S=100: pq=28 (bq 32), pk=28 (bkm 64)
+        r = np.random.default_rng(37)
+        q = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        pos = jnp.asarray(r.integers(0, 10, (1, S, 2)), jnp.float32)
+        cos, sin = rope_2d_tables(pos[0], D, 100.0)
+        out = flash_attention(q, k, v, block_q=32, block_k_major=64,
+                              block_k=32, interpret=True,
+                              rope_cos=cos, rope_sin=sin)
+        ref = _attention_reference(rope_2d(q, pos, 100.0),
+                                   rope_2d(k, pos, 100.0), v,
+                                   1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
     def test_fused_interleaved_rope_matches_reference_rotation(self):
         """The interleaved-pair convention (SAM3 ViT-Det) through the
         table + signed-permutation form equals apply_rope_interleaved."""

@@ -225,6 +225,16 @@ class TestDetector:
         assert len(outs) == 2
         assert "visual" in pred.session_stats(sid3)["prompts"]
 
+        # repeated add_prompt on the same frame ACCUMULATES (regression:
+        # a second call used to overwrite the first prompt's slots)
+        sid4 = pred.start_session(frames)
+        pred.add_prompt(sid4, points=[[30.0, 40.0]], point_labels=[1])
+        pred.add_prompt(sid4, boxes_xyxy=[[10.0, 10.0, 60.0, 80.0]])
+        g = pred.sessions[sid4].geometry[0]
+        assert g["point_valid"].sum() == 1 and g["box_valid"].sum() == 1
+        pred.add_prompt(sid4, points=[[50.0, 50.0]], point_labels=[0])
+        assert pred.sessions[sid4].geometry[0]["point_valid"].sum() == 2
+
     def test_differentiable(self):
         m, imgs, text, v = self._setup()
 
