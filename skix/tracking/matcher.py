@@ -148,12 +148,12 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
     o2m loss at ``o2m_weight``. ``out`` is a ``Sam3Detections``;
     ``gt_boxes (B, G, 4)`` cxcywh; ``gt_valid (B, G)`` bool.
 
-    Documented deviation: the aux terms match each layer's BOXES against
-    the FINAL-layer logits (the decoder emits per-layer boxes but only
-    final-layer queries/scores), whereas the reference scores every aux
-    layer's own logits. The duplicated classification term re-weights
-    cls vs box gradients by ~(1 + aux_weight); per-layer logits would
-    need per-layer query outputs from the decoder."""
+    When the detections carry per-layer ``aux_scores`` (forward ran with
+    ``with_aux_scores=True``), each aux layer is matched with its OWN
+    logits (reference return_intermediate semantics); otherwise the
+    final-layer logits stand in for every aux layer (a documented
+    approximation that re-weights cls vs box gradients by
+    ~(1 + aux_weight))."""
 
     def one(b, lg, g, gv, repeats=1):
         return detection_loss(b, lg, g, gv, repeats=repeats).total
@@ -162,20 +162,26 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
                                   gt_boxes, gt_valid))
     total = main
     n_aux = max(len(out.aux_boxes) - 1, 1)
+    aux_scores = getattr(out, "aux_scores", ()) or ()
     if len(out.aux_boxes) > 1:
-        aux = sum(jnp.mean(jax.vmap(one)(bx, out.scores, gt_boxes, gt_valid))
-                  for bx in out.aux_boxes[:-1])
+        aux = sum(
+            jnp.mean(jax.vmap(one)(
+                bx, aux_scores[i] if i < len(aux_scores) else out.scores,
+                gt_boxes, gt_valid))
+            for i, bx in enumerate(out.aux_boxes[:-1]))
         total = total + aux_weight * aux / n_aux
     if getattr(out, "o2m_boxes", None) is not None:
         o2m_one = lambda b, lg, g, gv: one(b, lg, g, gv,
                                            repeats=o2m_repeats)
         o2m = jnp.mean(jax.vmap(o2m_one)(out.o2m_boxes, out.o2m_scores,
                                          gt_boxes, gt_valid))
+        o2m_aux_scores = getattr(out, "o2m_aux_scores", ()) or ()
         if len(out.o2m_aux_boxes) > 1:
             o2m_aux = sum(
-                jnp.mean(jax.vmap(o2m_one)(bx, out.o2m_scores, gt_boxes,
-                                           gt_valid))
-                for bx in out.o2m_aux_boxes[:-1])
+                jnp.mean(jax.vmap(o2m_one)(
+                    bx, (o2m_aux_scores[i] if i < len(o2m_aux_scores)
+                         else out.o2m_scores), gt_boxes, gt_valid))
+                for i, bx in enumerate(out.o2m_aux_boxes[:-1]))
             o2m = o2m + aux_weight * o2m_aux / n_aux
         total = total + o2m_weight * o2m
     return total

@@ -347,9 +347,11 @@ class DecoderOut(NamedTuple):
     boxes: jnp.ndarray          # (B, Q, 4) refined o2o boxes
     all_boxes: tuple            # per-layer o2o boxes
     presence: jnp.ndarray       # (B, C) presence feature (or None)
+    all_queries: tuple = ()     # per-layer o2o features (aux supervision)
     o2m_queries: jnp.ndarray = None   # (B, Q, C) when apply_dac
     o2m_boxes: jnp.ndarray = None     # (B, Q, 4) when apply_dac
     o2m_all_boxes: tuple = ()         # per-layer o2m boxes when apply_dac
+    o2m_all_queries: tuple = ()       # per-layer o2m features
 
 
 class QueryDecoder(nn.Module):
@@ -399,6 +401,7 @@ class QueryDecoder(nn.Module):
             assert feat_hw is not None, "box_rpb needs the memory (h, w)"
             rpb = BoxRPB(self.num_heads, C, name="box_rpb")
         all_boxes = []
+        all_q = []
         dac_split = Q if apply_dac else None
         for i in range(self.num_layers):
             attn_bias = None
@@ -419,16 +422,20 @@ class QueryDecoder(nn.Module):
             delta = box_head(hq[:, :nq])
             boxes = jax.nn.sigmoid(_inverse_sigmoid(boxes) + delta)
             all_boxes.append(boxes)
+            all_q.append(hq[:, :nq])
         presence = hq[:, nq] if self.presence_token else None
         if apply_dac:
             return DecoderOut(
                 queries=hq[:, :Q], boxes=boxes[:, :Q],
                 all_boxes=tuple(b[:, :Q] for b in all_boxes),
                 presence=presence,
+                all_queries=tuple(x[:, :Q] for x in all_q),
                 o2m_queries=hq[:, Q:2 * Q], o2m_boxes=boxes[:, Q:],
-                o2m_all_boxes=tuple(b[:, Q:] for b in all_boxes))
+                o2m_all_boxes=tuple(b[:, Q:] for b in all_boxes),
+                o2m_all_queries=tuple(x[:, Q:] for x in all_q))
         return DecoderOut(queries=hq[:, :Q], boxes=boxes,
-                          all_boxes=tuple(all_boxes), presence=presence)
+                          all_boxes=tuple(all_boxes), presence=presence,
+                          all_queries=tuple(all_q))
 
 
 # --------------------------------------------------------------------------
@@ -513,6 +520,11 @@ class Sam3Detections(NamedTuple):
     o2m_scores: jnp.ndarray = None      # (B, Q)
     o2m_mask_logits: jnp.ndarray = None  # (B, Q, H4, W4)
     o2m_aux_boxes: tuple = ()           # per-layer o2m boxes
+    # per-layer logits for aux supervision (with_aux_scores=True: each
+    # decoder layer's queries scored by the SAME scoring head — the
+    # reference's return_intermediate aux outputs)
+    aux_scores: tuple = ()              # per-layer (B, Q)
+    o2m_aux_scores: tuple = ()          # per-layer (B, Q)
 
 
 class Sam3Detector(nn.Module):
@@ -560,12 +572,15 @@ class Sam3Detector(nn.Module):
     def __call__(self, images, text_memory=None, text_pad_mask=None,
                  points=None, point_labels=None, point_valid=None,
                  boxes=None, box_labels=None, box_valid=None,
-                 apply_dac: bool = False):
+                 apply_dac: bool = False, with_aux_scores: bool = False):
         """``images (B, H, W, 3)`` in [0,1]; ``text_memory (B, L, d_model)``
         from the CLIP tower's resizer; geometry prompts optional
         fixed-capacity slots. ``apply_dac=True`` (training only) adds the
         DAC one-to-many query duplicates to the outputs — the o2o outputs
-        are invariant to the flag (reference sam3_image.py:268)."""
+        are invariant to the flag (reference sam3_image.py:268).
+        ``with_aux_scores=True`` (training) scores every decoder layer's
+        queries through the shared scoring head so each aux layer is
+        supervised with its OWN logits (reference return_intermediate)."""
         B = images.shape[0]
         x = (images - 0.5) / 0.5
         trunk = ViTDetBackbone(
@@ -630,10 +645,20 @@ class Sam3Detector(nn.Module):
             dec.queries, dec.boxes, dec.all_boxes, dec.presence)
 
         # score/mask the o2o and (when DAC) o2m halves through the SAME
-        # heads in one pass — one matmul, shared parameters
-        head_q = queries
+        # heads in one pass — one matmul, shared parameters. Aux layers'
+        # queries ride the same call when requested (training).
+        parts = [queries]
         if apply_dac:
-            head_q = jnp.concatenate([queries, dec.o2m_queries], axis=1)
+            parts.append(dec.o2m_queries)
+        n_aux = 0
+        if with_aux_scores:
+            aux_parts = list(dec.all_queries[:-1])
+            if apply_dac:
+                aux_parts += list(dec.o2m_all_queries[:-1])
+            n_aux = len(dec.all_queries) - 1
+            parts += aux_parts
+        head_q = (parts[0] if len(parts) == 1
+                  else jnp.concatenate(parts, axis=1))
         scores_all = DotProductScoring(self.d_model, name="scoring")(
             head_q, prompt, prompt_pad)
         if presence is not None:
@@ -647,22 +672,30 @@ class Sam3Detector(nn.Module):
         pyramid = [feats[0], feats[1], fused]  # fine → coarse
         pixel_embed = PixelDecoder(self.d_model, dtype=self.head_dtype,
                                    name="pixel_decoder")(pyramid)
-        masks_all = MaskPredictor(self.d_model, name="mask_predictor")(
-            head_q, pixel_embed)
-
         Q = self.num_queries
-        o2m_kw = {}
+        n_main = Q * (2 if apply_dac else 1)
+        masks_all = MaskPredictor(self.d_model, name="mask_predictor")(
+            head_q[:, :n_main], pixel_embed)
+
+        extra = {}
         if apply_dac:
-            o2m_kw = dict(o2m_boxes=dec.o2m_boxes,
-                          o2m_scores=scores_all[:, Q:],
-                          o2m_mask_logits=masks_all[:, Q:],
-                          o2m_aux_boxes=dec.o2m_all_boxes)
+            extra.update(o2m_boxes=dec.o2m_boxes,
+                         o2m_scores=scores_all[:, Q:2 * Q],
+                         o2m_mask_logits=masks_all[:, Q:],
+                         o2m_aux_boxes=dec.o2m_all_boxes)
+        if with_aux_scores and n_aux:
+            aux_flat = scores_all[:, n_main:]
+            per = [aux_flat[:, i * Q:(i + 1) * Q]
+                   for i in range(aux_flat.shape[1] // Q)]
+            extra["aux_scores"] = tuple(per[:n_aux])
+            if apply_dac:
+                extra["o2m_aux_scores"] = tuple(per[n_aux:])
         return Sam3Detections(boxes_cxcywh=out_boxes,
                               scores=scores_all[:, :Q],
                               mask_logits=masks_all[:, :Q],
                               embeddings=queries,
                               presence=pres_logit,
-                              aux_boxes=tuple(all_boxes), **o2m_kw)
+                              aux_boxes=tuple(all_boxes), **extra)
 
 
 # --------------------------------------------------------------------------

@@ -174,7 +174,11 @@ def test_sam3_detector_learns_with_dac():
     params = variables["params"]
 
     def loss_fn(p, o2m_weight):
-        out = det.apply({"params": p}, imgs, text, apply_dac=True)
+        out = det.apply({"params": p}, imgs, text, apply_dac=True,
+                        with_aux_scores=True)
+        assert len(out.aux_scores) == det.decoder_layers - 1
+        assert len(out.o2m_aux_scores) == det.decoder_layers - 1
+        assert out.aux_scores[0].shape == out.scores.shape
         return sam3_detection_loss(out, gts, gt_valid,
                                    o2m_weight=o2m_weight)
 
