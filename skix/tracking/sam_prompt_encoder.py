@@ -253,9 +253,13 @@ class SamImagePredictor:
             raise RuntimeError("call set_image first")
         H, W = self._orig_hw
         s = self.model.img_size
+        if point_coords is None:  # box-only prompting (reference allows it)
+            point_coords = np.zeros((0, 2), np.float32)
+            point_labels = np.zeros((0,), np.int32)
         pts = np.asarray(point_coords, np.float32).reshape(-1, 2).copy()
-        pts[:, 0] *= s / W
-        pts[:, 1] *= s / H
+        if len(pts):
+            pts[:, 0] *= s / W
+            pts[:, 1] *= s / H
         lab = np.asarray(point_labels, np.int32).reshape(-1)
         P = self.max_points
         pad = P - len(lab)

@@ -131,6 +131,11 @@ class VideoPredictor:
                        else np.ones(len(pts), np.int32))
                 o = int(g["point_valid"].sum())
                 k = min(len(pts), Np - o)
+                if k < len(pts):
+                    log.warning(
+                        "frame %d point slots full (%d/%d): dropping %d "
+                        "point prompt(s); reset_session to start over",
+                        frame_idx, o, Np, len(pts) - k)
                 g["points"][o:o + k] = pts[:k] / [W, H]
                 g["point_labels"][o:o + k] = lab[:k]
                 g["point_valid"][o:o + k] = True
@@ -141,6 +146,11 @@ class VideoPredictor:
                        else np.ones(len(bx), np.int32))
                 o = int(g["box_valid"].sum())
                 k = min(len(bx), Nb - o)
+                if k < len(bx):
+                    log.warning(
+                        "frame %d box slots full (%d/%d): dropping %d "
+                        "box prompt(s); reset_session to start over",
+                        frame_idx, o, Nb, len(bx) - k)
                 # normalized cxcywh (the geometry encoder's convention)
                 cx = (bx[:k, 0] + bx[:k, 2]) / 2 / W
                 cy = (bx[:k, 1] + bx[:k, 3]) / 2 / H

@@ -217,6 +217,9 @@ class TestInteractivePredictor:
         assert m_box.shape == (4, 50, 70)
         _, _, lo_pts = pred.predict([[30, 20]], [1])
         assert not np.allclose(lo_box, lo_pts)
+        # box-ONLY prompting (reference allows points=None)
+        m_only, _, _ = pred.predict(None, None, box=[10, 10, 60, 45])
+        assert m_only.shape == (4, 50, 70)
 
     def test_prompt_changes_output(self):
         rng = np.random.default_rng(6)

@@ -138,7 +138,10 @@ class TestPallasKernelInterpret:
         from skix.models.layers import rope_2d
         from skix.ops.attention import rope_2d_tables
 
-        B, H, S, D = 1, 2, 100, 32    # S=100: pq=28 (bq 32), pk=28 (bkm 64)
+        # S=70: round_up(70, 32)=96 < round_up(70, 64)=128 — the pre-fix
+        # pq-padded K tables are SHORTER than what the K BlockSpec reads,
+        # so this shape actually exercises the out-of-bounds case
+        B, H, S, D = 1, 2, 70, 32
         r = np.random.default_rng(37)
         q = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
         k = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
