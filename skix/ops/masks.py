@@ -35,3 +35,44 @@ def mask_iou(a, b):
     area_a = jnp.sum(a, axis=1)[:, None]
     area_b = jnp.sum(b, axis=1)[None, :]
     return inter / (area_a + area_b - inter + _EPS)
+
+
+def _component_areas(mask):
+    """Per-pixel area of the connected component each pixel belongs to
+    (0 outside ``mask``). Labels come from min-label propagation CCL."""
+    from skix.ops.connected_components import connected_components
+
+    labels = connected_components(mask)                 # (H, W), −1 = bg
+    H, W = labels.shape
+    flat = labels.ravel()
+    safe = jnp.clip(flat, 0)
+    hist = jnp.zeros(H * W, jnp.int32).at[safe].add(
+        (flat >= 0).astype(jnp.int32))
+    return jnp.where(flat >= 0, hist[safe], 0).reshape(H, W)
+
+
+def fill_holes_in_mask_scores(mask, max_area: int, fill_holes: bool = True,
+                              remove_sprinkles: bool = True):
+    """Fill small background holes (→ +0.1) and remove small foreground
+    sprinkles (→ −0.1) in a ``(H, W)`` float mask-logit map.
+
+    Reference parity: sam3/model/sam3_tracker_utils.py:369
+    ``fill_holes_in_mask_scores`` (cc_torch/Triton union-find CCL there;
+    jit-safe min-label-propagation CCL here). Sprinkle removal thresholds
+    at ``min(max_area, total_fg_area // 2)`` like the reference so tiny
+    objects are never wiped. ``vmap`` over a leading axis for batches."""
+    if max_area <= 0:
+        return mask
+    mask = jnp.asarray(mask)
+    if fill_holes:
+        bg = mask <= 0
+        areas = _component_areas(bg)
+        small_bg = bg & (areas <= max_area)
+        mask = jnp.where(small_bg, 0.1, mask)
+    if remove_sprinkles:
+        fg = mask > 0
+        thresh = jnp.minimum(jnp.sum(fg, dtype=jnp.int32) // 2, max_area)
+        areas = _component_areas(fg)
+        small_fg = fg & (areas <= thresh)
+        mask = jnp.where(small_fg, -0.1, mask)
+    return mask

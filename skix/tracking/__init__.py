@@ -6,6 +6,14 @@ from skix.tracking.lifecycle import (  # noqa: F401
     tracker_step,
 )
 from skix.tracking.detector import DetrDetector  # noqa: F401
+from skix.tracking.masklet import (  # noqa: F401
+    MaskletConfig,
+    MaskletState,
+    MaskletVideoModel,
+    init_masklet_state,
+    masklet_update,
+    track_masklets,
+)
 from skix.tracking.session import VideoPredictor  # noqa: F401
 from skix.tracking.memory_tracker import (  # noqa: F401
     MaskMemoryTracker,

@@ -306,9 +306,12 @@ class MaskMemoryTracker(nn.Module):
         encoder per object."""
         return self.step_from_feats(self.encoder(image), bank, write)
 
-    def step_from_feats(self, feats, bank: MemoryBank, write: bool = True):
-        """Per-object half of ``step``: memory attention + decode + memory
-        write on precomputed frame features ``feats (B, gh, gw, C)``."""
+    def attend_decode(self, feats, bank: MemoryBank):
+        """Memory cross-attention + mask decode WITHOUT a memory write —
+        the reference's deferred-encoding propagation step
+        (sam3_video_base.py:193-197 runs propagation first and encodes
+        memory only after suppression heuristics resolve). Returns
+        ``(mask_logits (B, gh, gw), score (B,))``."""
         B, gh, gw, C = feats.shape
         cur = self.in_proj(feats.reshape(B, gh * gw, C))
         M = bank.mem.shape[0]
@@ -323,7 +326,18 @@ class MaskMemoryTracker(nn.Module):
                       jnp.zeros_like(bank.valid).at[0].set(True))[None],
             (B, M))
         tok = self.mem_attn(cur, mem, slot_valid)
-        mask_logits, score = self.decoder(tok, gh, gw)
+        return self.decoder(tok, gh, gw)
+
+    def encode_memory(self, feats_single, mask_logits_single):
+        """Memory encoder only: ``feats (gh, gw, C)`` + mask logits
+        ``(gh, gw)`` → one memory feature map (for externally managed
+        banks, e.g. the masklet lifecycle's post-suppression writes)."""
+        return self.mem_encoder(feats_single, mask_logits_single)
+
+    def step_from_feats(self, feats, bank: MemoryBank, write: bool = True):
+        """Per-object half of ``step``: memory attention + decode + memory
+        write on precomputed frame features ``feats (B, gh, gw, C)``."""
+        mask_logits, score = self.attend_decode(feats, bank)
         new_mem = self.mem_encoder(feats[0], mask_logits[0])
         bank = jax.lax.cond(write,
                             lambda b: write_recent(b, new_mem),

@@ -42,7 +42,8 @@ class VideoPredictor:
     def __init__(self, detector=None,
                  variables=None, tracker_cfg: Optional[TrackerConfig] = None,
                  rng_seed: int = 0, batch_size: int = 4,
-                 text_encoder=None, clip=None):
+                 text_encoder=None, clip=None,
+                 tracker=None, masklet_cfg=None):
         """``detector``: a compact :class:`DetrDetector` (default) or a
         full-capability :class:`skix.tracking.sam3_detector.Sam3Detector`.
 
@@ -50,13 +51,26 @@ class VideoPredictor:
         prompts embedded by the byte-level causal transformer.
         ``clip``: optional ``(ClipTokenizer, VETextEncoder, variables)``
         triple — prompts embedded by the real CLIP tower (the reference
-        path); used with Sam3Detector."""
+        path); used with Sam3Detector.
+
+        ``tracker``: optional ``(MaskMemoryTracker, variables)`` pair —
+        with a Sam3Detector this selects **masklet propagation** (the
+        reference's full video model, sam3_video_base.py:151): per-frame
+        mask-IoU association + memory-conditioned per-object propagation,
+        and ``propagate_in_video`` outputs carry per-object ``mask``
+        arrays. ``masklet_cfg``: a :class:`skix.tracking.masklet.
+        MaskletConfig` for that path."""
         from skix.tracking.sam3_detector import Sam3Detector
 
         self.detector = detector or DetrDetector()
         self.is_sam3 = isinstance(self.detector, Sam3Detector)
         self.text_encoder = text_encoder
         self.clip = clip
+        self.tracker = tracker
+        self.masklet_cfg = masklet_cfg
+        if tracker is not None and not self.is_sam3:
+            raise ValueError("masklet propagation (tracker=...) needs the "
+                             "Sam3Detector path (mask-producing detector)")
         size = self.detector.img_size
         if variables is None:
             if self.is_sam3:
@@ -207,11 +221,59 @@ class VideoPredictor:
         det = self.detector.apply(variables, images, prompt)
         return det.boxes_xyxy, det.scores
 
+    def _propagate_masklets(self, s: _Session, prompt) -> Iterator[dict]:
+        """Masklet propagation (per-object masks through the memory
+        tracker — reference Sam3VideoBase._det_track_one_frame)."""
+        from skix.tracking.masklet import MaskletConfig, MaskletVideoModel
+
+        trk_model, trk_vars = self.tracker
+        mdl = MaskletVideoModel(self.detector, self.variables, trk_model,
+                                trk_vars,
+                                self.masklet_cfg or MaskletConfig())
+        T, H, W = s.frames.shape[:3]
+        state, banks = mdl.init_state((self.detector.img_size,) * 2)
+        for t in range(T):
+            geometry = None
+            g = s.geometry.get(t)
+            if g is not None:
+                geometry = {
+                    "points": jnp.asarray(g["points"])[None],
+                    "point_labels": jnp.asarray(g["point_labels"])[None],
+                    "point_valid": jnp.asarray(g["point_valid"])[None],
+                    "boxes": jnp.asarray(g["boxes"])[None],
+                    "box_labels": jnp.asarray(g["box_labels"])[None],
+                    "box_valid": jnp.asarray(g["box_valid"])[None],
+                }
+            state, banks, out = mdl.step(s.frames[t], jnp.asarray(prompt),
+                                         state, banks, geometry=geometry)
+            logits = out["out_mask_logits"]
+            up = jax.image.resize(logits, (logits.shape[0], H, W),
+                                  "bilinear")
+            lh, lw = logits.shape[-2:]
+            boxes = np.array(out["boxes_lowres"], np.float32)
+            boxes[:, [0, 2]] *= W / lw
+            boxes[:, [1, 3]] *= H / lh
+            out_np = {
+                "mask": np.asarray(up > 0),
+                "bbox": boxes,
+                "score": np.asarray(out["spawn_score"]),
+                "tracker_score": np.asarray(out["trk_scores"]),
+                "active": np.asarray(out["active"]),
+                "confirmed": np.asarray(out["confirmed"]),
+                "obj_id": np.asarray(out["obj_id"]),
+            }
+            if s.removed_ids:
+                drop = np.isin(out_np["obj_id"], list(s.removed_ids))
+                out_np["active"] = out_np["active"] & ~drop
+            yield {"frame_index": t, "outputs": out_np}
+
     def propagate_in_video(self, session_id: int,
                            prompt_text: Optional[str] = None
                            ) -> Iterator[dict]:
         """Yield per-frame tracking outputs ``{frame_index, outputs}``
-        (streaming, like reference handle_stream_request :88)."""
+        (streaming, like reference handle_stream_request :88). With a
+        memory ``tracker`` configured, outputs carry per-object ``mask``
+        arrays (masklet propagation); otherwise box-level tracking."""
         s = self.sessions[session_id]
         if prompt_text is None:
             if not s.prompts and s.geometry:
@@ -221,6 +283,10 @@ class VideoPredictor:
             if not s.prompts:
                 raise ValueError("no prompt added to session")
             prompt_text = next(iter(s.prompts))
+        if self.tracker is not None:
+            yield from self._propagate_masklets(
+                s, jnp.asarray(s.prompts[prompt_text]))
+            return
         prompt = jnp.asarray(s.prompts[prompt_text])[None]
         size = self.detector.img_size
         T, H, W = s.frames.shape[:3]
