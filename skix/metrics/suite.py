@@ -45,12 +45,13 @@ def evaluate_tracking_suite(
     out["MOTA"] = mota["mota"]
     out["id_switches"] = mota["id_switches"]
 
-    ones = [np.zeros(len(np.asarray(i).reshape(-1)), np.int64)
+    # single-class evaluation: every pred/gt carries class id 0
+    cls0 = [np.zeros(len(np.asarray(i).reshape(-1)), np.int64)
             for i in pred_ids]
-    g_ones = [np.zeros(len(np.asarray(i).reshape(-1)), np.int64)
-              for i in gt_ids]
-    teta = evaluate_teta(pred_boxes, pred_ids, ones,
-                         gt_boxes, gt_ids, g_ones)
+    gt_cls0 = [np.zeros(len(np.asarray(i).reshape(-1)), np.int64)
+               for i in gt_ids]
+    teta = evaluate_teta(pred_boxes, pred_ids, cls0,
+                         gt_boxes, gt_ids, gt_cls0)
     out["TETA"] = teta["TETA"]
     out["LocA"] = teta["LocA"]
     out["AssocA"] = teta["AssocA"]

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,6 +131,14 @@ class MultiHeadAttention(nn.Module):
         elif fuse_rope:
             from skix.ops.attention import rope_2d_tables
 
+            # PRECONDITION: rope_tables mode requires batch-identical
+            # positions — the table is built from pos[0] and shared by
+            # every row (checked here for concrete inputs; traced inputs
+            # are the caller's contract).
+            if not isinstance(pos, jax.core.Tracer):
+                assert np.allclose(np.asarray(pos), np.asarray(pos[:1])), \
+                    "rope_tables=True needs batch-identical positions " \
+                    "(the cos/sin table is built from pos[0])"
             cos, sin = rope_2d_tables(pos[0], hd, self.rope_freq)
             out = flash_attention(q, k, v, fixed_max=self.attn_fixed_max,
                                   rope_cos=cos, rope_sin=sin)

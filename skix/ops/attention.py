@@ -689,6 +689,9 @@ def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
          rope_rotate, res, g):
     q, k, v, o, lse, rope_cos, rope_sin = res
     with_rope = rope_cos is not None
+    # rope tables are non-differentiable constants BY CONVENTION (see the
+    # flash_attention docstring): hard-zero cotangents on both paths, so
+    # differentiating through table construction yields zero, not garbage.
     zt = ((jnp.zeros_like(rope_cos), jnp.zeros_like(rope_sin))
           if with_rope else (None, None))
     if lse is None:  # non-TPU fallback: recompute through XLA
@@ -739,6 +742,17 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     the rotary embedding of q AND k into the kernel: the rotate-half lane
     shuffle runs as a 64-deep MXU matmul on VMEM tiles instead of XLA
     relayout copies (self-attention layouts only, Sq == Sk).
+
+    ROPE TABLE INVARIANTS: (1) the sin table must be **pair-symmetric**
+    under the chosen ``rope_rotate`` convention — ``sin[s, i] ==
+    sin[s, partner(i)]`` for each rotation pair (true for every table
+    built by :func:`rope_2d_tables` and friends). The TPU backward
+    un-rotates gradients as ``dk∘cos − (dk@R)∘sin``, which equals the
+    true VJP ``(dk∘sin)@Rᵀ`` only under that symmetry; a non-symmetric
+    table gets a correct forward but a silently wrong TPU backward.
+    (2) the tables are treated as **non-differentiable constants** —
+    their cotangents are hard zeros (learned-frequency / continuous-
+    position tables would need the table VJP added to ``_bwd``).
     """
     q = jnp.asarray(q)
     k = jnp.asarray(k)

@@ -1,15 +1,27 @@
 """Stage CLI: front-view open-vocabulary tracking (person + snow).
 
 Reference entry: prepare_front_results/prepare_front_results.py:58-129 —
-build the (multi-GPU NCCL) SAM3 predictor, start_session on the video,
-add_prompt(text="person") at frame 0, propagate_in_video, save all-frame
-outputs to .npy, reset_session, repeat with text="snow", close.
+build the (multi-GPU NCCL) SAM3 video predictor, start_session on the
+video, add_prompt(text="person") at frame 0, propagate_in_video, save
+all-frame outputs (per-object masks + scores), reset_session, repeat with
+text="snow", close.
 
 Here the same protocol drives skix.tracking.VideoPredictor — one process,
-one jitted pipeline, no NCCL (SURVEY.md §5.8). Outputs per prompt:
-``<prompt>_bboxes.npy (T, K, 4)``, ``<prompt>_scores.npy``,
-``<prompt>_active.npy``, plus ``person_bboxes.npy`` as the (T, 4) best
-track for the front_side stage.
+one jitted pipeline, no NCCL (SURVEY.md §5.8). The default stack is the
+reference-capability one: ``Sam3Detector`` (1008 px ViT-Det backbone,
+200 queries, maskformer masks) + ``MaskMemoryTracker`` masklet propagation
++ the CLIP text tower when a checkpoint is configured. Outputs per prompt:
+
+- ``<prompt>_masks.npy (T, K, h, w) bool`` — per-object masks
+  (``save_mask_size`` rescales; default keeps video resolution)
+- ``<prompt>_bboxes.npy (T, K, 4)`` xyxy in frame pixels
+- ``<prompt>_scores.npy``, ``<prompt>_tracker_scores.npy``,
+  ``<prompt>_active.npy``, ``<prompt>_obj_ids.npy``
+- ``person_bboxes.npy (T, 4)`` — best-track path for the front_side stage
+
+Smoke-scale overrides (tiny detector/tracker, hash prompt embedding) are
+exercised by tests and documented in ``configs/prepare_front_results.yaml``;
+running without checkpoints logs loudly that weights are random.
 """
 
 from __future__ import annotations
@@ -25,7 +37,93 @@ from skix.config import cli_main, iter_person_dirs
 log = logging.getLogger(__name__)
 
 
-def build_predictor(cfg):
+def _load_vars(path):
+    from skix.pipelines.videopose3d import load_checkpoint
+
+    return load_checkpoint(path)
+
+
+def _build_sam3(cfg):
+    """Reference-capability predictor: Sam3Detector + masklet tracker."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.tracking import MaskletConfig, VideoPredictor
+    from skix.tracking.memory_tracker import MaskMemoryTracker, init_memory
+    from skix.tracking.sam3_detector import Sam3Detector
+
+    # YAML lists → tuples (Flax modules must stay hashable for jit caching)
+    det_kw = {k: tuple(v) if isinstance(v, list) else v
+              for k, v in dict(cfg.get("detector", {}) or {}).items()}
+    det = Sam3Detector.full_size(**det_kw) if det_kw else \
+        Sam3Detector.full_size()
+    det_vars = None
+    ckpt = cfg.get("detector_checkpoint")
+    if ckpt and Path(ckpt).exists():
+        det_vars = _load_vars(ckpt)
+    else:
+        log.warning("SMOKE MODE: no detector checkpoint — the %d-px "
+                    "Sam3Detector runs with RANDOM weights; detections "
+                    "are meaningless until a converted checkpoint is "
+                    "configured (skix.tracking.sam3_detector converters)",
+                    det.img_size)
+
+    trk_kw = dict(cfg.get("tracker", {}) or {})
+    trk = MaskMemoryTracker(**trk_kw)
+    trk_vars = None
+    tckpt = cfg.get("tracker_checkpoint")
+    if tckpt and Path(tckpt).exists():
+        trk_vars = _load_vars(tckpt)
+    if trk_vars is None:
+        import functools
+
+        size = det.img_size   # MaskletVideoModel feeds frames at this size
+        stride = 8 if trk.trunk == "conv" else 14   # conv pyramid | ViT-Det
+        probe = jnp.zeros((1, size, size, 3))
+        trk_vars = jax.jit(functools.partial(trk.init, method=trk.step))(
+            jax.random.PRNGKey(1), probe,
+            init_memory(trk.mem_slots, size // stride, size // stride,
+                        trk.features))
+        if tckpt:
+            log.warning("tracker checkpoint %s missing — random init",
+                        tckpt)
+
+    mcfg = MaskletConfig(
+        max_objects=int(cfg.get("max_objects", 16)),
+        max_dets=int(cfg.get("max_dets", 16)),
+        score_threshold_detection=float(
+            cfg.get("det_score_threshold", 0.5)),
+        new_det_thresh=float(cfg.get("new_det_thresh", 0.5)),
+        assoc_iou_thresh=float(cfg.get("assoc_iou_thresh", 0.5)),
+        trk_assoc_iou_thresh=float(cfg.get("trk_assoc_iou_thresh", 0.5)),
+        hotstart_delay=int(cfg.get("hotstart_delay", 0)),
+        occlusion_suppress_iou=float(
+            cfg.get("occlusion_suppress_iou", 0.0)))
+
+    clip = None
+    clip_cfg = cfg.get("clip", {}) or {}
+    clip_ckpt = clip_cfg.get("checkpoint") if clip_cfg else None
+    if clip_ckpt and Path(clip_ckpt).exists():
+        from skix.tracking.clip_text import VETextEncoder
+        from skix.tracking.clip_tokenizer import ClipTokenizer
+
+        tok = ClipTokenizer()
+        enc = VETextEncoder(d_model=det.d_model)
+        clip = (tok, enc, _load_vars(clip_ckpt))
+    else:
+        log.warning("SMOKE MODE: no CLIP checkpoint — text prompts use the "
+                    "deterministic hash embedding, not the CLIP tower")
+
+    if det_vars is None:
+        # random init through the session's own initializer
+        return VideoPredictor(det, None, tracker=(trk, trk_vars),
+                              masklet_cfg=mcfg, clip=clip)
+    return VideoPredictor(det, det_vars, tracker=(trk, trk_vars),
+                          masklet_cfg=mcfg, clip=clip)
+
+
+def _build_compact(cfg):
+    """Round-1 compact box-only predictor (cheap smoke path, no masks)."""
     from skix.tracking import DetrDetector, TrackerConfig, VideoPredictor
 
     det = DetrDetector(
@@ -41,19 +139,38 @@ def build_predictor(cfg):
     variables = None
     ckpt = cfg.get("checkpoint")
     if ckpt and Path(ckpt).exists():
-        from skix.pipelines.videopose3d import load_checkpoint
-
-        variables = load_checkpoint(ckpt)
+        variables = _load_vars(ckpt)
     else:
         log.warning("no detector checkpoint configured — random init "
                     "(smoke mode)")
     tcfg = TrackerConfig(
         max_objects=int(cfg.get("max_objects", 16)),
         det_score_threshold=float(cfg.get("det_score_threshold", 0.5)),
-        min_hits_to_confirm=int(cfg.get("min_hits_to_confirm", 3)),
-    )
+        min_hits_to_confirm=int(cfg.get("min_hits_to_confirm", 3)))
     return VideoPredictor(det, variables, tcfg,
                           batch_size=int(cfg.get("batch_size", 4)))
+
+
+def build_predictor(cfg):
+    model = str(cfg.get("model", "sam3"))
+    if model == "sam3":
+        return _build_sam3(cfg)
+    if model == "compact":
+        return _build_compact(cfg)
+    raise ValueError(f"unknown model '{model}' (sam3 | compact)")
+
+
+def _resize_masks(masks, size):
+    """(T, K, H, W) bool → nearest-resized (T, K, h, w) bool."""
+    if size is None:
+        return masks
+    import jax
+
+    h, w = (int(size), int(size)) if np.isscalar(size) else map(int, size)
+    T, K = masks.shape[:2]
+    out = jax.image.resize(np.asarray(masks, np.float32),
+                           (T, K, h, w), "nearest")
+    return np.asarray(out) > 0.5
 
 
 def process_video(pred, video_path: Path, out_dir: Path, cfg) -> dict:
@@ -61,17 +178,22 @@ def process_video(pred, video_path: Path, out_dir: Path, cfg) -> dict:
 
     frames = read_video(video_path, max_frames=cfg.get("max_frames"))
     sid = pred.start_session(frames)
+    has_masks = pred.tracker is not None
     report = {}
     try:
         for prompt in list(cfg.get("prompts", ["person", "snow"])):
             pred.add_prompt(sid, prompt)
             boxes, scores, active, ids = [], [], [], []
+            masks, tscores = [], []
             for out in pred.propagate_in_video(sid, prompt):
                 o = out["outputs"]
                 boxes.append(o["bbox"])
                 scores.append(o["score"])
                 active.append(o["active"])
                 ids.append(o["obj_id"])
+                if has_masks:
+                    masks.append(o["mask"])
+                    tscores.append(o["tracker_score"])
             out_dir.mkdir(parents=True, exist_ok=True)
             boxes = np.stack(boxes)
             scores = np.stack(scores)
@@ -80,6 +202,12 @@ def process_video(pred, video_path: Path, out_dir: Path, cfg) -> dict:
             np.save(out_dir / f"{prompt}_scores.npy", scores)
             np.save(out_dir / f"{prompt}_active.npy", active)
             np.save(out_dir / f"{prompt}_obj_ids.npy", np.stack(ids))
+            if has_masks:
+                m = _resize_masks(np.stack(masks),
+                                  cfg.get("save_mask_size"))
+                np.save(out_dir / f"{prompt}_masks.npy", m)
+                np.save(out_dir / f"{prompt}_tracker_scores.npy",
+                        np.stack(tscores))
             if prompt == "person":
                 # (T, 4) best-track path for front_side
                 best = np.argmax(np.where(active, scores, -1), axis=1)
@@ -88,6 +216,7 @@ def process_video(pred, video_path: Path, out_dir: Path, cfg) -> dict:
             report[prompt] = {
                 "frames": int(len(boxes)),
                 "mean_active": float(active.mean()),
+                "masks_saved": bool(has_masks),
             }
             pred.reset_session(sid)
     finally:

@@ -41,14 +41,16 @@ def postprocess_detections(
     mask_logits: jnp.ndarray | None = None,     # (B, Q, h, w)
     target_size: tuple[int, int] | None = None,  # (H, W) pixels
     max_dets: int = 100,
-    detection_threshold: float = -1.0,
+    detection_threshold: float | None = None,
     use_presence: bool = True,
 ) -> ProcessedDetections:
     """Jit-compatible (static ``target_size``/``max_dets``).
 
     ``target_size=None`` keeps boxes normalized and masks at their
     native feature resolution (an explicit size is required to rescale
-    — a (1, 1) default would silently collapse masks to one pixel)."""
+    — a (1, 1) default would silently collapse masks to one pixel).
+    ``detection_threshold=None`` disables score gating; any float
+    (including 0.0) is applied, matching the reference postprocessor."""
     B, Q = logits.shape
     probs = jax.nn.sigmoid(logits)
     if use_presence and presence_logit is not None:
@@ -72,7 +74,7 @@ def postprocess_detections(
             m = jax.image.resize(m, (B, k, H, W), "bilinear")
         masks = jax.nn.sigmoid(m) > 0.5
 
-    valid = (scores > detection_threshold if detection_threshold > 0
-             else jnp.ones_like(scores, bool))
+    valid = (jnp.ones_like(scores, bool) if detection_threshold is None
+             else scores > detection_threshold)
     return ProcessedDetections(boxes_xyxy=boxes_xyxy, scores=scores,
                                masks=masks, valid=valid)

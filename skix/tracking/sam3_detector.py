@@ -17,9 +17,13 @@ Composes the reference's SAM3 image-detector architecture
   builder config model_builder.py:117);
 - **query decoder**: 200 learned queries + presence token, 6 layers of
   self-attn → text cross-attn → image cross-attn → FFN with iterative
-  sigmoid box refinement (reference decoder.py:190 TransformerDecoder
-  with box_refine; deformable-attention/DAC/boxRPB variants are
-  documented omissions — plain attention maps better onto the MXU);
+  sigmoid box refinement, **boxRPB** attention bias (default "log", the
+  reference builder config) and **DAC** one-to-many training queries
+  (reference decoder.py:190 TransformerDecoder with box_refine).
+  Deformable attention alone is intentionally absent: the built reference
+  model uses standard MultiheadAttention (model_builder.py:161-166 — the
+  deformable path is dead code for the shipped config), and plain
+  attention maps better onto the MXU;
 - **dot-product scoring** against the pooled prompt (reference
   _create_dot_product_scoring, model_builder.py:193);
 - **maskformer segmentation head**: top-down PixelDecoder FPN fusion +

@@ -267,3 +267,56 @@ adam:
         refined = np.load(out_root / "p01" / "clip_refined.npz")
         err = np.linalg.norm(refined["X3d"] - X, axis=-1).mean()
         assert err < 0.02, f"refined error {err}"
+
+
+class TestPrepareFrontResults:
+    """The tracking stage drives the reference-capability stack: tiny
+    Sam3Detector + MaskMemoryTracker masklet propagation, per-prompt mask
+    outputs, person_bboxes consumable by front_side (VERDICT r2 task 2)."""
+
+    def test_sam3_masklet_cli(self, tmp_path):
+        from skix.io.video import write_video
+        from skix.pipelines.prepare_front_results import main
+
+        rng = np.random.default_rng(0)
+        vid_root = tmp_path / "front_raw"
+        (vid_root / "p01").mkdir(parents=True)
+        frames = rng.integers(0, 255, (4, 48, 64, 3)).astype(np.uint8)
+        write_video(vid_root / "p01" / "clip.mp4", frames, fps=10)
+        out_root = tmp_path / "front_out"
+        cdir = _write_stage_cfg(tmp_path, "prepare_front_results", f"""
+paths:
+  video_root: {vid_root}
+  out_root: {out_root}
+model: sam3
+prompts: [person, snow]
+detector: {{img_size: 112, patch_size: 14, backbone_dim: 64,
+           backbone_depth: 2, backbone_heads: 2, mlp_ratio: 4.0,
+           window_size: 4, global_att_blocks: [1], d_model: 64,
+           num_queries: 12, encoder_layers: 2, decoder_layers: 2}}
+detector_checkpoint: null
+tracker: {{features: 16, num_heads: 2, mem_slots: 3}}
+tracker_checkpoint: null
+clip:
+  checkpoint: null
+max_objects: 4
+max_dets: 6
+det_score_threshold: 0.0
+new_det_thresh: 0.0
+save_mask_size: 24
+max_frames: null
+""")
+        main([f"--config-dir={cdir}"])
+        pdir = out_root / "p01"
+        masks = np.load(pdir / "person_masks.npy")
+        assert masks.shape == (4, 4, 24, 24) and masks.dtype == bool
+        assert (pdir / "snow_masks.npy").exists()
+        assert np.load(pdir / "person_tracker_scores.npy").shape == (4, 4)
+        # front_side consumes this exact file/schema
+        pb = np.load(pdir / "person_bboxes.npy")
+        assert pb.shape == (4, 4) and np.isfinite(pb).all()
+        boxes = np.load(pdir / "person_bboxes.npy")
+        # boxes are in original frame pixels
+        assert (boxes[:, [0, 2]] <= 64 + 1e-3).all()
+        summary = json.loads((out_root / "front_summary.json").read_text())
+        assert summary["p01/clip"]["person"]["masks_saved"]
