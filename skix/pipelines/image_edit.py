@@ -13,6 +13,18 @@ for smoke runs), and LoRA adapters fuse into the transformer weights at
 load time (skix.models.lora, reference qwen_image_edit.py:79-87
 ``fuse_lora(lora_scale=1.25)``). Structure, prompts, step count and
 outputs mirror the reference.
+
+Text conditioning is REAL by default: prompts flow tokenizer → text
+transformer → MMDiT text stream, mirroring the reference's
+``encode_prompt`` (pipeline_qwenimage_edit_plus.py: the Qwen2.5-VL text
+tower embeds the camera-motion prompt; here the in-repo CLIP BPE
+tokenizer + ``VETextEncoder`` tower, whose resizer projects token memory
+to ``text_dim``). The converter seam for pretrained towers is
+``skix.tracking.clip_text.convert_ve_text_encoder`` via
+``text_encoder_checkpoint``; scale knobs via ``text_encoder:`` kwargs
+(reference CLIP scale = width 1024 / heads 16 / layers 24, see
+configs/image_edit.yaml). The round-2 hash embedding survives only
+behind an explicit ``smoke_text: true``.
 """
 
 from __future__ import annotations
@@ -66,6 +78,41 @@ class CameraEditor:
                 jnp.zeros((1, 16, int(cfg.get("text_dim", 64)))),
                 jnp.zeros((1,)))
 
+        # text conditioning: tokenizer → text tower → MMDiT (the hash
+        # embedding is smoke-only and must be asked for explicitly)
+        self.text_len = int(cfg.get("text_len", 16))
+        self.text_encoder = None
+        self._prompt_cache: dict = {}
+        if bool(cfg.get("smoke_text", False)):
+            log.warning("smoke_text=true: prompts use the deterministic "
+                        "HASH embedding, not a text encoder — edits are "
+                        "not semantically conditioned")
+        else:
+            from skix.tracking.clip_text import VETextEncoder
+            from skix.tracking.clip_tokenizer import ClipTokenizer
+
+            te_kw = dict(cfg.get("text_encoder", {}) or {})
+            te_kw.setdefault("width", 256)
+            te_kw.setdefault("heads", 4)
+            te_kw.setdefault("layers", 4)
+            enc = VETextEncoder(d_model=int(cfg.get("text_dim", 64)),
+                                context_length=self.text_len, **te_kw)
+            self.tokenizer = ClipTokenizer(context_length=self.text_len)
+            te_ckpt = cfg.get("text_encoder_checkpoint")
+            if te_ckpt and Path(te_ckpt).exists():
+                from skix.pipelines.videopose3d import load_checkpoint
+
+                te_vars = load_checkpoint(te_ckpt)
+            else:
+                log.warning("no text-encoder checkpoint — random-init "
+                            "tower (real tokenization/attention, untrained "
+                            "weights); convert one via "
+                            "convert_ve_text_encoder")
+                te_vars = jax.jit(enc.init)(
+                    jax.random.PRNGKey(2),
+                    jnp.zeros((1, self.text_len), jnp.int32))
+            self.text_encoder = (enc, te_vars)
+
         # fuse LoRA adapters (reference: multiple-angles LoRA, scale 1.25)
         lora_path = cfg.get("lora_path")
         if lora_path and Path(lora_path).exists():
@@ -108,18 +155,41 @@ class CameraEditor:
                                   text_emb, num_steps=num_steps, key=key,
                                   strength=strength)
 
+    def embed_prompt(self, prompt: str):
+        """Prompt string → (text_len, text_dim) conditioning memory
+        (reference encode_prompt: tokenizer → text tower → projection)."""
+        import jax.numpy as jnp
+
+        cached = self._prompt_cache.get(prompt)
+        if cached is not None:
+            return cached
+        if self.text_encoder is None:   # explicit smoke_text=true
+            from skix.models.mmdit import embed_prompt_tokens
+
+            emb = embed_prompt_tokens(prompt, length=self.text_len,
+                                      dim=int(self.cfg.get("text_dim", 64)))
+        else:
+            from skix.utils.jitapply import apply_model
+
+            enc, te_vars = self.text_encoder
+            tokens = jnp.asarray(self.tokenizer([prompt]))
+            _, resized, _ = apply_model(enc, None, te_vars, tokens)
+            emb = resized[0]
+        emb = np.asarray(emb)
+        self._prompt_cache[prompt] = emb
+        return emb
+
     def infer_camera_edit(self, frame_u8: np.ndarray, rotate_deg=0.0,
                           move_forward=0.0, vertical_tilt=0.0,
                           wideangle=False, seed: int = 0):
         import jax
         import jax.numpy as jnp
 
-        from skix.models.mmdit import build_camera_prompt, embed_prompt_tokens
+        from skix.models.mmdit import build_camera_prompt
 
         prompt = build_camera_prompt(rotate_deg, move_forward, vertical_tilt,
                                      wideangle)
-        text = embed_prompt_tokens(prompt, length=16,
-                                   dim=int(self.cfg.get("text_dim", 64)))
+        text = jnp.asarray(self.embed_prompt(prompt))
         img = jnp.asarray(frame_u8, jnp.float32) / 127.5 - 1.0
         if img.shape[:2] != (self.size, self.size):
             img = jax.image.resize(img, (self.size, self.size, 3),

@@ -190,3 +190,62 @@ lora_path: {tmp_path / 'lora.npz'}
         assert out.shape == (32, 32, 3)
         assert out.dtype == np.uint8
         assert "rotate" in prompt.lower() or "30" in prompt
+
+
+class TestTextConditioning:
+    """Real text conditioning: tokenizer → VETextEncoder → MMDiT
+    (VERDICT r2 #3; reference pipeline_qwenimage_edit_plus.py
+    encode_prompt semantics — prompts are embedded by a text tower,
+    not hashed)."""
+
+    def _cfg(self, tmp_path, extra=""):
+        from skix.config import load_config
+
+        cdir = tmp_path / "configs"
+        cdir.mkdir(exist_ok=True)
+        (cdir / "image_edit.yaml").write_text(f"""
+paths:
+  video_root: {tmp_path}
+  out_root: {tmp_path / 'out'}
+image_size: 32
+dim: 32
+depth: 1
+num_heads: 2
+text_dim: 16
+text_len: 8
+text_encoder: {{width: 64, heads: 2, layers: 1}}
+axes_dim: [4, 6, 6]
+num_inference_steps: 2
+{extra}
+""")
+        return load_config("image_edit", config_dir=cdir)
+
+    def test_encoder_path_and_prompt_sensitivity(self, tmp_path):
+        rng = np.random.default_rng(967)
+        from skix.pipelines.image_edit import CameraEditor
+
+        editor = CameraEditor(self._cfg(tmp_path))
+        assert editor.text_encoder is not None          # real tower by default
+        e1 = editor.embed_prompt("rotate the camera 30 degrees left")
+        e2 = editor.embed_prompt("move the camera far forward")
+        assert e1.shape == (8, 16)
+        assert not np.allclose(e1, e2)                  # token-dependent memory
+        # cache returns the identical array
+        assert editor.embed_prompt("move the camera far forward") is e2
+
+        # different prompts → different edits (same seed, same frame)
+        frame = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        o_rot, p_rot = editor.infer_camera_edit(frame, rotate_deg=45.0, seed=3)
+        o_fwd, p_fwd = editor.infer_camera_edit(frame, move_forward=5.0, seed=3)
+        assert p_rot != p_fwd
+        assert not np.array_equal(o_rot, o_fwd)
+
+    def test_smoke_text_optin_uses_hash(self, tmp_path):
+        from skix.models.mmdit import embed_prompt_tokens
+        from skix.pipelines.image_edit import CameraEditor
+
+        editor = CameraEditor(self._cfg(tmp_path, extra="smoke_text: true"))
+        assert editor.text_encoder is None              # explicit opt-in only
+        emb = editor.embed_prompt("rotate left")
+        ref = np.asarray(embed_prompt_tokens("rotate left", length=8, dim=16))
+        np.testing.assert_allclose(np.asarray(emb), ref)
