@@ -1,0 +1,434 @@
+"""YOLO-class single-stage pose detector (Flax, ultralytics-convertible).
+
+Reference capability: prepare_dataset/model/yolov11_pose.py:42 — the
+reference wraps ``ultralytics.YOLO(pose_ckpt)`` to get per-frame person
+boxes + 17 COCO keypoints with confidences (and yolov11_bbox.py /
+yolov11_mask.py for box/mask variants). This module is the TPU-native
+counterpart at real capability: the exact YOLOv8-pose architecture
+family (CSP C2f backbone, SPPF, PAN-FPN neck, decoupled anchor-free
+DFL head + pose head), scalable n/s/m/l/x, so open ultralytics ``.pt``
+pose checkpoints convert 1:1 via :func:`convert_ultralytics_pose`.
+
+TPU-first design decisions (vs the torch original):
+- NHWC everywhere; convs are bias-free + BatchNorm + SiLU so XLA fuses
+  the whole block into the conv epilogue.
+- Decode is fully static-shape: per-level predictions flatten and
+  concatenate into one (B, A, C) tensor over precomputed anchor tables,
+  then fixed top-K + skix.ops.nms — no data-dependent shapes anywhere,
+  the whole clip batches through one jit.
+- DFL (distribution focal regression, reg_max=16 bins/side) stays — the
+  softmax-expectation is a tiny matmul that rides the MXU.
+- Train-time assignment (task-aligned, see yolo_loss.py) is dense and
+  fixed-slot: (Ngt, A) alignment matrices with validity masks instead of
+  per-image Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skix.ops.nms import nms
+
+# depth_mult, width_mult, max_channels (ultralytics scale table)
+SCALES = {
+    "n": (0.34, 0.25, 1024),
+    "s": (0.34, 0.50, 1024),
+    "m": (0.67, 0.75, 768),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.25, 512),
+}
+
+
+def _make_divisible(c: float, d: int = 8) -> int:
+    return max(d, int(round(c / d) * d))
+
+
+class ConvBNAct(nn.Module):
+    """ultralytics ``Conv``: Conv2d(bias=False) + BN + SiLU."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(h)
+        return nn.silu(h)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBNAct(self.features, 3, 1, self.dtype, name="cv1")(x, train)
+        h = ConvBNAct(self.features, 3, 1, self.dtype, name="cv2")(h, train)
+        return x + h if self.shortcut else h
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block: 1x1 expand → split → n bottlenecks,
+    each chunk appended → 1x1 fuse on the (2+n)-way concat."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        h = ConvBNAct(2 * c, 1, 1, self.dtype, name="cv1")(x, train)
+        parts = list(jnp.split(h, 2, axis=-1))
+        for i in range(self.n):
+            parts.append(Bottleneck(c, self.shortcut, self.dtype,
+                                    name=f"m_{i}")(parts[-1], train))
+        return ConvBNAct(self.features, 1, 1, self.dtype,
+                         name="cv2")(jnp.concatenate(parts, -1), train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained stride-1 maxpools."""
+
+    features: int
+    pool: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1] // 2
+        h = ConvBNAct(c, 1, 1, self.dtype, name="cv1")(x, train)
+        k = self.pool
+        outs = [h]
+        for _ in range(3):
+            outs.append(nn.max_pool(outs[-1], (k, k), strides=(1, 1),
+                                    padding="SAME"))
+        return ConvBNAct(self.features, 1, 1, self.dtype,
+                         name="cv2")(jnp.concatenate(outs, -1), train)
+
+
+class PoseDetections(NamedTuple):
+    boxes_xyxy: jnp.ndarray   # (B, K, 4) pixels
+    scores: jnp.ndarray       # (B, K)
+    keypoints: jnp.ndarray    # (B, K, 17, 3) x, y, conf (pixels)
+    valid: jnp.ndarray        # (B, K) bool
+
+
+class RawPredictions(NamedTuple):
+    """Pre-decode per-anchor outputs (training consumes these)."""
+
+    box_dist: jnp.ndarray     # (B, A, 4, reg_max) DFL logits
+    cls_logits: jnp.ndarray   # (B, A, nc)
+    kpt_raw: jnp.ndarray      # (B, A, 17, 3) raw offsets + conf logit
+    anchors: jnp.ndarray      # (A, 2) grid-cell centers (grid units)
+    strides: jnp.ndarray      # (A,) pixels per grid unit
+
+
+class YoloPose(nn.Module):
+    """YOLOv8-pose: image (B, H, W, 3) in [0, 1] → per-anchor raw heads.
+
+    ``scale`` picks the n/s/m/l/x width/depth family; H, W must be
+    multiples of 32. Use :func:`decode` / :func:`detect` for boxes.
+    """
+
+    scale: str = "s"
+    num_keypoints: int = 17
+    num_classes: int = 1
+    reg_max: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    def widths(self):
+        d, w, mc = SCALES[self.scale]
+        ch = [_make_divisible(min(c * w, mc * w))
+              for c in (64, 128, 256, 512, 1024)]
+        n3 = max(1, round(3 * d))
+        n6 = max(1, round(6 * d))
+        return ch, n3, n6
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> RawPredictions:
+        ch, n3, n6 = self.widths()
+        c1, c2, c3, c4, c5 = ch
+        dt = self.dtype
+        x = images.astype(dt)
+
+        # backbone (layer indices follow the ultralytics yaml for the
+        # converter's name mapping: b0..b9)
+        h = ConvBNAct(c1, 3, 2, dt, name="b0")(x, train)        # P1/2
+        h = ConvBNAct(c2, 3, 2, dt, name="b1")(h, train)        # P2/4
+        h = C2f(c2, n3, True, dt, name="b2")(h, train)
+        h = ConvBNAct(c3, 3, 2, dt, name="b3")(h, train)        # P3/8
+        p3 = C2f(c3, n6, True, dt, name="b4")(h, train)
+        h = ConvBNAct(c4, 3, 2, dt, name="b5")(p3, train)       # P4/16
+        p4 = C2f(c4, n6, True, dt, name="b6")(h, train)
+        h = ConvBNAct(c5, 3, 2, dt, name="b7")(p4, train)       # P5/32
+        h = C2f(c5, n3, True, dt, name="b8")(h, train)
+        p5 = SPPF(c5, 5, dt, name="b9")(h, train)
+
+        # PAN-FPN neck (h12/h15/h18/h21 = the yaml's layer numbers)
+        def up2(t):
+            B, H, W, C = t.shape
+            return jax.image.resize(t, (B, 2 * H, 2 * W, C), "nearest")
+
+        t4 = C2f(c4, n3, False, dt, name="h12")(
+            jnp.concatenate([up2(p5), p4], -1), train)
+        o3 = C2f(c3, n3, False, dt, name="h15")(
+            jnp.concatenate([up2(t4), p3], -1), train)
+        d3 = ConvBNAct(c3, 3, 2, dt, name="h16")(o3, train)
+        o4 = C2f(c4, n3, False, dt, name="h18")(
+            jnp.concatenate([d3, t4], -1), train)
+        d4 = ConvBNAct(c4, 3, 2, dt, name="h19")(o4, train)
+        o5 = C2f(c5, n3, False, dt, name="h21")(
+            jnp.concatenate([d4, p5], -1), train)
+
+        # decoupled heads (cv2 box / cv3 cls / cv4 pose — ultralytics names)
+        nk = self.num_keypoints * 3
+        cb = max(16, c3 // 4, 4 * self.reg_max)
+        cc = max(c3, min(self.num_classes, 100))
+        ck = max(c3 // 4, nk)
+        B = images.shape[0]
+        dists, clss, kpts, anchors, strides = [], [], [], [], []
+        for li, (feat, stride) in enumerate(((o3, 8), (o4, 16), (o5, 32))):
+            b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_0")(feat, train)
+            b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{li}_2")(
+                b.astype(jnp.float32))
+            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_0")(feat, train)
+            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_1")(c, train)
+            c = nn.Conv(self.num_classes, (1, 1), name=f"cv3_{li}_2")(
+                c.astype(jnp.float32))
+            k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_0")(feat, train)
+            k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_1")(k, train)
+            k = nn.Conv(nk, (1, 1), name=f"cv4_{li}_2")(
+                k.astype(jnp.float32))
+            gh, gw = feat.shape[1], feat.shape[2]
+            dists.append(b.reshape(B, gh * gw, 4, self.reg_max))
+            clss.append(c.reshape(B, gh * gw, self.num_classes))
+            kpts.append(k.reshape(B, gh * gw, self.num_keypoints, 3))
+            ys, xs = np.meshgrid(np.arange(gh) + 0.5, np.arange(gw) + 0.5,
+                                 indexing="ij")
+            anchors.append(np.stack([xs.ravel(), ys.ravel()], -1))
+            strides.append(np.full(gh * gw, stride, np.float32))
+
+        return RawPredictions(
+            box_dist=jnp.concatenate(dists, 1),
+            cls_logits=jnp.concatenate(clss, 1),
+            kpt_raw=jnp.concatenate(kpts, 1),
+            anchors=jnp.asarray(np.concatenate(anchors, 0), jnp.float32),
+            strides=jnp.asarray(np.concatenate(strides, 0)))
+
+
+def dfl_expectation(box_dist):
+    """(…, 4, reg_max) logits → (…, 4) expected l,t,r,b distances
+    (grid units): softmax over bins, dot with bin index."""
+    reg_max = box_dist.shape[-1]
+    p = jax.nn.softmax(box_dist, axis=-1)
+    return p @ jnp.arange(reg_max, dtype=jnp.float32)
+
+
+def decode_boxes(raw: RawPredictions):
+    """Per-anchor xyxy pixel boxes from DFL distances (dist2bbox)."""
+    ltrb = dfl_expectation(raw.box_dist)                    # (B, A, 4)
+    a = raw.anchors[None]
+    s = raw.strides[None, :, None]
+    x1y1 = (a - ltrb[..., :2]) * s
+    x2y2 = (a + ltrb[..., 2:]) * s
+    return jnp.concatenate([x1y1, x2y2], -1)
+
+
+def decode_keypoints(raw: RawPredictions):
+    """ultralytics kpts_decode: xy = (raw*2 + anchor - 0.5) * stride."""
+    a = raw.anchors[None, :, None, :]
+    s = raw.strides[None, :, None, None]
+    xy = (raw.kpt_raw[..., :2] * 2.0 + (a - 0.5)) * s
+    conf = jax.nn.sigmoid(raw.kpt_raw[..., 2:3])
+    return jnp.concatenate([xy, conf], -1)
+
+
+def detect(raw: RawPredictions, top_k: int = 8, score_threshold: float = 0.25,
+           nms_iou: float = 0.7) -> PoseDetections:
+    """Static-shape postprocess: per-image top-K by class score → NMS →
+    padded detection slots (the reference's Results.boxes/keypoints)."""
+    boxes = decode_boxes(raw)                               # (B, A, 4)
+    kpts = decode_keypoints(raw)                            # (B, A, 17, 3)
+    scores = jax.nn.sigmoid(raw.cls_logits).max(-1)         # (B, A)
+
+    def one(sc, bx, kp):
+        top_s, idx = jax.lax.top_k(sc, top_k)
+        bxs = bx[idx]
+        keep = nms(bxs, top_s, nms_iou)
+        ok = keep & (top_s > score_threshold)
+        return bxs, top_s, kp[idx], ok
+
+    b, s, k, v = jax.vmap(one)(scores, boxes, kpts)
+    return PoseDetections(boxes_xyxy=b, scores=s, keypoints=k, valid=v)
+
+
+# ---------------------------------------------------------------------------
+# ultralytics converter seam
+# ---------------------------------------------------------------------------
+
+# our flax module name → ultralytics model.N layer index
+_LAYER_MAP = {
+    "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
+    "b7": 7, "b8": 8, "b9": 9, "h12": 12, "h15": 15, "h16": 16,
+    "h18": 18, "h19": 19, "h21": 21,
+}
+_HEAD_LAYER = 22
+
+
+def _np_of(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                      else t)
+
+
+def _conv_kernel(w):
+    # torch (O, I, kh, kw) → flax (kh, kw, I, O)
+    return jnp.asarray(_np_of(w).transpose(2, 3, 1, 0))
+
+
+def _convbn(sd, pre):
+    return (
+        {"conv": {"kernel": _conv_kernel(sd[f"{pre}.conv.weight"])},
+         "bn": {"scale": jnp.asarray(_np_of(sd[f"{pre}.bn.weight"])),
+                "bias": jnp.asarray(_np_of(sd[f"{pre}.bn.bias"]))}},
+        {"bn": {"mean": jnp.asarray(_np_of(sd[f"{pre}.bn.running_mean"])),
+                "var": jnp.asarray(_np_of(sd[f"{pre}.bn.running_var"]))}},
+    )
+
+
+def _c2f(sd, pre, n):
+    p, s = {}, {}
+    for sub in ("cv1", "cv2"):
+        p[sub], s[sub] = _convbn(sd, f"{pre}.{sub}")
+    for i in range(n):
+        blk_p, blk_s = {}, {}
+        for sub in ("cv1", "cv2"):
+            blk_p[sub], blk_s[sub] = _convbn(sd, f"{pre}.m.{i}.{sub}")
+        p[f"m_{i}"], s[f"m_{i}"] = blk_p, blk_s
+    return p, s
+
+
+def convert_ultralytics_pose(state_dict, scale: str = "s",
+                             num_keypoints: int = 17, num_classes: int = 1,
+                             prefix: str = "model.") -> dict:
+    """ultralytics YOLOv8/11-pose ``model.state_dict()`` → flax variables.
+
+    Accepts the torch naming (``model.0.conv.weight`` …,
+    ``model.22.cv4.1.2.bias``); pass ``prefix=""`` for dicts saved without
+    the wrapping ``model.`` scope. Returns ``{"params": …,
+    "batch_stats": …}`` for :class:`YoloPose`. The DFL projection conv is
+    fixed (arange) in both frameworks and is not a parameter here.
+    """
+    sd = {k[len(prefix):] if prefix and k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    model = YoloPose(scale=scale, num_keypoints=num_keypoints,
+                     num_classes=num_classes)
+    _, n3, n6 = model.widths()
+    params: dict = {}
+    stats: dict = {}
+    for name, idx in _LAYER_MAP.items():
+        pre = str(idx)
+        if name in ("b2", "b8", "h12", "h15", "h18", "h21"):
+            params[name], stats[name] = _c2f(sd, pre, n3)
+        elif name in ("b4", "b6"):
+            params[name], stats[name] = _c2f(sd, pre, n6)
+        else:  # plain Conv or SPPF
+            if f"{pre}.cv1.conv.weight" in sd:        # SPPF (b9)
+                p, s = {}, {}
+                for sub in ("cv1", "cv2"):
+                    p[sub], s[sub] = _convbn(sd, f"{pre}.{sub}")
+                params[name], stats[name] = p, s
+            else:
+                params[name], stats[name] = _convbn(sd, pre)
+    # heads: model.22.{cv2,cv3,cv4}.{level}.{0,1,2}
+    for branch in ("cv2", "cv3", "cv4"):
+        for li in range(3):
+            pre = f"{_HEAD_LAYER}.{branch}.{li}"
+            for j in range(2):
+                p, s = _convbn(sd, f"{pre}.{j}")
+                params[f"{branch}_{li}_{j}"] = p
+                stats[f"{branch}_{li}_{j}"] = s
+            params[f"{branch}_{li}_2"] = {
+                "kernel": _conv_kernel(sd[f"{pre}.2.weight"]),
+                "bias": jnp.asarray(_np_of(sd[f"{pre}.2.bias"]))}
+    return {"params": params, "batch_stats": stats}
+
+
+def reference_state_dict_spec(scale: str = "s", num_keypoints: int = 17,
+                              num_classes: int = 1) -> dict:
+    """Expected ultralytics state-dict entries → shapes (torch order).
+
+    Ground truth for converter tests when ultralytics itself is not
+    installed (the reference consumes it as a pip dep — there is no
+    vendored oracle to import): enumerate every tensor a YOLOv8-pose
+    ``model.state_dict()`` contains for this scale, so tests can build a
+    synthetic checkpoint and assert the converter consumes all of it.
+    """
+    model = YoloPose(scale=scale, num_keypoints=num_keypoints,
+                     num_classes=num_classes)
+    ch, n3, n6 = model.widths()
+    c1, c2, c3, c4, c5 = ch
+    spec: dict = {}
+
+    def convbn(pre, cin, cout, k):
+        spec[f"{pre}.conv.weight"] = (cout, cin, k, k)
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            spec[f"{pre}.bn.{suf}"] = (cout,)
+
+    def c2f(pre, cin, cout, n, k=3):
+        c = cout // 2
+        convbn(f"{pre}.cv1", cin, 2 * c, 1)
+        convbn(f"{pre}.cv2", (2 + n) * c, cout, 1)
+        for i in range(n):
+            convbn(f"{pre}.m.{i}.cv1", c, c, k)
+            convbn(f"{pre}.m.{i}.cv2", c, c, k)
+
+    convbn("model.0", 3, c1, 3)
+    convbn("model.1", c1, c2, 3)
+    c2f("model.2", c2, c2, n3)
+    convbn("model.3", c2, c3, 3)
+    c2f("model.4", c3, c3, n6)
+    convbn("model.5", c3, c4, 3)
+    c2f("model.6", c4, c4, n6)
+    convbn("model.7", c4, c5, 3)
+    c2f("model.8", c5, c5, n3)
+    convbn("model.9.cv1", c5, c5 // 2, 1)
+    convbn("model.9.cv2", 2 * c5, c5, 1)
+    c2f("model.12", c5 + c4, c4, n3)
+    c2f("model.15", c4 + c3, c3, n3)
+    convbn("model.16", c3, c3, 3)
+    c2f("model.18", c3 + c4, c4, n3)
+    convbn("model.19", c4, c4, 3)
+    c2f("model.21", c4 + c5, c5, n3)
+
+    nk = num_keypoints * 3
+    cb = max(16, c3 // 4, 4 * model.reg_max)
+    cc = max(c3, min(num_classes, 100))
+    ck = max(c3 // 4, nk)
+    for li, cin in enumerate((c3, c4, c5)):
+        convbn(f"model.22.cv2.{li}.0", cin, cb, 3)
+        convbn(f"model.22.cv2.{li}.1", cb, cb, 3)
+        spec[f"model.22.cv2.{li}.2.weight"] = (4 * model.reg_max, cb, 1, 1)
+        spec[f"model.22.cv2.{li}.2.bias"] = (4 * model.reg_max,)
+        convbn(f"model.22.cv3.{li}.0", cin, cc, 3)
+        convbn(f"model.22.cv3.{li}.1", cc, cc, 3)
+        spec[f"model.22.cv3.{li}.2.weight"] = (num_classes, cc, 1, 1)
+        spec[f"model.22.cv3.{li}.2.bias"] = (num_classes,)
+        convbn(f"model.22.cv4.{li}.0", cin, ck, 3)
+        convbn(f"model.22.cv4.{li}.1", ck, ck, 3)
+        spec[f"model.22.cv4.{li}.2.weight"] = (nk, ck, 1, 1)
+        spec[f"model.22.cv4.{li}.2.bias"] = (nk,)
+    return spec

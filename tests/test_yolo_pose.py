@@ -1,0 +1,295 @@
+"""YOLO-class pose detector: architecture, converter seam, TAL loss,
+COCO data pipeline, and the train-CLI overfit gate (VERDICT r2 #4/#5)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skix.models.yolo_loss import pose_detection_loss, task_aligned_assign
+from skix.models.yolo_pose import (YoloPose, convert_ultralytics_pose,
+                                   decode_boxes, detect,
+                                   reference_state_dict_spec)
+
+
+def _tiny_variables(model, hw=64):
+    return jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3)), train=True))()
+
+
+class TestArchitecture:
+    def test_forward_shapes_and_anchor_count(self):
+        m = YoloPose(scale="n")
+        v = _tiny_variables(m)
+        raw = m.apply(v, jnp.zeros((2, 64, 64, 3)))
+        A = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+        assert raw.box_dist.shape == (2, A, 4, 16)
+        assert raw.cls_logits.shape == (2, A, 1)
+        assert raw.kpt_raw.shape == (2, A, 17, 3)
+        assert raw.anchors.shape == (A, 2)
+        assert raw.strides.shape == (A,)
+        # stride blocks ordered P3, P4, P5
+        assert np.allclose(np.asarray(raw.strides[:64]), 8)
+        assert np.allclose(np.asarray(raw.strides[-4:]), 32)
+
+    def test_detect_static_shapes(self):
+        m = YoloPose(scale="n")
+        v = _tiny_variables(m)
+        raw = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+        det = detect(raw, top_k=6)
+        assert det.boxes_xyxy.shape == (1, 6, 4)
+        assert det.keypoints.shape == (1, 6, 17, 3)
+        assert det.valid.dtype == bool
+
+    def test_scale_table_widths(self):
+        chs, n3, n6 = YoloPose(scale="s").widths()
+        assert chs == [32, 64, 128, 256, 512]
+        assert (n3, n6) == (1, 2)
+        chm, m3, m6 = YoloPose(scale="m").widths()
+        assert chm == [48, 96, 192, 384, 576]
+        assert (m3, m6) == (2, 4)
+
+
+class TestConverter:
+    def test_synthetic_ultralytics_checkpoint_round_trip(self):
+        """The converter consumes every tensor of an ultralytics-named
+        pose state dict and reproduces the exact init tree (ultralytics
+        itself is a pip dep the reference does not vendor — the spec
+        enumerates the canonical names/shapes)."""
+        rng = np.random.default_rng(100)
+        spec = reference_state_dict_spec("n")
+        sd = {k: rng.normal(size=s).astype(np.float32) * 0.05
+              for k, s in spec.items()}
+        for k in sd:
+            if k.endswith("running_var"):
+                sd[k] = np.abs(sd[k]) + 1.0
+        cv = convert_ultralytics_pose(sd, scale="n")
+
+        m = YoloPose(scale="n")
+        v = _tiny_variables(m)
+        flat_i = jax.tree_util.tree_leaves_with_path(v)
+        flat_c = jax.tree_util.tree_leaves_with_path(cv)
+        pi = {jax.tree_util.keystr(p): x.shape for p, x in flat_i}
+        pc = {jax.tree_util.keystr(p): x.shape for p, x in flat_c}
+        assert pi == pc
+        # value mapping spot check: stem conv kernel transposes OIHW→HWIO
+        np.testing.assert_allclose(
+            np.asarray(cv["params"]["b0"]["conv"]["kernel"]),
+            sd["model.0.conv.weight"].transpose(2, 3, 1, 0))
+        out = m.apply(cv, jnp.zeros((1, 64, 64, 3)))
+        assert np.isfinite(np.asarray(out.cls_logits)).all()
+
+    def test_all_spec_keys_are_consumed(self):
+        """Removing any single tensor from the checkpoint must break the
+        conversion — i.e. the converter truly reads every entry."""
+        rng = np.random.default_rng(101)
+        spec = reference_state_dict_spec("n")
+        sd = {k: rng.normal(size=s).astype(np.float32)
+              for k, s in spec.items()}
+        victim = sorted(spec)[len(spec) // 2]
+        del sd[victim]
+        with pytest.raises(KeyError):
+            convert_ultralytics_pose(sd, scale="n")
+
+
+class TestLoss:
+    def _setup(self):
+        m = YoloPose(scale="n")
+        v = _tiny_variables(m, 64)
+        raw = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+        gt_boxes = jnp.asarray([[[8., 8., 40., 56.], [0., 0., 0., 0.]]])
+        kp = np.zeros((1, 2, 17, 3), np.float32)
+        kp[0, 0, :, 0] = np.linspace(10, 38, 17)
+        kp[0, 0, :, 1] = np.linspace(10, 54, 17)
+        kp[0, 0, :, 2] = 1.0
+        gt_valid = jnp.asarray([[True, False]])
+        return m, v, raw, gt_boxes, jnp.asarray(kp), gt_valid
+
+    def test_assignment_respects_validity_and_box(self):
+        _, _, raw, gt_boxes, _, gt_valid = self._setup()
+        gt_cls = jnp.zeros((1, 2), jnp.int32)
+        assigned, fg, tscores = task_aligned_assign(raw, gt_boxes, gt_cls,
+                                                    gt_valid)
+        fg_np = np.asarray(fg[0])
+        assert fg_np.any()
+        # every fg anchor center lies inside the (only valid) GT box
+        centers = np.asarray(raw.anchors * raw.strides[:, None])
+        inside = ((centers[:, 0] > 8) & (centers[:, 0] < 40)
+                  & (centers[:, 1] > 8) & (centers[:, 1] < 56))
+        assert (inside | ~fg_np).all()
+        assert (np.asarray(assigned[0])[fg_np] == 0).all()
+        assert float(tscores.max()) <= 1.0 + 1e-6
+
+    def test_loss_finite_and_differentiable(self):
+        m, v, _, gt_boxes, gt_kpts, gt_valid = self._setup()
+
+        def f(p):
+            raw = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                          jnp.full((1, 64, 64, 3), 0.5))
+            total, _ = pose_detection_loss(raw, gt_boxes, gt_kpts, gt_valid)
+            return total
+
+        loss, grads = jax.value_and_grad(f)(v["params"])
+        assert np.isfinite(float(loss))
+        gnorm = jnp.sqrt(sum(jnp.sum(g ** 2)
+                             for g in jax.tree.leaves(grads)))
+        assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+    def test_no_valid_gt_gives_finite_loss(self):
+        _, _, raw, gt_boxes, gt_kpts, _ = self._setup()
+        none_valid = jnp.zeros((1, 2), bool)
+        total, aux = pose_detection_loss(raw, gt_boxes, gt_kpts, none_valid)
+        assert np.isfinite(float(total))
+        assert float(aux["num_fg"]) == 0
+
+
+def _write_coco_fixture(root, n_images=3, size=96, seed=7):
+    """Tiny on-disk COCO keypoints dataset: one bright person blob per
+    image with deterministic keypoints."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    (root / "img").mkdir(parents=True, exist_ok=True)
+    images, anns = [], []
+    gt = {}
+    for i in range(n_images):
+        img = (rng.random((size, size, 3)) * 40).astype(np.uint8)
+        x0, y0 = int(rng.integers(8, 24)), int(rng.integers(8, 20))
+        w, h = int(rng.integers(40, 56)), int(rng.integers(52, 68))
+        img[y0:y0 + h, x0:x0 + w] = (rng.random((h, w, 3)) * 120
+                                     + 100).astype(np.uint8)
+        kx = rng.uniform(x0 + 4, x0 + w - 4, 17)
+        ky = rng.uniform(y0 + 4, y0 + h - 4, 17)
+        for j in range(17):  # keypoint beacons the conv can latch onto
+            cv2.circle(img, (int(kx[j]), int(ky[j])), 2,
+                       (int(255 * (j % 3 == 0)), int(255 * (j % 3 == 1)),
+                        int(255 * (j % 3 == 2))), -1)
+        cv2.imwrite(str(root / "img" / f"{i}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        images.append({"id": i, "file_name": f"img/{i}.png",
+                       "width": size, "height": size})
+        kflat = np.stack([kx, ky, np.full(17, 2.0)], -1).reshape(-1)
+        anns.append({"id": i, "image_id": i, "category_id": 1,
+                     "bbox": [x0, y0, w, h], "iscrowd": 0,
+                     "area": w * h,
+                     "keypoints": [float(v) for v in kflat],
+                     "segmentation": [[x0, y0, x0 + w, y0,
+                                       x0 + w, y0 + h, x0, y0 + h]]})
+        gt[i] = {"box": [x0, y0, x0 + w, y0 + h],
+                 "kpts": np.stack([kx, ky], -1)}
+    (root / "fixture.json").write_text(json.dumps({
+        "images": images, "annotations": anns,
+        "categories": [{"id": 1, "name": "person",
+                        "keypoints": ["k"] * 17}]}))
+    return root / "fixture.json", gt
+
+
+class TestCocoData:
+    def test_parse_and_example(self, tmp_path):
+        from skix.data import CocoDataset
+
+        jp, gt = _write_coco_fixture(tmp_path)
+        ds = CocoDataset(jp, image_root=tmp_path)
+        assert len(ds) == 3
+        rec = ds.example(0)
+        assert rec["image"].shape == (96, 96, 3)
+        np.testing.assert_allclose(rec["boxes"][0], gt[0]["box"])
+        np.testing.assert_allclose(rec["keypoints"][0, :, :2],
+                                   gt[0]["kpts"], atol=1e-4)
+        # polygon mask covers the box interior
+        x0, y0, x1, y1 = [int(v) for v in gt[0]["box"]]
+        assert rec["masks"][0, (y0 + y1) // 2, (x0 + x1) // 2]
+        assert not rec["masks"][0, 0, 0]
+
+    def test_hflip_swaps_pairs_and_mirrors(self, tmp_path):
+        from skix.data import CocoDataset, hflip_record
+
+        jp, _ = _write_coco_fixture(tmp_path)
+        rec = CocoDataset(jp, image_root=tmp_path).example(1)
+        fl = hflip_record(rec)
+        W = rec["image"].shape[1]
+        # left-eye (1) ↔ right-eye (2), x mirrored
+        np.testing.assert_allclose(fl["keypoints"][0, 1, 0],
+                                   W - rec["keypoints"][0, 2, 0])
+        np.testing.assert_allclose(fl["boxes"][0, 0],
+                                   W - rec["boxes"][0, 2])
+        assert np.array_equal(fl["image"], rec["image"][:, ::-1])
+
+    def test_crop_marks_outside_kpts_invisible(self, tmp_path):
+        from skix.data import CocoDataset, random_resize_crop
+
+        jp, _ = _write_coco_fixture(tmp_path)
+        rec = CocoDataset(jp, image_root=tmp_path).example(0)
+        rng = np.random.default_rng(0)
+        out = random_resize_crop(rec, rng, scale_range=(1.0, 1.0),
+                                 out_hw=(40, 40))
+        k = out["keypoints"][0]
+        vis = k[:, 2] > 0
+        assert (k[vis, 0] >= 0).all() and (k[vis, 0] < 40).all()
+        assert (out["boxes"] >= 0).all() and (out["boxes"] <= 40).all()
+
+    def test_collate_fixed_shapes_and_slot_order(self, tmp_path):
+        from skix.data import CocoDataset, CocoLoader
+
+        jp, _ = _write_coco_fixture(tmp_path)
+        ds = CocoDataset(jp, image_root=tmp_path)
+        loader = CocoLoader(ds, batch_size=2, image_size=64, max_objects=4,
+                            augment=False)
+        batch = next(iter(loader))
+        assert batch["images"].shape == (2, 64, 64, 3)
+        assert batch["boxes"].shape == (2, 4, 4)
+        assert batch["keypoints"].shape == (2, 4, 17, 3)
+        assert batch["masks"].shape == (2, 4, 16, 16)
+        assert batch["valid"].shape == (2, 4)
+        assert batch["valid"][:, 0].all() and not batch["valid"][:, 1].any()
+        # deterministic (augment off): same loader config → same batch
+        batch2 = next(iter(CocoLoader(ds, batch_size=2, image_size=64,
+                                      max_objects=4, augment=False)))
+        assert np.array_equal(batch["images"], batch2["images"])
+
+
+@pytest.mark.slow
+class TestTrainCLI:
+    def test_overfit_fixture_below_2px(self, tmp_path):
+        """VERDICT r2 #4 done-gate: the train CLI overfits the fixture to
+        <2 px mean keypoint error through the real stage entry point."""
+        from skix.config import load_config
+        from skix.pipelines import train_pose
+
+        jp, _ = _write_coco_fixture(tmp_path, n_images=3, size=96)
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "train_pose.yaml").write_text(f"""
+paths:
+  checkpoint_dir: {tmp_path / 'ckpt'}
+coco_json: {jp}
+image_root: {tmp_path}
+scale: n
+image_size: 96
+batch_size: 3
+max_objects: 4
+steps: 420
+lr: 0.003
+weight_decay: 0.0
+augment: false
+log_every: 100
+ckpt_every: 1000
+final_eval: true
+seed: 0
+""")
+        cfg = load_config("train_pose", config_dir=cdir)
+        train_pose.main.__wrapped__(cfg)
+        err = float((tmp_path / "ckpt" / "final_eval.txt").read_text())
+        assert err < 2.0, f"overfit keypoint error {err:.2f} px"
+        # checkpoint round-trips through the shared flat-npz loader
+        from skix.models.yolo_pose import YoloPose
+        from skix.pipelines.videopose3d import load_checkpoint
+
+        ck = sorted((tmp_path / "ckpt").glob("yolo_pose_*.npz"))[-1]
+        v = load_checkpoint(str(ck))
+        m = YoloPose(scale="n")
+        raw = m.apply(v, jnp.zeros((1, 96, 96, 3)))
+        assert np.isfinite(np.asarray(raw.cls_logits)).all()
