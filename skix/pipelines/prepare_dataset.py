@@ -63,23 +63,108 @@ def _precomputed_backend(cfg, video_path: Path):
     return run
 
 
+def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
+    """Whole-clip YoloPose detection → padded (T, K, …) arrays.
+    Frames pad to /32 (static shapes); boxes return as cxcywh to match
+    the selection contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.models.yolo_pose import YoloPose, detect
+    from skix.utils.jitapply import apply_model
+
+    model = YoloPose(scale=str(cfg.get("yolo_scale", "s")))
+    T, H, W = frames.shape[:3]
+    ph, pw = (-H) % 32, (-W) % 32
+    bs = int(cfg.get("det_batch", 8))
+    variables = load_vars("yolo_checkpoint", lambda: jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, H + ph, W + pw, 3))))())
+    top_k = int(cfg.get("top_k", 8))
+    thr = float(cfg.get("score_threshold", 0.3))
+    boxes, kpts, valid = [], [], []
+    for s in range(0, T, bs):
+        e = min(s + bs, T)
+        chunk = jnp.asarray(frames[s:e], jnp.float32) / 255.0
+        chunk = jnp.pad(chunk, ((0, bs - (e - s)), (0, ph), (0, pw),
+                                (0, 0)))
+        raw = apply_model(model, None, variables, chunk)
+        det = detect(raw, top_k=top_k, score_threshold=thr)
+        n = e - s
+        b = np.asarray(det.boxes_xyxy[:n])
+        cxy = np.stack([(b[..., 0] + b[..., 2]) / 2,
+                        (b[..., 1] + b[..., 3]) / 2,
+                        b[..., 2] - b[..., 0], b[..., 3] - b[..., 1]], -1)
+        boxes.append(cxy)
+        kpts.append(np.asarray(det.keypoints[:n]))
+        valid.append(np.asarray(det.valid[:n]))
+    return np.concatenate(boxes), np.concatenate(kpts), \
+        np.concatenate(valid)
+
+
+def _detect_clip_rcnn(cfg, frames: np.ndarray, load_vars):
+    """Whole-clip KeypointRCNN detection (the D2 source) → padded
+    arrays in the same contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.models.keypoint_rcnn import KeypointRCNN
+    from skix.utils.jitapply import apply_model
+
+    model = KeypointRCNN(
+        pre_nms_topk=int(cfg.get("d2_pre_nms_topk", 256)),
+        post_nms_topk=int(cfg.get("d2_post_nms_topk", 64)),
+        detections=int(cfg.get("top_k", 8)),
+        score_threshold=float(cfg.get("d2_score_threshold", 0.7)))
+    T, H, W = frames.shape[:3]
+    ph, pw = (-H) % 32, (-W) % 32
+    bs = int(cfg.get("d2_batch", 2))
+
+    def init_fn():
+        import warnings
+
+        warnings.warn("random-init KeypointRCNN is smoke-only")
+        return jax.jit(lambda: model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, H + ph, W + pw, 3))))()
+
+    variables = load_vars("d2_checkpoint", init_fn)
+    boxes, kpts, valid = [], [], []
+    for s in range(0, T, bs):
+        e = min(s + bs, T)
+        chunk = jnp.asarray(frames[s:e], jnp.float32) / 255.0
+        chunk = jnp.pad(chunk, ((0, bs - (e - s)), (0, ph), (0, pw),
+                                (0, 0)))
+        out = apply_model(model, None, variables, chunk)
+        n = e - s
+        b = np.asarray(out.boxes_xyxy[:n])
+        cxy = np.stack([(b[..., 0] + b[..., 2]) / 2,
+                        (b[..., 1] + b[..., 3]) / 2,
+                        b[..., 2] - b[..., 0], b[..., 3] - b[..., 1]], -1)
+        boxes.append(cxy)
+        kpts.append(np.asarray(out.keypoints[:n]))
+        valid.append(np.asarray(out.valid[:n]))
+    return np.concatenate(boxes), np.concatenate(kpts), \
+        np.concatenate(valid)
+
+
 @register_backend("skix")
 def _skix_backend(cfg, video_path: Path):
-    """On-device perception: PoseDetector (bbox + 17-kpt pose + mask),
-    optional MonocularDepth and RAFT flow — the TPU-native equivalents of
-    the reference's {yolo, detectron2, depth, optical_flow} task set
-    (process/preprocess.py:50). Each sub-model loads converted weights
-    when configured, random-init (smoke mode) otherwise."""
+    """On-device perception — the TPU-native equivalents of the
+    reference's {yolo, detectron2, depth, optical_flow} task set
+    (process/preprocess.py:50). ``pose_model`` picks the primary
+    (YOLO-slot) source: ``yolo`` = the real YOLOv8-pose family
+    (yolov11_pose.py capability), ``compact`` = the small CenterNet
+    (smoke/CI). ``d2_model: rcnn`` adds the INDEPENDENT second source
+    the reference gets from detectron2's Keypoint R-CNN
+    (detectron2.py:445) into the d2_* contract slots; ``none`` mirrors
+    the primary (documented degenerate mode). Each sub-model loads
+    converted weights when configured, random-init (smoke mode)
+    otherwise."""
     import jax
     import jax.numpy as jnp
 
     from skix.models.pose_detector import PoseDetector, detect_clip
-
-    det_model = PoseDetector(
-        width=int(cfg.get("detector_width", 64)),
-        depth=int(cfg.get("detector_depth", 4)),
-        top_k=int(cfg.get("top_k", 8)),
-        score_threshold=float(cfg.get("score_threshold", 0.3)))
 
     def load_vars(key, init_fn):
         ckpt = cfg.get(key)
@@ -91,15 +176,30 @@ def _skix_backend(cfg, video_path: Path):
         return init_fn()
 
     tasks = set(cfg.get("tasks", ["pose"]))
+    pose_model = str(cfg.get("pose_model", "compact"))
+    d2_model = str(cfg.get("d2_model", "none"))
 
     def run(frames: np.ndarray) -> dict:
         H, W = frames.shape[1:3]
-        det_vars = load_vars("detector_checkpoint", lambda: jax.jit(
-            det_model.init)(jax.random.PRNGKey(0),
-                            jnp.zeros((1, H, W, 3))))
-        boxes, kpts, valid = detect_clip(det_model, det_vars, frames,
-                                         batch_size=int(cfg.get("det_batch", 8)))
+        if pose_model == "yolo":
+            boxes, kpts, valid = _detect_clip_yolo(cfg, frames, load_vars)
+        else:
+            det_model = PoseDetector(
+                width=int(cfg.get("detector_width", 64)),
+                depth=int(cfg.get("detector_depth", 4)),
+                top_k=int(cfg.get("top_k", 8)),
+                score_threshold=float(cfg.get("score_threshold", 0.3)))
+            det_vars = load_vars("detector_checkpoint", lambda: jax.jit(
+                det_model.init)(jax.random.PRNGKey(0),
+                                jnp.zeros((1, H, W, 3))))
+            boxes, kpts, valid = detect_clip(
+                det_model, det_vars, frames,
+                batch_size=int(cfg.get("det_batch", 8)))
         out = {"boxes": boxes, "keypoints": kpts, "det_valid": valid}
+        if d2_model == "rcnn":
+            d2b, d2k, d2v = _detect_clip_rcnn(cfg, frames, load_vars)
+            out.update({"d2_boxes": d2b, "d2_keypoints": d2k,
+                        "d2_det_valid": d2v})
         if "depth" in tasks:
             from skix.models.dpt import MonocularDepth, estimate_depth_batched
 
@@ -194,6 +294,14 @@ def process_video(cfg, video_path: Path, out_path: Path) -> PTInfo:
     backend = _BACKENDS[backend_name](cfg, video_path)
     det = backend(frames)
     sel = _select_and_fill(det)
+    # second, independent 2D source (reference: detectron2 next to YOLO;
+    # triangulation/load.py:193 reads the d2 slots separately)
+    if "d2_boxes" in det:
+        sel_d2 = _select_and_fill({"boxes": det["d2_boxes"],
+                                   "keypoints": det["d2_keypoints"],
+                                   "det_valid": det["d2_det_valid"]})
+    else:
+        sel_d2 = sel
 
     info = PTInfo(
         video_name=video_path.stem,
@@ -209,9 +317,9 @@ def process_video(cfg, video_path: Path, out_path: Path) -> PTInfo:
         yolo_bbox=sel["bbox"],
         yolo_keypoints=sel["keypoints"],
         yolo_keypoints_score=sel["scores"],
-        d2_bbox=sel["bbox"],
-        d2_keypoints=sel["keypoints"],
-        d2_keypoints_score=sel["scores"],
+        d2_bbox=sel_d2["bbox"],
+        d2_keypoints=sel_d2["keypoints"],
+        d2_keypoints_score=sel_d2["scores"],
     )
     check_pt_info_shapes(info)
     save_pt_info(out_path, info)

@@ -134,3 +134,51 @@ chunk_size: 4
         rec = load_pt_info(out_root / "p01" / "a.npz")
         assert rec.depth.shape == (T, 1, H, W)
         assert np.all(np.isfinite(rec.depth))
+
+
+@pytest.mark.slow
+class TestTwoSourceBackend:
+    def test_yolo_plus_rcnn_fill_independent_slots(self, tmp_path):
+        """pose_model=yolo + d2_model=rcnn → yolo_* and d2_* carry two
+        INDEPENDENT 2D sources (reference: YOLO + detectron2;
+        VERDICT r2 #4)."""
+        from skix.io import load_pt_info
+        from skix.io.video import write_video
+        from skix.pipelines.prepare_dataset import main
+
+        T, H, W = 2, 64, 64
+        root = tmp_path / "videos" / "p01"
+        root.mkdir(parents=True)
+        write_video(root / "osmo_1.mp4",
+                    rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8),
+                    fps=2)
+        out_root = tmp_path / "pt"
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "prepare_dataset.yaml").write_text(f"""
+paths:
+  video_root: {tmp_path / 'videos'}
+  out_root: {out_root}
+backend: skix
+tasks: [pose]
+pose_model: yolo
+yolo_scale: n
+d2_model: rcnn
+d2_pre_nms_topk: 32
+d2_post_nms_topk: 8
+d2_score_threshold: -1.0
+d2_batch: 2
+top_k: 4
+score_threshold: -1.0
+det_batch: 2
+chunk_size: 4
+""")
+        main([f"--config-dir={cdir}"])
+        rec = load_pt_info(out_root / "p01" / "osmo_1.npz")
+        assert rec.yolo_keypoints.shape == (T, 17, 3)
+        assert rec.d2_keypoints.shape == (T, 17, 3)
+        assert rec.yolo_bbox.shape == (T, 4)
+        assert rec.d2_bbox.shape == (T, 4)
+        assert np.isfinite(rec.d2_keypoints).all()
+        # two different architectures (random-init smoke) → different 2D
+        assert not np.allclose(rec.yolo_keypoints, rec.d2_keypoints)
