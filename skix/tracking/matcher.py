@@ -187,6 +187,39 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
     return total
 
 
+def sam3_mask_loss(out, gt_boxes, gt_masks, gt_valid,
+                   w_ce: float = 1.0, w_dice: float = 1.0):
+    """Matched mask supervision (reference train/loss/loss_fns.py mask
+    terms): greedy-assign queries to GT by box/score cost, then sigmoid
+    CE + dice between each matched query's mask logits and its GT mask.
+
+    ``out``: Sam3Detections (mask_logits (B, Q, Hm, Wm));
+    ``gt_masks (B, G, Hg, Wg)`` bool — resized (nearest) to (Hm, Wm)
+    host-side by the caller or here if shapes differ.
+    """
+    B, Q, Hm, Wm = out.mask_logits.shape
+    if gt_masks.shape[-2:] != (Hm, Wm):
+        gt_masks = jax.image.resize(
+            gt_masks.astype(jnp.float32),
+            (*gt_masks.shape[:-2], Hm, Wm), "nearest")
+    gt_masks = gt_masks.astype(jnp.float32)
+
+    def one(boxes, logits, masks, g, gm, gv):
+        cost = matching_cost(boxes, jax.nn.sigmoid(logits), g)
+        assign = greedy_assign(cost, gv)
+        matched = assign >= 0
+        safe = jnp.clip(assign, 0)
+        tgt = gm[safe]                                  # (Q, Hm, Wm)
+        ce = optax_sigmoid_ce(masks, tgt).mean((-1, -2))
+        d = dice_loss(masks, tgt)
+        per_q = jnp.where(matched, w_ce * ce + w_dice * d, 0.0)
+        return per_q.sum() / jnp.maximum(matched.sum(), 1)
+
+    return jnp.mean(jax.vmap(one)(out.boxes_cxcywh, out.scores,
+                                  out.mask_logits, gt_boxes, gt_masks,
+                                  gt_valid))
+
+
 class DetrLosses(NamedTuple):
     total: jnp.ndarray
     cls: jnp.ndarray
