@@ -724,6 +724,37 @@ def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
 _flash_attention.defvjp(_fwd, _bwd)
 
 
+def flash_attention_with_lse(q, k, v, sm_scale: float | None = None,
+                             block_q: int = 1024, block_k_major: int = 1024,
+                             block_k: int = 1024, interpret: bool = False):
+    """Forward-only attention returning ``(out, lse)`` with
+    ``lse[b,h,i] = log2(Σ_j exp(sm_scale·q_i·k_j))`` — the BASE-2
+    log-partition the kernel already tracks for its backward.
+
+    The partition function enables exact post-hoc renormalization — e.g.
+    subtracting the closed-form softmax mass of constant padding tokens
+    (memory_tracker's masked dense fast path). Forward-only: no custom
+    VJP is wired for the lse output (the masked-correction use is
+    inference)."""
+    q = jnp.asarray(q)
+    k = jnp.asarray(k)
+    v = jnp.asarray(v)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    use_kernel = (interpret or jax.default_backend() == "tpu") \
+        and q.shape[2] >= block_q and k.shape[2] >= block_k
+    if not use_kernel:
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * sm_scale
+        m = jnp.max(s, -1)
+        l = jnp.sum(jnp.exp(s - m[..., None]), -1)
+        out = _attention_reference(q, k, v, sm_scale)
+        return out, (m + jnp.log(l)) * _LOG2E
+    o, lse = _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
+                            block_k, interpret, save_residuals=True)
+    return o, lse[:, :, :q.shape[2], 0]
+
+
 def flash_attention(q, k, v, sm_scale: float | None = None,
                     block_q: int = 1024, block_k_major: int = 1024,
                     block_k: int = 1024, interpret: bool = False,
