@@ -1,12 +1,13 @@
 """Memory-tracker per-frame budget on the real chip (VERDICT r2 #7).
 
-Reproduces the round-2 98 ms/frame configuration (conv trunk,
-features=128, heads=2 → head_dim 64, 7 slots, 512 px → 64×64 grid,
-8 objects) and breaks the step into components, then measures the
-dense-flash full-bank attention candidate.
+Round-2 config: conv trunk, features=128, heads=2 → head_dim 64,
+7 slots, 512 px → 64×64 grid, 8 objects.
 
-Honest timing per CLAUDE.md: chained dependent steps + host readback of
-a value that data-depends on all work.
+Honest timing (CLAUDE.md): UNROLL steps statically unrolled inside ONE
+jit with the memory bank threading the data dependency, host readback
+of a scalar that depends on all work, warm-up call read back the same
+way (``block_until_ready`` returns early under the axon relay —
+per-dispatch timing of ~100 ms programs is dominated by relay noise).
 """
 
 import time
@@ -16,26 +17,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from skix.ops.attention import flash_attention
 from skix.tracking.memory_tracker import (MaskMemoryTracker, MemoryBank,
-                                          init_memory, write_conditioning)
+                                          init_memory)
 
 N_OBJ, SIZE, FEATURES, HEADS, SLOTS = 8, 512, 128, 2, 7
-STEPS = 20
+UNROLL, REPS = 10, 3
 
 
-def timeit(fn, *args, steps=STEPS):
-    out = fn(*args)           # compile
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+def bench_chained(make_body, name):
+    """make_body(tot) -> new_tot chains UNROLL times inside one jit."""
+    @jax.jit
+    def chained():
+        tot = jnp.asarray(0.0)
+        for _ in range(UNROLL):
+            tot = make_body(tot)
+        return tot
+
+    float(chained())                       # compile + warm-up readback
     t0 = time.time()
-    acc = None
-    for _ in range(steps):
-        out = fn(*args)
-        leaf = jax.tree.leaves(out)[0]
-        acc = leaf if acc is None else acc + leaf * 0 + leaf
-    # host readback forces completion through the axon relay
-    float(jnp.sum(acc))
-    return (time.time() - t0) / steps
+    for _ in range(REPS):
+        float(chained())
+    dt = (time.time() - t0) / (REPS * UNROLL)
+    print(f"{name}: {dt * 1000:.2f} ms", flush=True)
+    return dt
 
 
 def main():
@@ -43,74 +47,63 @@ def main():
     model = MaskMemoryTracker(features=FEATURES, num_heads=HEADS,
                               mem_slots=SLOTS, dtype=jnp.bfloat16)
     img = jnp.asarray(rng.random((1, SIZE, SIZE, 3)), jnp.float32)
-    variables = jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), img,
-        init_memory(SLOTS, SIZE // 8, SIZE // 8, FEATURES),
-        method=model.step))()
     gh = gw = SIZE // 8
-    bank0 = init_memory(SLOTS, gh, gw, FEATURES)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), img, init_memory(SLOTS, gh, gw, FEATURES),
+        method=model.step))()
     bank0 = MemoryBank(
         mem=jnp.asarray(rng.random((SLOTS, gh, gw, FEATURES)), jnp.float32),
         valid=jnp.ones((SLOTS,), bool), ring_pos=jnp.asarray(1))
     banks = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (N_OBJ, *x.shape)), bank0)
+        lambda x: jnp.asarray(np.broadcast_to(np.asarray(x)[None],
+                                              (N_OBJ, *x.shape))), bank0)
 
-    @jax.jit
-    def full_step(v, im, bk):
-        feats = model.apply(v, im, method=model.encode_frame)
-        return jax.vmap(lambda b: model.apply(
-            v, feats, b, method=model.step_from_feats))(bk)
+    def full_step(dense):
+        bk = {"b": banks}       # rebind per closure call
 
-    t = timeit(lambda: full_step(variables, img, banks))
-    print(f"v0 full multi-step (8 obj): {t * 1000:.1f} ms/frame")
+        def body(tot):
+            feats = model.apply(variables, img + tot * 1e-20,
+                                method=model.encode_frame)
+            m, s, bk["b"] = jax.vmap(lambda b: model.apply(
+                variables, feats, b, True, dense,
+                method=model.step_from_feats))(bk["b"])
+            return tot + jnp.sum(s)
 
-    enc = jax.jit(lambda v, im: model.apply(v, im,
-                                            method=model.encode_frame))
-    t_enc = timeit(lambda: enc(variables, img))
-    print(f"v1 frame encode:            {t_enc * 1000:.1f} ms")
+        return body
 
-    feats = enc(variables, img)
+    bench_chained(full_step(False), "full step @8obj, slot-scan attn ")
+    bench_chained(full_step(True), "full step @8obj, dense flash attn")
 
-    @jax.jit
-    def attend_all(v, f, bk):
-        return jax.vmap(lambda b: model.apply(
-            v, f, b, method=model.attend_decode))(bk)
+    def enc_body(tot):
+        f = model.apply(variables, img + tot * 1e-20,
+                        method=model.encode_frame)
+        return tot + jnp.sum(f)
 
-    t_att = timeit(lambda: attend_all(variables, feats, banks))
-    print(f"v2 attend+decode (8 obj):   {t_att * 1000:.1f} ms")
+    bench_chained(enc_body, "frame encode                     ")
 
-    @jax.jit
-    def memenc_all(v, f, ml):
-        return jax.vmap(lambda m: model.apply(
-            v, f[0], m, method=model.encode_memory))(ml)
+    feats = jax.jit(lambda: model.apply(variables, img,
+                                        method=model.encode_frame))()
+
+    def att_body(dense):
+        def body(tot):
+            m, s = jax.vmap(lambda b: model.apply(
+                variables, feats + tot * 1e-20, b, dense,
+                method=model.attend_decode))(banks)
+            return tot + jnp.sum(s)
+        return body
+
+    bench_chained(att_body(False), "attend+decode @8obj scan         ")
+    bench_chained(att_body(True), "attend+decode @8obj dense        ")
 
     masks = jnp.asarray(rng.random((N_OBJ, gh, gw)), jnp.float32)
-    t_me = timeit(lambda: memenc_all(variables, feats, masks))
-    print(f"v3 memory encode (8 obj):   {t_me * 1000:.1f} ms")
 
-    # dense flash attention candidate: q (B,H,L,hd), kv (B,H,M*L,hd)
-    hd = FEATURES // HEADS
-    L = gh * gw
-    q = jnp.asarray(rng.random((N_OBJ, HEADS, L, hd)), jnp.bfloat16)
-    k = jnp.asarray(rng.random((N_OBJ, HEADS, SLOTS * L, hd)), jnp.bfloat16)
-    v_ = jnp.asarray(rng.random((N_OBJ, HEADS, SLOTS * L, hd)), jnp.bfloat16)
+    def me_body(tot):
+        mm = jax.vmap(lambda m: model.apply(
+            variables, feats[0] + tot * 1e-20, m,
+            method=model.encode_memory))(masks)
+        return tot + jnp.sum(mm)
 
-    f1 = jax.jit(lambda a, b, c: flash_attention(a, b, c))
-    t_f = timeit(lambda: f1(q, k, v_))
-    print(f"v4 flash dense 4096x{SLOTS * L} x2layers-equiv: "
-          f"{t_f * 1000:.1f} ms/layer/8obj -> x2 = {2 * t_f * 1000:.1f} ms")
-
-    # current scan attention in isolation (same shapes, for comparison)
-    mem = jnp.asarray(rng.random((N_OBJ, SLOTS, L, FEATURES)), jnp.bfloat16)
-    valid = jnp.ones((N_OBJ, SLOTS), bool)
-    from skix.tracking.memory_tracker import _SlotCrossAttention
-
-    sca = _SlotCrossAttention(num_heads=HEADS, dtype=jnp.bfloat16)
-    qin = jnp.asarray(rng.random((N_OBJ, L, FEATURES)), jnp.bfloat16)
-    sv = jax.jit(lambda: sca.init(jax.random.PRNGKey(1), qin, mem, valid))()
-    f2 = jax.jit(lambda vv, a, b, c: sca.apply(vv, a, b, c))
-    t_s = timeit(lambda: f2(sv, qin, mem, valid))
-    print(f"v5 scan slot-attn isolated: {t_s * 1000:.1f} ms/layer/8obj")
+    bench_chained(me_body, "memory encode @8obj              ")
 
 
 if __name__ == "__main__":

@@ -14,8 +14,11 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, steps=10):
+    # warm up with a HOST READBACK: block_until_ready returns early
+    # under the axon relay, so the first timed window otherwise absorbs
+    # compile + backend warm-up (CLAUDE.md honest-timing rule)
     out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
     t0 = time.time()
     acc = None
     for _ in range(steps):

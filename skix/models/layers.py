@@ -218,6 +218,9 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     num_register_tokens: int = 4
     init_values: float = 1.0
+    # intermediate tap indices (DINOv2 ``get_intermediate_layers``);
+    # when set, __call__ returns (final_tokens, [tap_tokens…])
+    taps: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -237,9 +240,17 @@ class VisionTransformer(nn.Module):
         reg_t = jnp.broadcast_to(reg, (B, self.num_register_tokens,
                                        self.embed_dim))
         x = jnp.concatenate([cls_t, reg_t, x], axis=1)
+        taps = []
+        want = set(self.taps or ())
         for i in range(self.depth):
             x = Block(self.num_heads, self.mlp_ratio, qk_norm=False,
                       init_values=self.init_values, ln_eps=1e-6,
                       dtype=self.dtype, name=f"block_{i}")(x)
+            if i in want:
+                taps.append(x[:, 1 + self.num_register_tokens:]
+                            .astype(jnp.float32))
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.taps:
+            # (final normed patch tokens, tapped intermediate patch tokens)
+            return x[:, 1 + self.num_register_tokens:], taps
         return x[:, 1 + self.num_register_tokens:]
