@@ -154,9 +154,9 @@ class MoGeFovEstimator:
     frame 3×3 pixel intrinsics with fx OVERRIDDEN by the vertical focal
     (build_fov_estimator.py:44-48)."""
 
-    def __init__(self, model: MoGePointModel, variables):
+    def __init__(self, model: MoGePointModel, variables=None):
         self.model = model
-        self.variables = variables
+        self.variables = variables  # None → lazy random init (smoke mode)
 
     def get_cam_intrinsics(self, frame_u8: np.ndarray) -> np.ndarray:
         return self.intrinsics_for_clip(frame_u8[None])[0]
@@ -168,6 +168,11 @@ class MoGeFovEstimator:
         T, H, W = frames_u8.shape[:3]
         ps = self.model.patch_size
         ph, pw = (-H) % ps, (-W) % ps
+        if self.variables is None:
+            # pos_embed is input-size-dependent: init at the padded size
+            self.variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, H + ph, W + pw, 3), jnp.float32))
         Ks = []
         solve = jax.jit(jax.vmap(recover_focal_shift))
         for s in range(0, T, batch_size):

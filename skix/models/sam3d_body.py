@@ -438,11 +438,21 @@ class SAM3DBodyEstimator:
 
     def process_clip(self, frames_u8: np.ndarray, bboxes_xyxy: np.ndarray,
                      batch_size: int = 8,
-                     image_focal: Optional[float] = None,
+                     image_focal=None,
                      inference_type: str = "body"):
         """``frames (T, H, W, 3) uint8``, ``bboxes (T, 4)`` → list of per-
-        frame output dicts (npz schema parity incl. mesh vertices)."""
+        frame output dicts (npz schema parity incl. mesh vertices).
+
+        ``image_focal``: None (crop-focal × scale fallback), a scalar, or a
+        per-frame ``(T,)`` array — the reference runs its MoGe FOV estimator
+        per image and overrides ``batch["cam_int"]``
+        (sam_3d_body_estimator.py:169-175); the per-frame form mirrors that.
+        """
         T = frames_u8.shape[0]
+        focal_arr = None
+        if image_focal is not None:
+            focal_arr = np.broadcast_to(
+                np.asarray(image_focal, np.float32).reshape(-1), (T,))
         centers, scales = bbox_center_scale(jnp.asarray(bboxes_xyxy,
                                                         jnp.float32))
         full = inference_type == "full"
@@ -469,7 +479,7 @@ class SAM3DBodyEstimator:
                     "pred_vertices": np.asarray(out.vertices_3d[i]),
                     "pred_cam_t": np.asarray(out.cam_t[i]),
                     "focal_length": np.asarray(
-                        image_focal if image_focal is not None
+                        focal_arr[s + i] if focal_arr is not None
                         else f_img[i]),
                     "bbox": np.asarray(bboxes_xyxy[s + i]),
                     "pred_global_rots": np.asarray(out.mhr.joint_rots[i]),

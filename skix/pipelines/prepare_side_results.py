@@ -49,7 +49,44 @@ def build_estimator(cfg):
     return SAM3DBodyEstimator(model, variables)
 
 
-def process_one_video(estimator, record_path: Path, out_dir: Path, cfg) -> int:
+def build_fov_estimator(cfg):
+    """Optional MoGe-2 FOV estimator (reference
+    tools/build_fov_estimator.py: ``fov_name: moge2`` wraps MoGeModel and
+    overrides the batch intrinsics per image). ``fov_name: null`` disables
+    it (reference prints "Using the default FOV!")."""
+    name = cfg.get("fov_name") or ""
+    if not name:
+        return None
+    if name != "moge2":
+        raise ValueError(f"unknown fov_name {name!r} (only 'moge2')")
+    from skix.models.moge import MoGeFovEstimator, MoGePointModel
+
+    depth = int(cfg.get("fov_depth", 24))
+    taps = cfg.get("fov_taps")
+    if taps is None:
+        # evenly-spaced 4-tap default scaled to the configured depth
+        taps = [max(0, (i + 1) * depth // 4 - 1) for i in range(4)]
+    model = MoGePointModel(
+        patch_size=int(cfg.get("fov_patch_size", 14)),
+        embed_dim=int(cfg.get("fov_embed_dim", 1024)),
+        depth=depth,
+        num_heads=int(cfg.get("fov_num_heads", 16)),
+        taps=tuple(int(t) for t in taps),
+    )
+    ckpt = cfg.get("fov_checkpoint")
+    if ckpt and Path(ckpt).exists():
+        from skix.pipelines.videopose3d import load_checkpoint
+
+        variables = load_checkpoint(ckpt)
+    else:
+        log.warning("no MoGe FOV checkpoint configured — random init "
+                    "(smoke mode)")
+        variables = None  # lazy init at the clip's padded size
+    return MoGeFovEstimator(model, variables)
+
+
+def process_one_video(estimator, record_path: Path, out_dir: Path, cfg,
+                      fov_estimator=None) -> int:
     from skix.io import load_pt_info
 
     info = load_pt_info(record_path)
@@ -58,9 +95,19 @@ def process_one_video(estimator, record_path: Path, out_dir: Path, cfg) -> int:
     bboxes = info.yolo_bbox if info.yolo_bbox is not None else info.d2_bbox
     if bboxes is None:
         raise ValueError(f"{record_path} has no person bboxes")
+    image_focal = None
+    if fov_estimator is not None:
+        # Reference runs MoGe per image and keeps ONLY the vertical focal
+        # (run_moge: fx := fy). Intrinsics drift little within a clip —
+        # a stride subsamples the clip and repeats each estimate.
+        stride = max(1, int(cfg.get("fov_stride", 8)))
+        Ks = fov_estimator.intrinsics_for_clip(info.frames[::stride])
+        image_focal = np.repeat(Ks[:, 1, 1],
+                                stride)[: info.frames.shape[0]]
     outputs = estimator.process_clip(
         info.frames, np.asarray(bboxes, np.float32),
         batch_size=int(cfg.get("batch_size", 8)),
+        image_focal=image_focal,
         inference_type=str(cfg.get("inference_type", "body")))
     out_dir.mkdir(parents=True, exist_ok=True)
     for t, out in enumerate(outputs):
@@ -72,6 +119,7 @@ def process_one_video(estimator, record_path: Path, out_dir: Path, cfg) -> int:
 def main(cfg):
     logging.basicConfig(level=logging.INFO)
     estimator = build_estimator(cfg)
+    fov_estimator = build_fov_estimator(cfg)
     root = Path(cfg.paths.pt_root)
     out_root = Path(cfg.paths.out_root)
     report = {}
@@ -83,7 +131,8 @@ def main(cfg):
             if out_dir.exists() and not bool(cfg.get("overwrite", False)):
                 continue
             try:
-                n = process_one_video(estimator, rec, out_dir, cfg)
+                n = process_one_video(estimator, rec, out_dir, cfg,
+                                      fov_estimator=fov_estimator)
                 report[f"{person_dir.name}/{rec.stem}"] = n
                 log.info("%s/%s: %d frames", person_dir.name, rec.stem, n)
             except Exception:  # noqa: BLE001 — per-video isolation + summary

@@ -236,3 +236,55 @@ batch_size: 2
         k3, k2 = load_sam3d_sequence(out_root / "p01" / "osmo_1")
         assert k3.shape == (T, 70, 3)
         assert k2.shape == (T, 70, 2)
+
+    def test_fov_estimator_feeds_focal(self, tmp_path):
+        """fov_name: moge2 routes the MoGe vertical focal into the saved
+        focal_length (reference sam_3d_body_estimator.py:169-175)."""
+        from skix.io import PTInfo, save_pt_info
+        from skix.models.moge import MoGeFovEstimator, MoGePointModel
+        from skix.pipelines.prepare_side_results import main
+
+        T, H, W = 3, 28, 28
+        pdir = tmp_path / "pt" / "p01"
+        pdir.mkdir(parents=True)
+        frames = rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8)
+        info = PTInfo(
+            video_name="osmo_1", frame_count=T, img_shape=(H, W), fps=30.0,
+            duration=T / 30.0, frames=frames,
+            yolo_bbox=np.tile(np.array([4.0, 4, 24, 26], np.float32),
+                              (T, 1)))
+        save_pt_info(pdir / "osmo_1.npz", info)
+        out_root = tmp_path / "out"
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "sam3d_body.yaml").write_text(f"""
+paths:
+  pt_root: {tmp_path / 'pt'}
+  out_root: {out_root}
+checkpoint: null
+crop_size: 32
+patch_size: 16
+embed_dim: 32
+vit_depth: 2
+num_heads: 2
+decoder_depth: 1
+batch_size: 2
+fov_name: moge2
+fov_stride: 2
+fov_patch_size: 14
+fov_embed_dim: 16
+fov_depth: 2
+fov_num_heads: 2
+""")
+        main([f"--config-dir={cdir}"])
+        files = sorted((out_root / "p01" / "osmo_1").glob("frame_*.npz"))
+        assert len(files) == T
+        # oracle: same smoke model (PRNGKey(0) lazy init) on the same frames
+        est = MoGeFovEstimator(MoGePointModel(
+            patch_size=14, embed_dim=16, depth=2, num_heads=2,
+            taps=(0, 0, 0, 1)))
+        Ks = est.intrinsics_for_clip(frames[::2])
+        want = np.repeat(Ks[:, 1, 1], 2)[:T]
+        got = np.array([float(np.load(f)["focal_length"]) for f in files])
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        assert np.all(got > 0)
