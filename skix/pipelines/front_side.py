@@ -86,6 +86,26 @@ def process_person(person: str, side_left: Path, side_right: Path,
     out_dir.mkdir(parents=True, exist_ok=True)
     write_video(out_dir / f"{person}_bev.mp4", np.stack(frames),
                 fps=float(cfg.get("fps", 30.0)))
+    if bool(cfg.get("render3d", False)):
+        # offscreen 3D BEV video (reference o3d_bev_video_robust.py
+        # capability on the JAX rasterizer — no GL context needed)
+        from skix.front_side.bev import BEV_EDGES_MINIMAL
+        from skix.vis.render3d import BevVideoRenderer, BevView
+
+        center = np.nanmean(world.reshape(-1, 3), axis=0)
+        center = np.where(np.isfinite(center), center, 0.0)
+        with BevVideoRenderer(
+                out_dir / f"{person}_bev3d.mp4",
+                edges=BEV_EDGES_MINIMAL,
+                width=int(cfg.get("render3d_width", 1280)),
+                height=int(cfg.get("render3d_height", 720)),
+                fps=int(cfg.get("fps", 30)),
+                view=BevView(lookat=tuple(center),
+                             eye_height=float(cfg.get(
+                                 "render3d_eye_height", 25.0))),
+                kp_radius=float(cfg.get("render3d_kp_radius", 0.08)),
+        ) as r3d:
+            r3d.render_many(world)
     np.save(out_dir / f"{person}_world.npy", world)
     np.save(out_dir / f"{person}_feet_bev.npy", feet_bev)
     return {"frames": int(T),

@@ -222,9 +222,14 @@ paths:
   out_root: {out_root}
 meters_per_pixel: 0.02
 fps: 6.0
+render3d: true
+render3d_width: 128
+render3d_height: 96
 """)
         main([f"--config-dir={cdir}"])
         assert probe_video(out_root / "p01" / "p01_bev.mp4").frame_count == T
+        # opt-in offscreen 3D BEV render (JAX rasterizer)
+        assert probe_video(out_root / "p01" / "p01_bev3d.mp4").frame_count == T
         world = np.load(out_root / "p01" / "p01_world.npy")
         assert world.shape == (T, 70, 3)
         import json
