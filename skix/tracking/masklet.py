@@ -432,6 +432,46 @@ def _masklet_frame_core(tracker, cfg: MaskletConfig, fill_holes: bool,
     return new_state, banks, out
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _upsample_masks(logits, out_h: int, out_w: int):
+    up = jax.image.resize(logits, (logits.shape[0], out_h, out_w),
+                          "bilinear")
+    return up > 0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _full_frame_step(detector, tracker, cfg: MaskletConfig,
+                     fill_holes: bool, is_u8: bool, det_size: int,
+                     trk_size: int, det_vars, trk_vars, frame, text,
+                     state: MaskletState, banks):
+    """prep → detector → tracker/lifecycle/memory as ONE program.
+
+    One dispatch per frame: the 3-dispatch version (prep / detect / core)
+    measured 349 ms/frame where the parts sum to 146 ms — each dispatch
+    whose arguments depend on the previous call's outputs serializes a
+    round-trip through the axon relay (scripts/bench_masklet_video.py)."""
+    det_in, tin = _prep_frame(frame, is_u8, det_size, trk_size)
+    det = detector.apply(det_vars, det_in, text[None])
+    return _masklet_frame_core(tracker, cfg, fill_holes, trk_vars, tin,
+                               det.boxes_cxcywh[0], det.scores[0],
+                               det.mask_logits[0], state, banks)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _prep_frame(frame, is_u8: bool, det_size: int, trk_size: int):
+    """uint8/float frame → (det input, tracker input), one jitted program
+    (eager resize/scale between the two jitted model calls costs a
+    per-frame relay dispatch through the axon tunnel — CLAUDE.md)."""
+    img = frame.astype(jnp.float32)
+    if is_u8:
+        img = img / 255.0
+    det_in = jax.image.resize(img[None], (1, det_size, det_size, 3),
+                              "bilinear")
+    tin = det_in if trk_size == det_size else jax.image.resize(
+        img[None], (1, trk_size, trk_size, 3), "bilinear")
+    return det_in, tin
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _detect_with_geometry(detector, variables, images, prompt, geometry):
     """Geometry-prompted detector call, jit-cached at module level (the
@@ -450,13 +490,17 @@ class MaskletVideoModel:
 
     def __init__(self, detector, det_variables, tracker, trk_variables,
                  cfg: MaskletConfig = MaskletConfig(),
-                 fill_holes: bool = False):
+                 fill_holes: bool = False, trk_img_size=None):
         self.detector = detector
         self.det_variables = det_variables
         self.tracker = tracker
         self.trk_variables = trk_variables
         self.cfg = cfg
         self.fill_holes = fill_holes
+        # tracker input resolution: explicit > tracker.img_size > detector's
+        self.trk_img_size = (trk_img_size
+                             or getattr(tracker, "img_size", None)
+                             or detector.img_size)
 
     def init_state(self, trk_img_hw):
         """(state, banks) for a video at the tracker input resolution."""
@@ -486,29 +530,28 @@ class MaskletVideoModel:
         ``geometry``: optional fixed-slot point/box prompt dict for THIS
         frame (session ``add_prompt`` path). Returns
         (state, banks, device outputs dict)."""
-        from skix.utils.jitapply import apply_model
-
-        img = jnp.asarray(frame, jnp.float32)
-        img = img / 255.0 if frame.dtype == np.uint8 else img
         size = self.detector.img_size
-        det_in = jax.image.resize(img[None], (1, size, size, 3), "bilinear")
-        if geometry:
-            det = _detect_with_geometry(self.detector, self.det_variables,
-                                        det_in, prompt_tokens[None],
-                                        geometry)
-        else:
-            det = apply_model(self.detector, None, self.det_variables,
-                              det_in, prompt_tokens[None])
-        trk_size = getattr(self.tracker, "img_size", None) or size
-        tin = det_in if trk_size == size else jax.image.resize(
-            img[None], (1, trk_size, trk_size, 3), "bilinear")
+        trk_size = self.trk_img_size
+        is_u8 = frame.dtype == np.uint8
+        if not geometry:
+            # the hot path: ONE dispatch per frame (349 → ~150 ms/frame
+            # through the axon relay; see _full_frame_step docstring)
+            return _full_frame_step(
+                self.detector, self.tracker, self.cfg, self.fill_holes,
+                is_u8, size, trk_size, self.det_variables,
+                self.trk_variables, jnp.asarray(frame), prompt_tokens,
+                state, banks)
+        det_in, tin = _prep_frame(jnp.asarray(frame), is_u8, size, trk_size)
+        det = _detect_with_geometry(self.detector, self.det_variables,
+                                    det_in, prompt_tokens[None], geometry)
         state, banks, out = _masklet_frame_core(
             self.tracker, self.cfg, self.fill_holes, self.trk_variables,
             tin, det.boxes_cxcywh[0], det.scores[0], det.mask_logits[0],
             state, banks)
         return state, banks, out
 
-    def propagate(self, frames, prompt_tokens, yield_masks_at=None):
+    def propagate(self, frames, prompt_tokens, yield_masks_at=None,
+                  upload_chunk: int = 32):
         """Stream per-frame outputs over ``frames (T, H, W, 3)``.
 
         Yields ``{frame_index, outputs}`` where outputs carry per-slot
@@ -519,16 +562,19 @@ class MaskletVideoModel:
         (reference obj_id_to_tracker_score)."""
         T, H, W = frames.shape[:3]
         out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
-        state, banks = self.init_state(
-            (getattr(self.tracker, "img_size", None) or
-             self.detector.img_size,) * 2)
+        state, banks = self.init_state((self.trk_img_size,) * 2)
+        chunk_dev = None
         for t in range(T):
-            state, banks, out = self.step(frames[t], prompt_tokens, state,
-                                          banks)
+            # upload frames in chunks and slice on device: per-frame
+            # host→device transfers of a 720p frame through the axon
+            # relay cost more than the tracker core itself
+            # (scripts/bench_masklet_video.py host-vs-device rows)
+            if t % upload_chunk == 0:
+                chunk_dev = jnp.asarray(frames[t:t + upload_chunk])
+            state, banks, out = self.step(chunk_dev[t % upload_chunk],
+                                          prompt_tokens, state, banks)
             logits = out["out_mask_logits"]               # (K, gh, gw)
-            up = jax.image.resize(
-                logits, (logits.shape[0], *out_hw), "bilinear")
-            masks = np.asarray(up > 0)
+            masks = np.asarray(_upsample_masks(logits, *out_hw))
             lh, lw = logits.shape[-2:]
             boxes = np.array(out["boxes_lowres"], np.float32)  # writable
             boxes[:, [0, 2]] *= out_hw[1] / lw

@@ -343,6 +343,39 @@ class TestMaskletVideoModel:
         act = o["active"]
         assert (o["obj_id"][act] >= 0).all()
 
+    def test_fused_step_matches_decomposed(self, model):
+        """The one-dispatch hot path (_full_frame_step) must equal the
+        prep → detect → core composition it replaced."""
+        from skix.tracking.masklet import (_masklet_frame_core,
+                                           _prep_frame)
+        from skix.utils.jitapply import apply_model
+
+        mdl, prompt = model
+        rng = np.random.default_rng(7)
+        frame = rng.integers(0, 255, (64, 48, 3), np.uint8)
+        state0, banks0 = mdl.init_state((mdl.trk_img_size,) * 2)
+
+        # fused (the step() default)
+        s1, b1, o1 = mdl.step(frame, prompt, state0, banks0)
+
+        # decomposed oracle
+        det_in, tin = _prep_frame(jnp.asarray(frame), True,
+                                  mdl.detector.img_size, mdl.trk_img_size)
+        det = apply_model(mdl.detector, None, mdl.det_variables, det_in,
+                          prompt[None])
+        s2, b2, o2 = _masklet_frame_core(
+            mdl.tracker, mdl.cfg, mdl.fill_holes, mdl.trk_variables, tin,
+            det.boxes_cxcywh[0], det.scores[0], det.mask_logits[0],
+            state0, banks0)
+
+        for a, b in zip(jax.tree.leaves((s1, b1)), jax.tree.leaves((s2, b2))):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o1["out_mask_logits"]),
+                                   np.asarray(o2["out_mask_logits"]),
+                                   atol=1e-5)
+
     def test_session_masklet_path(self, model):
         """VideoPredictor(tracker=...) streams per-object masks — the
         reference predictor protocol with masklet outputs."""
