@@ -269,6 +269,12 @@ class CocoLoader:
         order = np.arange(len(self.ds))
         if self.augment:
             self.rng.shuffle(order)
+        if len(order) < self.batch_size:
+            # Tiny datasets (fixtures) still yield one full wrap-around
+            # batch per epoch — an empty range here would make __iter__
+            # spin forever without ever yielding.
+            reps = -(-self.batch_size // len(order))
+            order = np.tile(order, reps)[:self.batch_size]
         for s in range(0, len(order) - self.batch_size + 1,
                        self.batch_size):
             idx = order[s:s + self.batch_size]

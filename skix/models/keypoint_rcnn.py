@@ -138,9 +138,14 @@ class RPNHead(nn.Module):
 
 def level_anchors(gh: int, gw: int, stride: int, size: float,
                   ratios=ANCHOR_RATIOS) -> np.ndarray:
-    """(gh*gw*A, 4) xyxy anchors for one level (cell-centered)."""
-    ys = (np.arange(gh) + 0.5) * stride
-    xs = (np.arange(gw) + 0.5) * stride
+    """(gh*gw*A, 4) xyxy anchors for one level.
+
+    Centers at ``x * stride`` — detectron2's DefaultAnchorGenerator
+    default is ``offset=0.0`` (anchor_generator.py), and a converted
+    RPN's anchor_deltas were regressed against THOSE anchors; a +0.5
+    cell offset would displace every decoded proposal by stride/2."""
+    ys = np.arange(gh, dtype=np.float32) * stride
+    xs = np.arange(gw, dtype=np.float32) * stride
     cy, cx = np.meshgrid(ys, xs, indexing="ij")
     boxes = []
     for r in ratios:

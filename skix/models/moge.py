@@ -114,6 +114,10 @@ def recover_focal_shift(points, mask=None, iters: int = 48):
     u, v = image_uv(H, W)
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
     w = jnp.ones_like(z) if mask is None else mask.astype(jnp.float32)
+    # An all-empty mask (plausible with untrained weights, or a frame the
+    # model rejects entirely) would drive lo to -inf and the search to
+    # NaN; fall back to uniform weights instead.
+    w = jnp.where(w.sum() > 0, w, jnp.ones_like(w))
     w = w / jnp.maximum(w.sum(), 1.0)
 
     zmin = jnp.min(jnp.where(w > 0, z, jnp.inf))
@@ -149,17 +153,76 @@ def recover_focal_shift(points, mask=None, iters: int = 48):
     return f, dz
 
 
+# Hoisted: building this inside a per-clip method would mint a fresh
+# jitted callable per video → full remote recompile each time (CLAUDE.md
+# recompile-per-call rule).
+_solve_focal = jax.jit(jax.vmap(recover_focal_shift))
+
+
+def resize_pos_embed(pos: jnp.ndarray, src_grid: tuple,
+                     dst_grid: tuple) -> jnp.ndarray:
+    """(1, P+1, D) ViT pos-embed → new patch grid (DINOv2
+    ``interpolate_pos_encoding``): cls token kept, patch tokens
+    bilinearly resampled on the 2-D grid."""
+    sh, sw = src_grid
+    dh, dw = dst_grid
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    D = pos.shape[-1]
+    grid = patch_pos.reshape(1, sh, sw, D)
+    grid = jax.image.resize(grid, (1, dh, dw, D), "bilinear")
+    return jnp.concatenate([cls_pos, grid.reshape(1, dh * dw, D)], axis=1)
+
+
 class MoGeFovEstimator:
     """Reference ``FOVEstimator``/``run_moge`` semantics: frames → per-
     frame 3×3 pixel intrinsics with fx OVERRIDDEN by the vertical focal
-    (build_fov_estimator.py:44-48)."""
+    (build_fov_estimator.py:44-48).
 
-    def __init__(self, model: MoGePointModel, variables=None):
+    The ViT pos-embed is input-size-dependent; variables are kept at a
+    base resolution and re-derived per padded input size by bilinear
+    pos-embed interpolation (cached per grid), so one estimator instance
+    serves clips of any resolution — including real converted weights
+    trained at a different size. ``grid`` names the (gh, gw) patch grid
+    of externally supplied ``variables`` (inferred as square if omitted).
+    """
+
+    def __init__(self, model: MoGePointModel, variables=None, grid=None):
         self.model = model
         self.variables = variables  # None → lazy random init (smoke mode)
+        if variables is not None and grid is None:
+            P = variables["params"]["backbone"]["pos_embed"].shape[1] - 1
+            g = int(round(P ** 0.5))
+            if g * g != P:
+                raise ValueError(
+                    "non-square pos_embed: pass grid=(gh, gw) explicitly")
+            grid = (g, g)
+        self._grid = grid           # (gh, gw) of self.variables
+        self._cache: dict = {}      # (gh, gw) → resized variables
 
     def get_cam_intrinsics(self, frame_u8: np.ndarray) -> np.ndarray:
         return self.intrinsics_for_clip(frame_u8[None])[0]
+
+    def _variables_for(self, Hp: int, Wp: int):
+        ps = self.model.patch_size
+        gh, gw = Hp // ps, Wp // ps
+        if self.variables is None:
+            self.variables = jax.jit(self.model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, Hp, Wp, 3), jnp.float32))
+            self._grid = (gh, gw)
+        if (gh, gw) == self._grid:
+            return self.variables
+        if (gh, gw) not in self._cache:
+            import flax
+
+            # always resample from the base variables, never a resample
+            # of a resample
+            params = flax.core.unfreeze(self.variables["params"])
+            params["backbone"]["pos_embed"] = resize_pos_embed(
+                self.variables["params"]["backbone"]["pos_embed"],
+                self._grid, (gh, gw))
+            self._cache[(gh, gw)] = {**self.variables, "params": params}
+        return self._cache[(gh, gw)]
 
     def intrinsics_for_clip(self, frames_u8: np.ndarray,
                             batch_size: int = 4) -> np.ndarray:
@@ -168,20 +231,15 @@ class MoGeFovEstimator:
         T, H, W = frames_u8.shape[:3]
         ps = self.model.patch_size
         ph, pw = (-H) % ps, (-W) % ps
-        if self.variables is None:
-            # pos_embed is input-size-dependent: init at the padded size
-            self.variables = jax.jit(self.model.init)(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, H + ph, W + pw, 3), jnp.float32))
+        variables = self._variables_for(H + ph, W + pw)
         Ks = []
-        solve = jax.jit(jax.vmap(recover_focal_shift))
         for s in range(0, T, batch_size):
             e = min(s + batch_size, T)
             chunk = jnp.asarray(frames_u8[s:e], jnp.float32) / 255.0
             chunk = jnp.pad(chunk, ((0, batch_size - (e - s)), (0, ph),
                                     (0, pw), (0, 0)))
-            pts, msk = apply_model(self.model, None, self.variables, chunk)
-            f, _ = solve(pts, jax.nn.sigmoid(msk) > 0.5)
+            pts, msk = apply_model(self.model, None, variables, chunk)
+            f, _ = _solve_focal(pts, jax.nn.sigmoid(msk) > 0.5)
             f_px = np.asarray(f) * float(np.hypot(H + ph, W + pw))
             for i in range(e - s):
                 v_focal = f_px[i]          # fx := fy (reference override)

@@ -473,11 +473,31 @@ class SAM3DBodyEstimator:
             f_img = (np.asarray(sc)[:n, 0] / self.model.crop_size
                      * self.model.focal_length)
             for i in range(n):
+                cam_t = np.asarray(out.cam_t[i])
+                j3 = np.asarray(out.joints_3d[i])
+                v3 = np.asarray(out.vertices_3d[i])
+                if focal_arr is not None:
+                    # The camera head's translation is consistent with the
+                    # crop focal mapped to image pixels (f_img). The
+                    # reference overrides cam_int BEFORE estimation
+                    # (sam_3d_body_estimator.py:169-175), which in the
+                    # weak→full perspective conversion scales tz ∝ f.
+                    # Re-express the estimate under the overridden focal so
+                    # the saved (focal_length, pred_cam_t) pair reprojects
+                    # to the same 2D instead of pairing a MoGe focal with a
+                    # crop-focal translation.
+                    ratio = (float(focal_arr[s + i])
+                             / max(float(f_img[i]), 1e-6))
+                    delta = np.array([0.0, 0.0, cam_t[2] * (ratio - 1.0)],
+                                     np.float32)
+                    cam_t = cam_t + delta
+                    j3 = j3 + delta
+                    v3 = v3 + delta
                 results.append({
                     "pred_keypoints_2d": np.asarray(k2[i]),
-                    "pred_keypoints_3d": np.asarray(out.joints_3d[i]),
-                    "pred_vertices": np.asarray(out.vertices_3d[i]),
-                    "pred_cam_t": np.asarray(out.cam_t[i]),
+                    "pred_keypoints_3d": j3,
+                    "pred_vertices": v3,
+                    "pred_cam_t": cam_t,
                     "focal_length": np.asarray(
                         focal_arr[s + i] if focal_arr is not None
                         else f_img[i]),

@@ -119,6 +119,45 @@ class SPPF(nn.Module):
                          name="cv2")(jnp.concatenate(outs, -1), train)
 
 
+def _yolo_trunk(x, train, ch, n3, n6, dt):
+    """Shared CSP backbone + PAN-FPN neck → (o3, o4, o5) at /8 /16 /32.
+
+    A free function (not a Module) so the pose and seg variants register
+    IDENTICAL flat layer names (b0..b9, h12..h21) on their own scopes —
+    the ultralytics converter depends on those names."""
+    c1, c2, c3, c4, c5 = ch
+
+    # backbone (layer indices follow the ultralytics yaml for the
+    # converter's name mapping: b0..b9)
+    h = ConvBNAct(c1, 3, 2, dt, name="b0")(x, train)        # P1/2
+    h = ConvBNAct(c2, 3, 2, dt, name="b1")(h, train)        # P2/4
+    h = C2f(c2, n3, True, dt, name="b2")(h, train)
+    h = ConvBNAct(c3, 3, 2, dt, name="b3")(h, train)        # P3/8
+    p3 = C2f(c3, n6, True, dt, name="b4")(h, train)
+    h = ConvBNAct(c4, 3, 2, dt, name="b5")(p3, train)       # P4/16
+    p4 = C2f(c4, n6, True, dt, name="b6")(h, train)
+    h = ConvBNAct(c5, 3, 2, dt, name="b7")(p4, train)       # P5/32
+    h = C2f(c5, n3, True, dt, name="b8")(h, train)
+    p5 = SPPF(c5, 5, dt, name="b9")(h, train)
+
+    # PAN-FPN neck (h12/h15/h18/h21 = the yaml's layer numbers)
+    def up2(t):
+        B, H, W, C = t.shape
+        return jax.image.resize(t, (B, 2 * H, 2 * W, C), "nearest")
+
+    t4 = C2f(c4, n3, False, dt, name="h12")(
+        jnp.concatenate([up2(p5), p4], -1), train)
+    o3 = C2f(c3, n3, False, dt, name="h15")(
+        jnp.concatenate([up2(t4), p3], -1), train)
+    d3 = ConvBNAct(c3, 3, 2, dt, name="h16")(o3, train)
+    o4 = C2f(c4, n3, False, dt, name="h18")(
+        jnp.concatenate([d3, t4], -1), train)
+    d4 = ConvBNAct(c4, 3, 2, dt, name="h19")(o4, train)
+    o5 = C2f(c5, n3, False, dt, name="h21")(
+        jnp.concatenate([d4, p5], -1), train)
+    return o3, o4, o5
+
+
 class PoseDetections(NamedTuple):
     boxes_xyxy: jnp.ndarray   # (B, K, 4) pixels
     scores: jnp.ndarray       # (B, K)
@@ -160,38 +199,9 @@ class YoloPose(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False) -> RawPredictions:
         ch, n3, n6 = self.widths()
-        c1, c2, c3, c4, c5 = ch
+        c3, c4, c5 = ch[2:]
         dt = self.dtype
-        x = images.astype(dt)
-
-        # backbone (layer indices follow the ultralytics yaml for the
-        # converter's name mapping: b0..b9)
-        h = ConvBNAct(c1, 3, 2, dt, name="b0")(x, train)        # P1/2
-        h = ConvBNAct(c2, 3, 2, dt, name="b1")(h, train)        # P2/4
-        h = C2f(c2, n3, True, dt, name="b2")(h, train)
-        h = ConvBNAct(c3, 3, 2, dt, name="b3")(h, train)        # P3/8
-        p3 = C2f(c3, n6, True, dt, name="b4")(h, train)
-        h = ConvBNAct(c4, 3, 2, dt, name="b5")(p3, train)       # P4/16
-        p4 = C2f(c4, n6, True, dt, name="b6")(h, train)
-        h = ConvBNAct(c5, 3, 2, dt, name="b7")(p4, train)       # P5/32
-        h = C2f(c5, n3, True, dt, name="b8")(h, train)
-        p5 = SPPF(c5, 5, dt, name="b9")(h, train)
-
-        # PAN-FPN neck (h12/h15/h18/h21 = the yaml's layer numbers)
-        def up2(t):
-            B, H, W, C = t.shape
-            return jax.image.resize(t, (B, 2 * H, 2 * W, C), "nearest")
-
-        t4 = C2f(c4, n3, False, dt, name="h12")(
-            jnp.concatenate([up2(p5), p4], -1), train)
-        o3 = C2f(c3, n3, False, dt, name="h15")(
-            jnp.concatenate([up2(t4), p3], -1), train)
-        d3 = ConvBNAct(c3, 3, 2, dt, name="h16")(o3, train)
-        o4 = C2f(c4, n3, False, dt, name="h18")(
-            jnp.concatenate([d3, t4], -1), train)
-        d4 = ConvBNAct(c4, 3, 2, dt, name="h19")(o4, train)
-        o5 = C2f(c5, n3, False, dt, name="h21")(
-            jnp.concatenate([d4, p5], -1), train)
+        o3, o4, o5 = _yolo_trunk(images.astype(dt), train, ch, n3, n6, dt)
 
         # decoupled heads (cv2 box / cv3 cls / cv4 pose — ultralytics names)
         nk = self.num_keypoints * 3
@@ -258,22 +268,198 @@ def decode_keypoints(raw: RawPredictions):
 
 
 def detect(raw: RawPredictions, top_k: int = 8, score_threshold: float = 0.25,
-           nms_iou: float = 0.7) -> PoseDetections:
-    """Static-shape postprocess: per-image top-K by class score → NMS →
-    padded detection slots (the reference's Results.boxes/keypoints)."""
+           nms_iou: float = 0.7, pre_nms_k: int = 128) -> PoseDetections:
+    """Static-shape postprocess: per-image top-``pre_nms_k`` candidate pool
+    → NMS → top-``top_k`` survivors into padded detection slots (the
+    reference's Results.boxes/keypoints).
+
+    NMS must run on a pool much larger than ``top_k``: a confident object
+    emits many high-score duplicate anchors, and top-k'ing before NMS would
+    let those duplicates evict weaker *real* objects from the pool
+    entirely (ultralytics NMS'es thousands of candidates, then truncates).
+    """
     boxes = decode_boxes(raw)                               # (B, A, 4)
     kpts = decode_keypoints(raw)                            # (B, A, 17, 3)
     scores = jax.nn.sigmoid(raw.cls_logits).max(-1)         # (B, A)
+    pool = min(max(pre_nms_k, top_k), scores.shape[-1])
 
     def one(sc, bx, kp):
-        top_s, idx = jax.lax.top_k(sc, top_k)
+        pool_s, idx = jax.lax.top_k(sc, pool)
         bxs = bx[idx]
-        keep = nms(bxs, top_s, nms_iou)
-        ok = keep & (top_s > score_threshold)
-        return bxs, top_s, kp[idx], ok
+        keep = nms(bxs, pool_s, nms_iou)
+        # rank survivors first (suppressed → -inf), then take top_k
+        ranked = jnp.where(keep, pool_s, -jnp.inf)
+        top_s, sel = jax.lax.top_k(ranked, top_k)
+        ok = jnp.isfinite(top_s) & (top_s > score_threshold)
+        return bxs[sel], pool_s[sel], kp[idx][sel], ok
 
     b, s, k, v = jax.vmap(one)(scores, boxes, kpts)
     return PoseDetections(boxes_xyxy=b, scores=s, keypoints=k, valid=v)
+
+
+# ---------------------------------------------------------------------------
+# segmentation variant (reference yolov11_mask.py — ultralytics -seg)
+# ---------------------------------------------------------------------------
+
+
+class Proto(nn.Module):
+    """ultralytics ``Proto``: P3 feature → (B, Hp, Wp, nm) mask
+    prototypes at stride 4 (Conv → learned 2× ConvTranspose → Conv →
+    1×1 Conv)."""
+
+    mid: int            # npr (width-scaled 256)
+    nm: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = ConvBNAct(self.mid, 3, 1, self.dtype, name="cv1")(x, train)
+        h = nn.ConvTranspose(self.mid, (2, 2), strides=(2, 2),
+                             dtype=self.dtype, name="upsample")(h)
+        h = ConvBNAct(self.mid, 3, 1, self.dtype, name="cv2")(h, train)
+        return ConvBNAct(self.nm, 1, 1, self.dtype, name="cv3")(h, train)
+
+
+class RawSegPredictions(NamedTuple):
+    """Pre-decode per-anchor seg outputs."""
+
+    box_dist: jnp.ndarray     # (B, A, 4, reg_max) DFL logits
+    cls_logits: jnp.ndarray   # (B, A, nc)
+    mask_coefs: jnp.ndarray   # (B, A, nm)
+    protos: jnp.ndarray       # (B, Hp, Wp, nm) stride-4 prototypes
+    anchors: jnp.ndarray      # (A, 2)
+    strides: jnp.ndarray      # (A,)
+
+
+class SegDetections(NamedTuple):
+    boxes_xyxy: jnp.ndarray   # (B, K, 4) pixels
+    scores: jnp.ndarray       # (B, K)
+    masks: jnp.ndarray        # (B, K, Hp, Wp) f32 probabilities, box-cropped
+    valid: jnp.ndarray        # (B, K) bool
+
+
+class YoloSeg(nn.Module):
+    """YOLOv8-seg: image (B, H, W, 3) in [0, 1] → per-anchor raw heads +
+    mask prototypes.
+
+    Reference capability: prepare_dataset/model/yolov11_mask.py:75 —
+    person segmentation masks ``(T, 1, H, W)`` for the ``pt_info``
+    contract. Same trunk as :class:`YoloPose` (identical layer names, so
+    ultralytics ``-seg`` checkpoints convert via
+    :func:`convert_ultralytics_seg`); the pose head is replaced by the
+    ultralytics ``Segment`` head: per-anchor ``nm``-dim mask
+    coefficients (cv4) + a stride-4 prototype bank (Proto on P3). A
+    detection's mask is the sigmoid of its coefficients' inner product
+    with the prototypes — one (A, nm) × (nm, Hp·Wp) matmul per image on
+    the MXU, no per-object conv work.
+    """
+
+    scale: str = "s"
+    num_classes: int = 1
+    nm: int = 32              # mask coefficients per anchor
+    reg_max: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    def widths(self):
+        d, w, mc = SCALES[self.scale]
+        ch = [_make_divisible(min(c * w, mc * w))
+              for c in (64, 128, 256, 512, 1024)]
+        n3 = max(1, round(3 * d))
+        n6 = max(1, round(6 * d))
+        return ch, n3, n6
+
+    def proto_channels(self) -> int:
+        # parse_model: npr = make_divisible(min(256, max_ch) * width, 8)
+        d, w, mc = SCALES[self.scale]
+        return _make_divisible(min(256 * w, mc * w))
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> RawSegPredictions:
+        ch, n3, n6 = self.widths()
+        c3, c4, c5 = ch[2:]
+        dt = self.dtype
+        o3, o4, o5 = _yolo_trunk(images.astype(dt), train, ch, n3, n6, dt)
+
+        protos = Proto(self.proto_channels(), self.nm, dt,
+                       name="proto")(o3, train)
+
+        cb = max(16, c3 // 4, 4 * self.reg_max)
+        cc = max(c3, min(self.num_classes, 100))
+        ck = max(c3 // 4, self.nm)
+        B = images.shape[0]
+        dists, clss, coefs, anchors, strides = [], [], [], [], []
+        for li, (feat, stride) in enumerate(((o3, 8), (o4, 16), (o5, 32))):
+            b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_0")(feat, train)
+            b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{li}_2")(
+                b.astype(jnp.float32))
+            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_0")(feat, train)
+            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_1")(c, train)
+            c = nn.Conv(self.num_classes, (1, 1), name=f"cv3_{li}_2")(
+                c.astype(jnp.float32))
+            k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_0")(feat, train)
+            k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_1")(k, train)
+            k = nn.Conv(self.nm, (1, 1), name=f"cv4_{li}_2")(
+                k.astype(jnp.float32))
+            gh, gw = feat.shape[1], feat.shape[2]
+            dists.append(b.reshape(B, gh * gw, 4, self.reg_max))
+            clss.append(c.reshape(B, gh * gw, self.num_classes))
+            coefs.append(k.reshape(B, gh * gw, self.nm))
+            ys, xs = np.meshgrid(np.arange(gh) + 0.5, np.arange(gw) + 0.5,
+                                 indexing="ij")
+            anchors.append(np.stack([xs.ravel(), ys.ravel()], -1))
+            strides.append(np.full(gh * gw, stride, np.float32))
+
+        return RawSegPredictions(
+            box_dist=jnp.concatenate(dists, 1),
+            cls_logits=jnp.concatenate(clss, 1),
+            mask_coefs=jnp.concatenate(coefs, 1),
+            protos=protos.astype(jnp.float32),
+            anchors=jnp.asarray(np.concatenate(anchors, 0), jnp.float32),
+            strides=jnp.asarray(np.concatenate(strides, 0)))
+
+
+def crop_masks_to_boxes(masks, boxes_xyxy, mask_stride: float = 4.0):
+    """Zero mask probability outside each detection's box (ultralytics
+    ``crop_mask``). ``masks (..., K, Hp, Wp)``, ``boxes (..., K, 4)`` in
+    image pixels; the mask grid is ``mask_stride`` px per cell."""
+    Hp, Wp = masks.shape[-2:]
+    bx = boxes_xyxy[..., None, None, :] / mask_stride   # (..., K, 1, 1, 4)
+    xs = jnp.arange(Wp, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(Hp, dtype=jnp.float32)[:, None]
+    inside = ((xs >= bx[..., 0]) & (xs < bx[..., 2])
+              & (ys >= bx[..., 1]) & (ys < bx[..., 3]))
+    return masks * inside
+
+
+def detect_seg(raw: RawSegPredictions, top_k: int = 8,
+               score_threshold: float = 0.25, nms_iou: float = 0.7,
+               pre_nms_k: int = 128) -> SegDetections:
+    """Static-shape seg postprocess: NMS on a large candidate pool →
+    top-``top_k`` survivors → per-survivor masks from the prototype bank
+    (sigmoid(coefs · protos), box-cropped — ultralytics
+    ``process_mask`` semantics). Mask assembly happens AFTER selection,
+    so only K (not A) mask images are ever materialized."""
+    boxes = decode_boxes(raw)   # duck-typed: box_dist/anchors/strides
+    scores = jax.nn.sigmoid(raw.cls_logits).max(-1)         # (B, A)
+    pool = min(max(pre_nms_k, top_k), scores.shape[-1])
+
+    def one(sc, bx, cf, protos):
+        pool_s, idx = jax.lax.top_k(sc, pool)
+        bxs = bx[idx]
+        keep = nms(bxs, pool_s, nms_iou)
+        ranked = jnp.where(keep, pool_s, -jnp.inf)
+        top_s, sel = jax.lax.top_k(ranked, top_k)
+        ok = jnp.isfinite(top_s) & (top_s > score_threshold)
+        sel_boxes = bxs[sel]
+        sel_coefs = cf[idx][sel]                            # (K, nm)
+        m = jax.nn.sigmoid(
+            jnp.einsum("kn,hwn->khw", sel_coefs, protos))
+        m = crop_masks_to_boxes(m, sel_boxes)
+        return sel_boxes, pool_s[sel], m, ok
+
+    b, s, m, v = jax.vmap(one)(scores, boxes, raw.mask_coefs, raw.protos)
+    return SegDetections(boxes_xyxy=b, scores=s, masks=m, valid=v)
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +523,14 @@ def convert_ultralytics_pose(state_dict, scale: str = "s",
     model = YoloPose(scale=scale, num_keypoints=num_keypoints,
                      num_classes=num_classes)
     _, n3, n6 = model.widths()
+    params, stats = _convert_trunk_and_heads(sd, n3, n6)
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_trunk_and_heads(sd, n3, n6):
+    """Shared between the pose and seg converters: trunk b0..h21 + the
+    three decoupled cv2/cv3/cv4 head branches (pose keypoints and seg
+    mask-coefs live in the same ``cv4`` slot on both sides)."""
     params: dict = {}
     stats: dict = {}
     for name, idx in _LAYER_MAP.items():
@@ -364,6 +558,34 @@ def convert_ultralytics_pose(state_dict, scale: str = "s",
             params[f"{branch}_{li}_2"] = {
                 "kernel": _conv_kernel(sd[f"{pre}.2.weight"]),
                 "bias": jnp.asarray(_np_of(sd[f"{pre}.2.bias"]))}
+    return params, stats
+
+
+def convert_ultralytics_seg(state_dict, scale: str = "s",
+                            num_classes: int = 1,
+                            prefix: str = "model.") -> dict:
+    """ultralytics YOLOv8/11-seg ``model.state_dict()`` → flax variables
+    for :class:`YoloSeg`. Same trunk/head mapping as the pose converter
+    (cv4 carries mask coefficients here) plus the ``model.22.proto``
+    block. The proto upsample is a torch ``ConvTranspose2d`` whose
+    kernel must be SPATIALLY FLIPPED for ``lax.conv_transpose`` (which
+    does not mirror — same fix as the SAM decoder converter,
+    sam_decoder.py:258)."""
+    sd = {k[len(prefix):] if prefix and k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    model = YoloSeg(scale=scale, num_classes=num_classes)
+    _, n3, n6 = model.widths()
+    params, stats = _convert_trunk_and_heads(sd, n3, n6)
+    pre = f"{_HEAD_LAYER}.proto"
+    proto_p, proto_s = {}, {}
+    for sub in ("cv1", "cv2", "cv3"):
+        proto_p[sub], proto_s[sub] = _convbn(sd, f"{pre}.{sub}")
+    w = _np_of(sd[f"{pre}.upsample.weight"])    # torch (in, out, kh, kw)
+    proto_p["upsample"] = {
+        "kernel": jnp.asarray(w.transpose(2, 3, 0, 1)[::-1, ::-1]),
+        "bias": jnp.asarray(_np_of(sd[f"{pre}.upsample.bias"]))}
+    params["proto"] = proto_p
+    stats["proto"] = proto_s
     return {"params": params, "batch_stats": stats}
 
 
@@ -431,4 +653,36 @@ def reference_state_dict_spec(scale: str = "s", num_keypoints: int = 17,
         convbn(f"model.22.cv4.{li}.1", ck, ck, 3)
         spec[f"model.22.cv4.{li}.2.weight"] = (nk, ck, 1, 1)
         spec[f"model.22.cv4.{li}.2.bias"] = (nk,)
+    return spec
+
+
+def reference_state_dict_spec_seg(scale: str = "s",
+                                  num_classes: int = 1) -> dict:
+    """Expected ultralytics YOLOv8-seg state-dict entries → shapes.
+    Trunk + cv2/cv3 are identical to the pose spec; cv4 regresses
+    ``nm``-dim mask coefficients and ``model.22.proto`` is added."""
+    model = YoloSeg(scale=scale, num_classes=num_classes)
+    ch, _, _ = model.widths()
+    c3 = ch[2]
+    spec = reference_state_dict_spec(scale=scale, num_classes=num_classes)
+    # replace the pose cv4 rows with the seg coefficient head
+    spec = {k: v for k, v in spec.items() if ".cv4." not in k}
+    nm = model.nm
+    ck = max(c3 // 4, nm)
+    for li, cin in enumerate(ch[2:]):
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            spec[f"model.22.cv4.{li}.0.bn.{suf}"] = (ck,)
+            spec[f"model.22.cv4.{li}.1.bn.{suf}"] = (ck,)
+        spec[f"model.22.cv4.{li}.0.conv.weight"] = (ck, cin, 3, 3)
+        spec[f"model.22.cv4.{li}.1.conv.weight"] = (ck, ck, 3, 3)
+        spec[f"model.22.cv4.{li}.2.weight"] = (nm, ck, 1, 1)
+        spec[f"model.22.cv4.{li}.2.bias"] = (nm,)
+    npr = model.proto_channels()
+    for pre, cin, cout, k in (("cv1", c3, npr, 3), ("cv2", npr, npr, 3),
+                              ("cv3", npr, nm, 1)):
+        spec[f"model.22.proto.{pre}.conv.weight"] = (cout, cin, k, k)
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            spec[f"model.22.proto.{pre}.bn.{suf}"] = (cout,)
+    spec["model.22.proto.upsample.weight"] = (npr, npr, 2, 2)
+    spec["model.22.proto.upsample.bias"] = (npr,)
     return spec

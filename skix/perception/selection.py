@@ -29,6 +29,9 @@ class SelectedSequence(NamedTuple):
     boxes: jnp.ndarray       # (T, 4) cxcywh
     valid: jnp.ndarray       # (T,) bool — frame had any detection
     none_index: jnp.ndarray  # (T,) bool mask of missing frames (pre-fill)
+    sel_idx: jnp.ndarray     # (T,) int — chosen detection slot per frame
+    #                          (gathers per-detection payloads the caller
+    #                           holds outside this fn, e.g. seg masks)
 
 
 def select_person_sequence(
@@ -90,7 +93,8 @@ def select_person_sequence(
     out_boxes = boxes[tsel, sel_idx]
     return SelectedSequence(
         keypoints=out_kpts, scores=out_scores, boxes=out_boxes,
-        valid=frame_valid, none_index=jnp.logical_not(frame_valid))
+        valid=frame_valid, none_index=jnp.logical_not(frame_valid),
+        sel_idx=sel_idx)
 
 
 def fill_invalid_frames(x, valid):

@@ -63,10 +63,38 @@ def _precomputed_backend(cfg, video_path: Path):
     return run
 
 
+def _chunked_clip_detect(frames: np.ndarray, batch_size: int, pad_hw,
+                         detect_chunk):
+    """Shared whole-clip detection driver: fixed-size batch chunks with
+    /32 spatial padding (static shapes), xyxy→cxcywh to the selection
+    contract. ``detect_chunk(chunk) -> (boxes_xyxy, keypoints, valid)``
+    is the only model-specific part (kept single-sourced so the padding/
+    slicing logic can't drift between the YOLO and D2 sources)."""
+    import jax.numpy as jnp
+
+    T = frames.shape[0]
+    ph, pw = pad_hw
+    boxes, kpts, valid = [], [], []
+    for s in range(0, T, batch_size):
+        e = min(s + batch_size, T)
+        chunk = jnp.asarray(frames[s:e], jnp.float32) / 255.0
+        chunk = jnp.pad(chunk, ((0, batch_size - (e - s)), (0, ph),
+                                (0, pw), (0, 0)))
+        bx, kp, vl = detect_chunk(chunk)
+        n = e - s
+        b = np.asarray(bx[:n])
+        cxy = np.stack([(b[..., 0] + b[..., 2]) / 2,
+                        (b[..., 1] + b[..., 3]) / 2,
+                        b[..., 2] - b[..., 0], b[..., 3] - b[..., 1]], -1)
+        boxes.append(cxy)
+        kpts.append(np.asarray(kp[:n]))
+        valid.append(np.asarray(vl[:n]))
+    return np.concatenate(boxes), np.concatenate(kpts), \
+        np.concatenate(valid)
+
+
 def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
-    """Whole-clip YoloPose detection → padded (T, K, …) arrays.
-    Frames pad to /32 (static shapes); boxes return as cxcywh to match
-    the selection contract."""
+    """Whole-clip YoloPose detection → padded (T, K, …) arrays."""
     import jax
     import jax.numpy as jnp
 
@@ -74,32 +102,52 @@ def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
     from skix.utils.jitapply import apply_model
 
     model = YoloPose(scale=str(cfg.get("yolo_scale", "s")))
-    T, H, W = frames.shape[:3]
+    _, H, W = frames.shape[:3]
     ph, pw = (-H) % 32, (-W) % 32
-    bs = int(cfg.get("det_batch", 8))
     variables = load_vars("yolo_checkpoint", lambda: jax.jit(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, H + ph, W + pw, 3))))())
     top_k = int(cfg.get("top_k", 8))
     thr = float(cfg.get("score_threshold", 0.3))
-    boxes, kpts, valid = [], [], []
-    for s in range(0, T, bs):
-        e = min(s + bs, T)
-        chunk = jnp.asarray(frames[s:e], jnp.float32) / 255.0
-        chunk = jnp.pad(chunk, ((0, bs - (e - s)), (0, ph), (0, pw),
-                                (0, 0)))
+
+    def detect_chunk(chunk):
         raw = apply_model(model, None, variables, chunk)
         det = detect(raw, top_k=top_k, score_threshold=thr)
-        n = e - s
-        b = np.asarray(det.boxes_xyxy[:n])
-        cxy = np.stack([(b[..., 0] + b[..., 2]) / 2,
-                        (b[..., 1] + b[..., 3]) / 2,
-                        b[..., 2] - b[..., 0], b[..., 3] - b[..., 1]], -1)
-        boxes.append(cxy)
-        kpts.append(np.asarray(det.keypoints[:n]))
-        valid.append(np.asarray(det.valid[:n]))
-    return np.concatenate(boxes), np.concatenate(kpts), \
-        np.concatenate(valid)
+        return det.boxes_xyxy, det.keypoints, det.valid
+
+    return _chunked_clip_detect(frames, int(cfg.get("det_batch", 8)),
+                                (ph, pw), detect_chunk)
+
+
+def _detect_clip_seg(cfg, frames: np.ndarray, load_vars):
+    """Whole-clip YoloSeg person segmentation → (T, K, 4) cxcywh boxes,
+    (T, K, Hp, Wp) mask probabilities (stride-4 proto grid of the padded
+    frame), (T, K) valid. Reference: the separate YOLOv11Mask model
+    (prepare_dataset/model/yolov11_mask.py:75)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.models.yolo_pose import YoloSeg, detect_seg
+    from skix.utils.jitapply import apply_model
+
+    model = YoloSeg(scale=str(cfg.get("seg_scale",
+                                      cfg.get("yolo_scale", "s"))))
+    _, H, W = 0, frames.shape[1], frames.shape[2]
+    ph, pw = (-H) % 32, (-W) % 32
+    variables = load_vars("seg_checkpoint", lambda: jax.jit(
+        lambda: model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, H + ph, W + pw, 3))))())
+    top_k = int(cfg.get("top_k", 8))
+    thr = float(cfg.get("seg_score_threshold",
+                        cfg.get("score_threshold", 0.3)))
+
+    def detect_chunk(chunk):
+        raw = apply_model(model, None, variables, chunk)
+        det = detect_seg(raw, top_k=top_k, score_threshold=thr)
+        return det.boxes_xyxy, det.masks, det.valid
+
+    return _chunked_clip_detect(frames, int(cfg.get("det_batch", 8)),
+                                (ph, pw), detect_chunk)
 
 
 def _detect_clip_rcnn(cfg, frames: np.ndarray, load_vars):
@@ -116,9 +164,8 @@ def _detect_clip_rcnn(cfg, frames: np.ndarray, load_vars):
         post_nms_topk=int(cfg.get("d2_post_nms_topk", 64)),
         detections=int(cfg.get("top_k", 8)),
         score_threshold=float(cfg.get("d2_score_threshold", 0.7)))
-    T, H, W = frames.shape[:3]
+    _, H, W = frames.shape[:3]
     ph, pw = (-H) % 32, (-W) % 32
-    bs = int(cfg.get("d2_batch", 2))
 
     def init_fn():
         import warnings
@@ -129,23 +176,13 @@ def _detect_clip_rcnn(cfg, frames: np.ndarray, load_vars):
             jnp.zeros((1, H + ph, W + pw, 3))))()
 
     variables = load_vars("d2_checkpoint", init_fn)
-    boxes, kpts, valid = [], [], []
-    for s in range(0, T, bs):
-        e = min(s + bs, T)
-        chunk = jnp.asarray(frames[s:e], jnp.float32) / 255.0
-        chunk = jnp.pad(chunk, ((0, bs - (e - s)), (0, ph), (0, pw),
-                                (0, 0)))
+
+    def detect_chunk(chunk):
         out = apply_model(model, None, variables, chunk)
-        n = e - s
-        b = np.asarray(out.boxes_xyxy[:n])
-        cxy = np.stack([(b[..., 0] + b[..., 2]) / 2,
-                        (b[..., 1] + b[..., 3]) / 2,
-                        b[..., 2] - b[..., 0], b[..., 3] - b[..., 1]], -1)
-        boxes.append(cxy)
-        kpts.append(np.asarray(out.keypoints[:n]))
-        valid.append(np.asarray(out.valid[:n]))
-    return np.concatenate(boxes), np.concatenate(kpts), \
-        np.concatenate(valid)
+        return out.boxes_xyxy, out.keypoints, out.valid
+
+    return _chunked_clip_detect(frames, int(cfg.get("d2_batch", 2)),
+                                (ph, pw), detect_chunk)
 
 
 @register_backend("skix")
@@ -196,6 +233,10 @@ def _skix_backend(cfg, video_path: Path):
                 det_model, det_vars, frames,
                 batch_size=int(cfg.get("det_batch", 8)))
         out = {"boxes": boxes, "keypoints": kpts, "det_valid": valid}
+        if "mask" in tasks:
+            sb, sm, sv = _detect_clip_seg(cfg, frames, load_vars)
+            out.update({"seg_boxes": sb, "seg_masks": sm,
+                        "seg_valid": sv})
         if d2_model == "rcnn":
             d2b, d2k, d2v = _detect_clip_rcnn(cfg, frames, load_vars)
             out.update({"d2_boxes": d2b, "d2_keypoints": d2k,
@@ -280,6 +321,51 @@ def _select_and_fill(det: dict) -> dict:
             "none_index": none_index}
 
 
+def _mask_select_core(boxes, valid, masks):
+    """Per-frame athlete mask: selection on the seg model's own boxes
+    (the reference's YOLOv11Mask carries its own person picking), gather
+    the chosen slot's mask, hole-fill invalid frames."""
+    import jax.numpy as jnp
+
+    from skix.perception import fill_invalid_frames, select_person_sequence
+
+    T, K = boxes.shape[:2]
+    dummy_kpts = jnp.zeros((T, K, 1, 2), boxes.dtype)
+    sel = select_person_sequence(boxes, dummy_kpts, det_valid=valid)
+    m = masks[jnp.arange(T), sel.sel_idx]            # (T, Hp, Wp)
+    return fill_invalid_frames(m, sel.valid)
+
+
+def _assemble_person_mask(det: dict, H: int, W: int,
+                          chunk: int = 32) -> np.ndarray:
+    """(T, 1, H, W) uint8 athlete mask for the pt contract: jitted
+    selection + hole-fill at proto resolution, then chunked bilinear
+    upsample of the probability field to frame size and 0.5 binarize
+    (ultralytics process_mask ordering — upsample BEFORE threshold)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not hasattr(_assemble_person_mask, "_jit"):
+        _assemble_person_mask._jit = jax.jit(_mask_select_core)
+    m = _assemble_person_mask._jit(
+        jnp.asarray(det["seg_boxes"], jnp.float32),
+        jnp.asarray(det["seg_valid"], bool),
+        jnp.asarray(det["seg_masks"], jnp.float32))
+    T = m.shape[0]
+    out = np.zeros((T, 1, H, W), np.uint8)
+    for s in range(0, T, chunk):
+        e = min(s + chunk, T)
+        up = jax.image.resize(
+            m[s:e], (e - s, *_padded_hw(H, W)), "bilinear")[:, :H, :W]
+        out[s:e, 0] = np.asarray(up > 0.5, np.uint8)
+    return out
+
+
+def _padded_hw(H: int, W: int):
+    # the seg masks live on the stride-4 grid of the /32-padded frame
+    return (H + (-H) % 32, W + (-W) % 32)
+
+
 def process_video(cfg, video_path: Path, out_path: Path) -> PTInfo:
     meta = probe_video(video_path)
     max_frames = cfg.get("max_frames")
@@ -303,6 +389,11 @@ def process_video(cfg, video_path: Path, out_path: Path) -> PTInfo:
     else:
         sel_d2 = sel
 
+    yolo_mask = None
+    if "seg_masks" in det and T:
+        yolo_mask = _assemble_person_mask(det, frames.shape[1],
+                                          frames.shape[2])
+
     info = PTInfo(
         video_name=video_path.stem,
         video_path=str(video_path),
@@ -313,6 +404,7 @@ def process_video(cfg, video_path: Path, out_path: Path) -> PTInfo:
         frames=frames if bool(cfg.get("store_frames", False)) else None,
         depth=det.get("depth"),
         optical_flow=det.get("optical_flow"),
+        yolo_mask=yolo_mask,
         none_index=sel["none_index"],
         yolo_bbox=sel["bbox"],
         yolo_keypoints=sel["keypoints"],

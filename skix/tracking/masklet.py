@@ -551,7 +551,7 @@ class MaskletVideoModel:
         return state, banks, out
 
     def propagate(self, frames, prompt_tokens, yield_masks_at=None,
-                  upload_chunk: int = 32):
+                  upload_chunk: int = 32, geometry_by_frame=None):
         """Stream per-frame outputs over ``frames (T, H, W, 3)``.
 
         Yields ``{frame_index, outputs}`` where outputs carry per-slot
@@ -559,7 +559,12 @@ class MaskletVideoModel:
         default the video resolution), ``mask_logits_lowres``, ``boxes``
         (xyxy at output resolution), ``obj_id``, ``active``, ``score``
         (spawn det score, reference obj_id_to_score) and ``tracker_score``
-        (reference obj_id_to_tracker_score)."""
+        (reference obj_id_to_tracker_score).
+
+        ``geometry_by_frame``: optional {frame_index: fixed-slot geometry
+        prompt dict} (the session ``add_prompt`` path) — frames with
+        geometry take the decomposed step; all others stay on the fused
+        one-dispatch hot path."""
         T, H, W = frames.shape[:3]
         out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
         state, banks = self.init_state((self.trk_img_size,) * 2)
@@ -571,8 +576,10 @@ class MaskletVideoModel:
             # (scripts/bench_masklet_video.py host-vs-device rows)
             if t % upload_chunk == 0:
                 chunk_dev = jnp.asarray(frames[t:t + upload_chunk])
+            geometry = (geometry_by_frame or {}).get(t)
             state, banks, out = self.step(chunk_dev[t % upload_chunk],
-                                          prompt_tokens, state, banks)
+                                          prompt_tokens, state, banks,
+                                          geometry=geometry)
             logits = out["out_mask_logits"]               # (K, gh, gw)
             masks = np.asarray(_upsample_masks(logits, *out_hw))
             lh, lw = logits.shape[-2:]

@@ -223,49 +223,44 @@ class VideoPredictor:
 
     def _propagate_masklets(self, s: _Session, prompt) -> Iterator[dict]:
         """Masklet propagation (per-object masks through the memory
-        tracker — reference Sam3VideoBase._det_track_one_frame)."""
+        tracker — reference Sam3VideoBase._det_track_one_frame). Thin
+        adapter over :meth:`MaskletVideoModel.propagate` (single source
+        for the per-frame loop + chunked uploads): renames ``boxes`` →
+        ``bbox`` for the session output contract and applies
+        ``remove_object`` suppression."""
         from skix.tracking.masklet import MaskletConfig, MaskletVideoModel
 
         trk_model, trk_vars = self.tracker
         mdl = MaskletVideoModel(self.detector, self.variables, trk_model,
                                 trk_vars,
                                 self.masklet_cfg or MaskletConfig())
-        T, H, W = s.frames.shape[:3]
-        state, banks = mdl.init_state((self.detector.img_size,) * 2)
-        for t in range(T):
-            geometry = None
-            g = s.geometry.get(t)
-            if g is not None:
-                geometry = {
-                    "points": jnp.asarray(g["points"])[None],
-                    "point_labels": jnp.asarray(g["point_labels"])[None],
-                    "point_valid": jnp.asarray(g["point_valid"])[None],
-                    "boxes": jnp.asarray(g["boxes"])[None],
-                    "box_labels": jnp.asarray(g["box_labels"])[None],
-                    "box_valid": jnp.asarray(g["box_valid"])[None],
-                }
-            state, banks, out = mdl.step(s.frames[t], jnp.asarray(prompt),
-                                         state, banks, geometry=geometry)
-            logits = out["out_mask_logits"]
-            up = jax.image.resize(logits, (logits.shape[0], H, W),
-                                  "bilinear")
-            lh, lw = logits.shape[-2:]
-            boxes = np.array(out["boxes_lowres"], np.float32)
-            boxes[:, [0, 2]] *= W / lw
-            boxes[:, [1, 3]] *= H / lh
+        geometry_by_frame = {
+            t: {
+                "points": jnp.asarray(g["points"])[None],
+                "point_labels": jnp.asarray(g["point_labels"])[None],
+                "point_valid": jnp.asarray(g["point_valid"])[None],
+                "boxes": jnp.asarray(g["boxes"])[None],
+                "box_labels": jnp.asarray(g["box_labels"])[None],
+                "box_valid": jnp.asarray(g["box_valid"])[None],
+            }
+            for t, g in s.geometry.items()
+        } or None
+        for item in mdl.propagate(s.frames, jnp.asarray(prompt),
+                                  geometry_by_frame=geometry_by_frame):
+            out = item["outputs"]
             out_np = {
-                "mask": np.asarray(up > 0),
-                "bbox": boxes,
-                "score": np.asarray(out["spawn_score"]),
-                "tracker_score": np.asarray(out["trk_scores"]),
-                "active": np.asarray(out["active"]),
-                "confirmed": np.asarray(out["confirmed"]),
-                "obj_id": np.asarray(out["obj_id"]),
+                "mask": out["mask"],
+                "bbox": out["boxes"],
+                "score": out["score"],
+                "tracker_score": out["tracker_score"],
+                "active": out["active"],
+                "confirmed": out["confirmed"],
+                "obj_id": out["obj_id"],
             }
             if s.removed_ids:
                 drop = np.isin(out_np["obj_id"], list(s.removed_ids))
                 out_np["active"] = out_np["active"] & ~drop
-            yield {"frame_index": t, "outputs": out_np}
+            yield {"frame_index": item["frame_index"], "outputs": out_np}
 
     def propagate_in_video(self, session_id: int,
                            prompt_text: Optional[str] = None

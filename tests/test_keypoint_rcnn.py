@@ -72,10 +72,14 @@ class TestGeometry:
         out = apply_deltas(anchors, jnp.asarray([[0.5, 0., 0., 0.]]))
         np.testing.assert_allclose(np.asarray(out[0, 0]), 20.0, atol=1e-4)
 
-    def test_level_anchors_centered(self):
+    def test_level_anchors_d2_offset_zero(self):
+        # detectron2 DefaultAnchorGenerator offset=0.0: centers at
+        # x*stride, NOT cell-centered — converted RPN deltas were
+        # regressed against these anchors
         a = level_anchors(2, 2, stride=8, size=32, ratios=(1.0,))
         c = (a[:, :2] + a[:, 2:]) / 2
-        np.testing.assert_allclose(c[0], [4.0, 4.0])
+        np.testing.assert_allclose(c[0], [0.0, 0.0])
+        np.testing.assert_allclose(c[-1], [8.0, 8.0])
         np.testing.assert_allclose(a[0, 2] - a[0, 0], 32.0)
 
     def test_heatmap_decode_maps_bin_to_box(self):

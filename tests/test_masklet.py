@@ -311,8 +311,18 @@ class TestMaskletVideoModel:
         rng = jax.random.PRNGKey(0)
         prompt = jnp.tile(embed_text_prompt("person", det.d_model)[None],
                           (4, 1))
-        det_vars = jax.jit(det.init)(rng, jnp.zeros((1, 112, 112, 3)),
-                                     prompt[None])
+        # init WITH all-invalid geometry slots (the VideoPredictor
+        # convention) so the geometry encoder's params exist for the
+        # session geometric-prompt path
+        Np, Nb = det.max_points, det.max_boxes
+        det_vars = jax.jit(det.init)(
+            rng, jnp.zeros((1, 112, 112, 3)), prompt[None],
+            points=jnp.zeros((1, Np, 2)),
+            point_labels=jnp.zeros((1, Np), jnp.int32),
+            point_valid=jnp.zeros((1, Np), bool),
+            boxes=jnp.zeros((1, Nb, 4)),
+            box_labels=jnp.zeros((1, Nb), jnp.int32),
+            box_valid=jnp.zeros((1, Nb), bool))
         trk = MaskMemoryTracker(features=16, num_heads=2, mem_slots=3)
         from skix.tracking.memory_tracker import init_memory
 
@@ -403,6 +413,36 @@ class TestMaskletVideoModel:
             o2 = outs2[0]["outputs"]
             assert int(live[0]) not in set(o2["obj_id"][o2["active"]])
         pred.close_session(sid)
+
+    def test_session_masklet_geometry_prompt(self, model):
+        """Geometric prompts flow through the masklet path too: the
+        session adapter hands ``geometry_by_frame`` to
+        MaskletVideoModel.propagate, which routes prompted frames onto
+        the decomposed step (regression for the adapter refactor — the
+        session used to run its own per-frame loop)."""
+        from skix.tracking.session import VideoPredictor
+
+        mdl, prompt = model
+        pred = VideoPredictor(mdl.detector, mdl.det_variables,
+                              tracker=(mdl.tracker, mdl.trk_variables),
+                              masklet_cfg=mdl.cfg)
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 255, (2, 40, 56, 3), np.uint8)
+
+        sid = pred.start_session(frames)
+        pred.add_prompt(sid, "person")
+        base = [o["outputs"] for o in pred.propagate_in_video(sid, "person")]
+
+        sid2 = pred.start_session(frames)
+        pred.add_prompt(sid2, "person", frame_idx=0,
+                        points=[[20.0, 20.0]], point_labels=[1],
+                        boxes_xyxy=[[5.0, 5.0, 35.0, 35.0]])
+        geo = [o["outputs"] for o in pred.propagate_in_video(sid2, "person")]
+        assert len(geo) == 2
+        assert geo[0]["mask"].shape == (4, 40, 56)
+        # geometry conditions the prompted frame's detections → the
+        # spawned-slot scores differ from the no-geometry run
+        assert not np.allclose(base[0]["score"], geo[0]["score"])
 
     def test_memory_banks_written(self, model):
         mdl, prompt = model

@@ -45,6 +45,16 @@ class TestFocalRecovery:
         assert f.shape == (3,)
         np.testing.assert_allclose(np.asarray(f), 0.8, rtol=0.02)
 
+    def test_empty_mask_falls_back_finite(self):
+        """An all-False validity mask (untrained weights / rejected
+        frame) must not drive the golden-section bracket to -inf and the
+        focal to NaN — it falls back to uniform weights."""
+        pts = _synthetic_pointmap(16, 16, f_true=0.8, dz_true=0.3)
+        f, dz = recover_focal_shift(jnp.asarray(pts),
+                                    jnp.zeros((16, 16), bool))
+        assert np.isfinite(float(f)) and np.isfinite(float(dz))
+        np.testing.assert_allclose(float(f), 0.8, rtol=0.02)
+
 
 class TestMoGeModel:
     def _tiny(self):
@@ -77,6 +87,37 @@ class TestMoGeModel:
         np.testing.assert_allclose(Ks[:, 0, 2], 56 / 2)
         np.testing.assert_allclose(Ks[:, 1, 2], 50 / 2)
         assert np.all(Ks[:, 0, 0] > 0)
+
+    def test_one_estimator_serves_multiple_resolutions(self):
+        """One MoGeFovEstimator instance across clips of DIFFERENT
+        resolutions: the ViT pos-embed is interpolated per padded grid
+        instead of crashing on the first clip's shape (and real
+        converted weights trained at one size serve any input)."""
+        rng = np.random.default_rng(8)
+        m = self._tiny()
+        est = MoGeFovEstimator(m)                  # lazy init (smoke)
+        big = rng.integers(0, 255, (1, 56, 56, 3)).astype(np.uint8)
+        small = rng.integers(0, 255, (1, 28, 42, 3)).astype(np.uint8)
+        K_big = est.intrinsics_for_clip(big, batch_size=1)
+        K_small = est.intrinsics_for_clip(small, batch_size=1)
+        assert K_big.shape == (1, 3, 3) and K_small.shape == (1, 3, 3)
+        assert np.isfinite(K_small).all()
+        np.testing.assert_allclose(K_small[0, 0, 2], 42 / 2)
+        # cached per grid: a second same-size clip reuses the variables
+        assert (28 // 14 * 2, 42 // 14) != est._grid
+        K_again = est.intrinsics_for_clip(small, batch_size=1)
+        assert K_again.shape == (1, 3, 3)
+
+    def test_resize_pos_embed_preserves_constant_field(self):
+        from skix.models.moge import resize_pos_embed
+
+        pos = np.concatenate([np.full((1, 1, 8), 7.0),
+                              np.full((1, 12, 8), 3.0)], 1)
+        out = resize_pos_embed(jnp.asarray(pos, jnp.float32), (3, 4),
+                               (5, 2))
+        assert out.shape == (1, 11, 8)
+        np.testing.assert_allclose(np.asarray(out[:, 0]), 7.0)
+        np.testing.assert_allclose(np.asarray(out[:, 1:]), 3.0, atol=1e-5)
 
     def test_backbone_converter_seam(self):
         """The trunk consumes the parity-tested DINOv2 seam: converted

@@ -182,3 +182,42 @@ chunk_size: 4
         assert np.isfinite(rec.d2_keypoints).all()
         # two different architectures (random-init smoke) → different 2D
         assert not np.allclose(rec.yolo_keypoints, rec.d2_keypoints)
+
+    def test_mask_task_fills_contract_slot(self, tmp_path):
+        """tasks: [pose, mask] → the YOLO/mask (T, 1, H, W) contract slot
+        carries the seg model's selected-athlete mask (reference
+        YOLOv11Mask, prepare_dataset/model/yolov11_mask.py:75)."""
+        from skix.io import load_pt_info
+        from skix.io.video import write_video
+        from skix.pipelines.prepare_dataset import main
+
+        T, H, W = 2, 64, 64
+        root = tmp_path / "videos" / "p01"
+        root.mkdir(parents=True)
+        write_video(root / "osmo_1.mp4",
+                    rng.integers(0, 255, (T, H, W, 3)).astype(np.uint8),
+                    fps=2)
+        out_root = tmp_path / "pt"
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "prepare_dataset.yaml").write_text(f"""
+paths:
+  video_root: {tmp_path / 'videos'}
+  out_root: {out_root}
+backend: skix
+tasks: [pose, mask]
+pose_model: yolo
+yolo_scale: n
+seg_scale: n
+top_k: 4
+score_threshold: -1.0
+seg_score_threshold: -1.0
+det_batch: 2
+chunk_size: 4
+""")
+        main([f"--config-dir={cdir}"])
+        rec = load_pt_info(out_root / "p01" / "osmo_1.npz")
+        assert rec.yolo_mask is not None
+        assert rec.yolo_mask.shape == (T, 1, H, W)
+        assert rec.yolo_mask.dtype == np.uint8
+        assert set(np.unique(rec.yolo_mask)) <= {0, 1}

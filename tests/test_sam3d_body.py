@@ -180,6 +180,38 @@ class TestEstimator:
         assert np.all(np.isfinite(outs[0]["pred_keypoints_3d"]))
         assert np.all(np.isfinite(outs[0]["hand_pose_params"]))
 
+    def test_image_focal_rescales_translation_consistently(self):
+        """An overridden per-frame focal (the MoGe path) must re-express
+        the camera translation under that focal — the reference overrides
+        cam_int BEFORE estimation (sam_3d_body_estimator.py:169-175), so
+        tz ∝ f and the saved (focal, cam_t) pair reprojects identically.
+        Pairing a MoGe focal with a crop-focal translation would shift
+        every downstream reprojection."""
+        model = SAM3DBody(crop_size=64, patch_size=16, embed_dim=32, depth=2,
+                          num_heads=2, decoder_depth=1, decoder_dim=32)
+        est = SAM3DBodyEstimator(model)
+        frames = rng.integers(0, 255, (2, 80, 96, 3)).astype(np.uint8)
+        bboxes = np.tile(np.array([20.0, 10, 70, 75], np.float32), (2, 1))
+        base = est.process_clip(frames, bboxes, batch_size=2)
+        f0 = float(base[0]["focal_length"])
+        outs = est.process_clip(frames, bboxes, batch_size=2,
+                                image_focal=2.0 * f0)
+        for b, o in zip(base, outs):
+            np.testing.assert_allclose(float(o["focal_length"]), 2.0 * f0)
+            np.testing.assert_allclose(o["pred_cam_t"][2],
+                                       2.0 * b["pred_cam_t"][2], rtol=1e-5)
+            np.testing.assert_allclose(o["pred_cam_t"][:2],
+                                       b["pred_cam_t"][:2], rtol=1e-5)
+            # camera-frame joints/vertices shift by the same depth delta
+            # (tz·(r−1)), keeping them consistent with the new cam_t
+            delta = b["pred_cam_t"][2]          # tz·(2−1)
+            np.testing.assert_allclose(
+                o["pred_keypoints_3d"] - b["pred_keypoints_3d"]
+                - np.array([0, 0, delta]), 0.0, atol=1e-5 * abs(delta))
+            np.testing.assert_allclose(
+                o["pred_vertices"] - b["pred_vertices"]
+                - np.array([0, 0, delta]), 0.0, atol=1e-5 * abs(delta))
+
     def test_select_closest_person(self):
         near = {"pred_cam_t": np.array([0.0, 0, 3.0])}
         far = {"pred_cam_t": np.array([0.0, 0, 9.0])}

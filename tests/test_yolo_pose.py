@@ -10,9 +10,13 @@ import jax
 import jax.numpy as jnp
 
 from skix.models.yolo_loss import pose_detection_loss, task_aligned_assign
-from skix.models.yolo_pose import (YoloPose, convert_ultralytics_pose,
-                                   decode_boxes, detect,
-                                   reference_state_dict_spec)
+from skix.models.yolo_pose import (YoloPose, YoloSeg,
+                                   convert_ultralytics_pose,
+                                   convert_ultralytics_seg,
+                                   crop_masks_to_boxes, decode_boxes,
+                                   detect, detect_seg,
+                                   reference_state_dict_spec,
+                                   reference_state_dict_spec_seg)
 
 
 def _tiny_variables(model, hw=64):
@@ -43,6 +47,33 @@ class TestArchitecture:
         assert det.boxes_xyxy.shape == (1, 6, 4)
         assert det.keypoints.shape == (1, 6, 17, 3)
         assert det.valid.dtype == bool
+
+    def test_nms_pool_keeps_weaker_second_object(self):
+        """Duplicate anchors of a dominant object must not evict a
+        weaker real object from the detection pool: NMS runs on a large
+        candidate pool FIRST, then truncates to top_k (ultralytics
+        order). With top-k-before-NMS, object B below would vanish."""
+        from skix.models.yolo_pose import RawPredictions
+
+        A, reg_max = 10, 16
+        # 9 coincident anchors → 9 identical boxes for object A
+        anchors = np.full((A, 2), 2.0, np.float32)
+        anchors[9] = (10.0, 10.0)                  # object B, disjoint
+        box_dist = np.full((1, A, 4, reg_max), -20.0, np.float32)
+        box_dist[..., 1] = 20.0                    # ltrb = 1 grid unit
+        cls = np.full((1, A, 1), 2.2, np.float32)  # dups ≈ 0.90
+        cls[0, 9, 0] = 0.0                         # object B: 0.50
+        raw = RawPredictions(
+            box_dist=jnp.asarray(box_dist), cls_logits=jnp.asarray(cls),
+            kpt_raw=jnp.zeros((1, A, 17, 3)),
+            anchors=jnp.asarray(anchors),
+            strides=jnp.ones((A,), jnp.float32))
+        det = detect(raw, top_k=4, score_threshold=0.25, nms_iou=0.7)
+        valid = np.asarray(det.valid[0])
+        boxes = np.asarray(det.boxes_xyxy[0])[valid]
+        assert valid.sum() == 2, valid
+        assert any(np.allclose(b, [9, 9, 11, 11]) for b in boxes), boxes
+        assert any(np.allclose(b, [1, 1, 3, 3]) for b in boxes), boxes
 
     def test_scale_table_widths(self):
         chs, n3, n6 = YoloPose(scale="s").widths()
@@ -93,6 +124,136 @@ class TestConverter:
         del sd[victim]
         with pytest.raises(KeyError):
             convert_ultralytics_pose(sd, scale="n")
+
+
+class TestSeg:
+    """YoloSeg — the reference YOLOv11Mask capability
+    (prepare_dataset/model/yolov11_mask.py:75)."""
+
+    def test_forward_shapes(self):
+        m = YoloSeg(scale="n")
+        v = _tiny_variables(m)
+        raw = m.apply(v, jnp.zeros((2, 64, 64, 3)))
+        A = (8 * 8 + 4 * 4 + 2 * 2)
+        assert raw.protos.shape == (2, 16, 16, 32)       # stride 4
+        assert raw.mask_coefs.shape == (2, A, 32)
+        assert raw.box_dist.shape == (2, A, 4, 16)
+        det = detect_seg(raw, top_k=4)
+        assert det.masks.shape == (2, 4, 16, 16)
+        assert det.boxes_xyxy.shape == (2, 4, 4)
+
+    def test_mask_is_coef_proto_product_cropped(self):
+        """A detection's mask must equal sigmoid(coefs · protos) zeroed
+        outside its box (ultralytics process_mask semantics). Craft raw
+        predictions where the sole confident anchor selects proto
+        channel 0 with weight 1."""
+        from skix.models.yolo_pose import RawSegPredictions
+
+        A, reg_max, nm, Hp = 4, 16, 8, 8
+        rng = np.random.default_rng(3)
+        protos = rng.normal(size=(1, Hp, Hp, nm)).astype(np.float32)
+        coefs = np.zeros((1, A, nm), np.float32)
+        coefs[0, 0, 0] = 1.0                       # anchor 0 → channel 0
+        cls = np.full((1, A, 1), -10.0, np.float32)
+        cls[0, 0, 0] = 5.0
+        box_dist = np.full((1, A, 4, reg_max), -20.0, np.float32)
+        box_dist[..., 2] = 20.0                    # ltrb = 2 grid units
+        anchors = np.full((A, 2), 3.0, np.float32)
+        raw = RawSegPredictions(
+            box_dist=jnp.asarray(box_dist), cls_logits=jnp.asarray(cls),
+            mask_coefs=jnp.asarray(coefs), protos=jnp.asarray(protos),
+            anchors=jnp.asarray(anchors),
+            strides=jnp.full((A,), 4.0, jnp.float32))
+        det = detect_seg(raw, top_k=1, score_threshold=0.5)
+        assert bool(det.valid[0, 0])
+        # box: (anchor 3,3 ± 2 grid units) * stride 4 = [4, 4, 20, 20] px
+        np.testing.assert_allclose(np.asarray(det.boxes_xyxy[0, 0]),
+                                   [4.0, 4.0, 20.0, 20.0], atol=1e-4)
+        expect = 1.0 / (1.0 + np.exp(-protos[0, ..., 0]))
+        grid = np.arange(Hp)
+        inside = ((grid[None, :] >= 1) & (grid[None, :] < 5)
+                  & (grid[:, None] >= 1) & (grid[:, None] < 5))
+        np.testing.assert_allclose(np.asarray(det.masks[0, 0]),
+                                   expect * inside, atol=1e-5)
+
+    def test_crop_masks_to_boxes(self):
+        m = jnp.ones((1, 8, 8))
+        out = crop_masks_to_boxes(m, jnp.asarray([[8.0, 4.0, 16.0, 12.0]]))
+        a = np.asarray(out[0])
+        assert a[1:3, 2:4].min() == 1.0            # inside
+        assert a[:, :2].max() == 0.0 and a[:1].max() == 0.0
+
+    def test_converter_round_trip(self):
+        """The seg converter consumes the full ultralytics -seg naming
+        and reproduces the exact init tree, incl. the proto upsample
+        ConvTranspose kernel flip."""
+        rng = np.random.default_rng(200)
+        spec = reference_state_dict_spec_seg("n")
+        sd = {k: rng.normal(size=s).astype(np.float32) * 0.05
+              for k, s in spec.items()}
+        for k in sd:
+            if k.endswith("running_var"):
+                sd[k] = np.abs(sd[k]) + 1.0
+        cv = convert_ultralytics_seg(sd, scale="n")
+        m = YoloSeg(scale="n")
+        v = _tiny_variables(m)
+        pi = {jax.tree_util.keystr(p): x.shape
+              for p, x in jax.tree_util.tree_leaves_with_path(v)}
+        pc = {jax.tree_util.keystr(p): x.shape
+              for p, x in jax.tree_util.tree_leaves_with_path(cv)}
+        assert pi == pc
+        out = m.apply(cv, jnp.zeros((1, 64, 64, 3)))
+        assert np.isfinite(np.asarray(out.protos)).all()
+        # any missing tensor must break conversion (full consumption)
+        victim = "model.22.proto.upsample.weight"
+        del sd[victim]
+        with pytest.raises(KeyError):
+            convert_ultralytics_seg(sd, scale="n")
+
+    def test_proto_upsample_matches_torch(self):
+        """lax.conv_transpose does not mirror the kernel; torch does.
+        The converter's spatial flip must make the flax ConvTranspose
+        reproduce torch ConvTranspose2d exactly."""
+        import torch
+
+        import flax.linen as fnn
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(1, 5, 5, 3)).astype(np.float32)
+        t = torch.nn.ConvTranspose2d(3, 4, 2, 2, 0, bias=True)
+        with torch.no_grad():
+            ref = t(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        w = t.weight.detach().numpy()              # (in, out, kh, kw)
+        b = t.bias.detach().numpy()
+        mod = fnn.ConvTranspose(4, (2, 2), strides=(2, 2))
+        vars_ = {"params": {
+            "kernel": jnp.asarray(w.transpose(2, 3, 0, 1)[::-1, ::-1]),
+            "bias": jnp.asarray(b)}}
+        out = mod.apply(vars_, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2),
+            ref.numpy(), atol=1e-5)
+
+    def test_mask_selection_core(self):
+        """_mask_select_core picks each frame's athlete mask by the seg
+        model's own selection and hole-fills invalid frames."""
+        from skix.pipelines.prepare_dataset import _mask_select_core
+
+        T, K, Hp = 3, 2, 4
+        boxes = np.zeros((T, K, 4), np.float32)
+        boxes[..., 2:] = 10.0                       # all same area
+        boxes[0, 1, 2:] = 20.0                      # frame 0: slot 1 bigger
+        valid = np.ones((T, K), bool)
+        valid[1] = False                            # frame 1: no detection
+        masks = np.zeros((T, K, Hp, Hp), np.float32)
+        masks[0, 1] = 0.9
+        masks[2, 0] = 0.7
+        m = np.asarray(_mask_select_core(jnp.asarray(boxes),
+                                         jnp.asarray(valid),
+                                         jnp.asarray(masks)))
+        np.testing.assert_allclose(m[0], 0.9)       # largest-area slot
+        np.testing.assert_allclose(m[1], 0.7)       # hole-filled w/ next
+        np.testing.assert_allclose(m[2], 0.7)
 
 
 class TestLoss:
@@ -249,6 +410,21 @@ class TestCocoData:
         batch2 = next(iter(CocoLoader(ds, batch_size=2, image_size=64,
                                       max_objects=4, augment=False)))
         assert np.array_equal(batch["images"], batch2["images"])
+
+    def test_loader_smaller_than_batch_still_yields(self, tmp_path):
+        """A dataset smaller than batch_size must yield one wrap-around
+        batch per epoch — an empty epoch() range would make the infinite
+        __iter__ spin forever without yielding (train CLI freeze)."""
+        from skix.data import CocoDataset, CocoLoader
+
+        jp, _ = _write_coco_fixture(tmp_path)
+        ds = CocoDataset(jp, image_root=tmp_path)        # 3 examples
+        loader = CocoLoader(ds, batch_size=8, image_size=64,
+                            max_objects=4, augment=False)
+        batch = next(iter(loader))
+        assert batch["images"].shape == (8, 64, 64, 3)
+        assert batch["valid"][:, 0].all()                # every slot filled
+        assert len(list(loader.epoch())) == 1
 
 
 @pytest.mark.slow
