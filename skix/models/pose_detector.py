@@ -117,13 +117,14 @@ class PoseDetector(nn.Module):
 
 def detect_clip(model: PoseDetector, variables, frames_u8, batch_size: int = 8):
     """Whole-clip detection → padded arrays for selection:
-    (boxes (T,K,4) cxcywh, keypoints (T,K,17,3), det_valid (T,K))."""
+    (boxes (T,K,4) cxcywh, keypoints (T,K,17,3), det_valid (T,K),
+    scores (T,K))."""
     import numpy as np
 
     T = frames_u8.shape[0]
     from skix.utils.jitapply import apply_model
     fwd = lambda v, x: apply_model(model, None, v, x)  # noqa: E731
-    boxes, kpts, valid = [], [], []
+    boxes, kpts, valid, scores = [], [], [], []
     for s in range(0, T, batch_size):
         e = min(s + batch_size, T)
         chunk = jnp.asarray(frames_u8[s:e], jnp.float32) / 255.0
@@ -135,5 +136,6 @@ def detect_clip(model: PoseDetector, variables, frames_u8, batch_size: int = 8):
         boxes.append(np.asarray(det.boxes_cxcywh[:n]))
         kpts.append(np.asarray(det.keypoints[:n]))
         valid.append(np.asarray(det.valid[:n]))
+        scores.append(np.asarray(det.scores[:n]))
     return (np.concatenate(boxes), np.concatenate(kpts),
-            np.concatenate(valid))
+            np.concatenate(valid), np.concatenate(scores))

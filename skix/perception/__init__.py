@@ -1,3 +1,7 @@
+from skix.perception.byte_track import (  # noqa: F401
+    ByteTrackConfig,
+    track_sequence_ids,
+)
 from skix.perception.selection import (  # noqa: F401
     fill_invalid_frames,
     select_person_sequence,

@@ -67,20 +67,20 @@ def _chunked_clip_detect(frames: np.ndarray, batch_size: int, pad_hw,
                          detect_chunk):
     """Shared whole-clip detection driver: fixed-size batch chunks with
     /32 spatial padding (static shapes), xyxy→cxcywh to the selection
-    contract. ``detect_chunk(chunk) -> (boxes_xyxy, keypoints, valid)``
-    is the only model-specific part (kept single-sourced so the padding/
-    slicing logic can't drift between the YOLO and D2 sources)."""
+    contract. ``detect_chunk(chunk) -> (boxes_xyxy, keypoints, valid,
+    scores)`` is the only model-specific part (kept single-sourced so the
+    padding/slicing logic can't drift between the YOLO and D2 sources)."""
     import jax.numpy as jnp
 
     T = frames.shape[0]
     ph, pw = pad_hw
-    boxes, kpts, valid = [], [], []
+    boxes, kpts, valid, scores = [], [], [], []
     for s in range(0, T, batch_size):
         e = min(s + batch_size, T)
         chunk = jnp.asarray(frames[s:e], jnp.float32) / 255.0
         chunk = jnp.pad(chunk, ((0, batch_size - (e - s)), (0, ph),
                                 (0, pw), (0, 0)))
-        bx, kp, vl = detect_chunk(chunk)
+        bx, kp, vl, sc = detect_chunk(chunk)
         n = e - s
         b = np.asarray(bx[:n])
         cxy = np.stack([(b[..., 0] + b[..., 2]) / 2,
@@ -89,8 +89,37 @@ def _chunked_clip_detect(frames: np.ndarray, batch_size: int, pad_hw,
         boxes.append(cxy)
         kpts.append(np.asarray(kp[:n]))
         valid.append(np.asarray(vl[:n]))
+        scores.append(np.asarray(sc[:n]))
     return np.concatenate(boxes), np.concatenate(kpts), \
-        np.concatenate(valid)
+        np.concatenate(valid), np.concatenate(scores)
+
+
+def _compute_track_ids(cfg, boxes_cxcywh, scores, valid) -> np.ndarray:
+    """(T, N) det→track-id map via the fixed-slot ByteTrack scan (jit
+    cached per config). Reference: ultralytics ``mode="track"`` built
+    from the ``bytetrack`` yaml block
+    (configs/prepare_dataset.yaml:45-58, yolov11_pose.py:173)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.perception.byte_track import (ByteTrackConfig,
+                                            track_sequence_ids)
+
+    raw = cfg.get("bytetrack", {}) or {}
+    fields = ByteTrackConfig.__dataclass_fields__
+    btc = ByteTrackConfig(**{k: v for k, v in dict(raw).items()
+                             if k in fields})
+    cache = _compute_track_ids.__dict__.setdefault("_jit", {})
+    if btc not in cache:
+        def f(b, s, v, _c=btc):
+            return track_sequence_ids(b, s, v, _c)
+
+        cache[btc] = jax.jit(f)
+    b = jnp.asarray(boxes_cxcywh, jnp.float32)
+    xyxy = jnp.concatenate([b[..., :2] - b[..., 2:] / 2,
+                            b[..., :2] + b[..., 2:] / 2], -1)
+    return np.asarray(cache[btc](xyxy, jnp.asarray(scores, jnp.float32),
+                                 jnp.asarray(valid, bool)))
 
 
 def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
@@ -113,7 +142,8 @@ def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
     def detect_chunk(chunk):
         raw = apply_model(model, None, variables, chunk)
         det = detect(raw, top_k=top_k, score_threshold=thr)
-        return det.boxes_xyxy, det.keypoints, det.valid
+        return det.boxes_xyxy, det.keypoints, det.valid, \
+            det.scores
 
     return _chunked_clip_detect(frames, int(cfg.get("det_batch", 8)),
                                 (ph, pw), detect_chunk)
@@ -144,7 +174,7 @@ def _detect_clip_seg(cfg, frames: np.ndarray, load_vars):
     def detect_chunk(chunk):
         raw = apply_model(model, None, variables, chunk)
         det = detect_seg(raw, top_k=top_k, score_threshold=thr)
-        return det.boxes_xyxy, det.masks, det.valid
+        return det.boxes_xyxy, det.masks, det.valid, det.scores
 
     return _chunked_clip_detect(frames, int(cfg.get("det_batch", 8)),
                                 (ph, pw), detect_chunk)
@@ -179,7 +209,8 @@ def _detect_clip_rcnn(cfg, frames: np.ndarray, load_vars):
 
     def detect_chunk(chunk):
         out = apply_model(model, None, variables, chunk)
-        return out.boxes_xyxy, out.keypoints, out.valid
+        return out.boxes_xyxy, out.keypoints, out.valid, \
+            out.scores
 
     return _chunked_clip_detect(frames, int(cfg.get("d2_batch", 2)),
                                 (ph, pw), detect_chunk)
@@ -219,7 +250,8 @@ def _skix_backend(cfg, video_path: Path):
     def run(frames: np.ndarray) -> dict:
         H, W = frames.shape[1:3]
         if pose_model == "yolo":
-            boxes, kpts, valid = _detect_clip_yolo(cfg, frames, load_vars)
+            boxes, kpts, valid, scores = _detect_clip_yolo(cfg, frames,
+                                                           load_vars)
         else:
             det_model = PoseDetector(
                 width=int(cfg.get("detector_width", 64)),
@@ -229,16 +261,22 @@ def _skix_backend(cfg, video_path: Path):
             det_vars = load_vars("detector_checkpoint", lambda: jax.jit(
                 det_model.init)(jax.random.PRNGKey(0),
                                 jnp.zeros((1, H, W, 3))))
-            boxes, kpts, valid = detect_clip(
+            boxes, kpts, valid, scores = detect_clip(
                 det_model, det_vars, frames,
                 batch_size=int(cfg.get("det_batch", 8)))
         out = {"boxes": boxes, "keypoints": kpts, "det_valid": valid}
+        if bool(cfg.get("tracking", True)) and frames.shape[0]:
+            # reference: ultralytics mode="track" (bytetrack) so person
+            # selection can follow the SAME track id across frames
+            # (yolov11_pose.py:173,241-269)
+            out["track_ids"] = _compute_track_ids(cfg, boxes, scores,
+                                                  valid)
         if "mask" in tasks:
-            sb, sm, sv = _detect_clip_seg(cfg, frames, load_vars)
+            sb, sm, sv, _ = _detect_clip_seg(cfg, frames, load_vars)
             out.update({"seg_boxes": sb, "seg_masks": sm,
                         "seg_valid": sv})
         if d2_model == "rcnn":
-            d2b, d2k, d2v = _detect_clip_rcnn(cfg, frames, load_vars)
+            d2b, d2k, d2v, _ = _detect_clip_rcnn(cfg, frames, load_vars)
             out.update({"d2_boxes": d2b, "d2_keypoints": d2k,
                         "d2_det_valid": d2v})
         if "depth" in tasks:
@@ -284,10 +322,11 @@ def _skix_backend(cfg, video_path: Path):
     return run
 
 
-def _select_core(boxes, kpts, valid):
+def _select_core(boxes, kpts, valid, track_ids):
     from skix.perception import fill_invalid_frames, select_person_sequence
 
-    sel = select_person_sequence(boxes, kpts, det_valid=valid)
+    sel = select_person_sequence(boxes, kpts, det_valid=valid,
+                                 track_ids=track_ids)
     kp = fill_invalid_frames(sel.keypoints, sel.valid)
     sc = fill_invalid_frames(sel.scores, sel.valid)
     bx = fill_invalid_frames(sel.boxes, sel.valid)
@@ -296,7 +335,10 @@ def _select_core(boxes, kpts, valid):
 
 def _select_and_fill(det: dict) -> dict:
     """Jitted athlete selection + hole filling on raw padded detections
-    (jit cached across videos — not a per-call closure)."""
+    (jit cached across videos — not a per-call closure). ``track_ids``
+    (the ByteTrack det→id map) engage selection priority 1 when the
+    backend tracked; −1s otherwise (priority falls through to
+    prev-center/area exactly as before)."""
     import jax
     import jax.numpy as jnp
 
@@ -304,9 +346,13 @@ def _select_and_fill(det: dict) -> dict:
         _select_and_fill._jit = jax.jit(_select_core)
     run = _select_and_fill._jit
 
+    tid = det.get("track_ids")
+    if tid is None:
+        tid = np.full(np.asarray(det["det_valid"]).shape, -1, np.int32)
     kp, sc, bx, none_mask = run(jnp.asarray(det["boxes"], jnp.float32),
                                 jnp.asarray(det["keypoints"], jnp.float32),
-                                jnp.asarray(det["det_valid"], bool))
+                                jnp.asarray(det["det_valid"], bool),
+                                jnp.asarray(tid, jnp.int32))
     none_index = np.where(np.asarray(none_mask))[0].astype(np.int64)
     kp = np.asarray(kp)
     sc = np.asarray(sc)

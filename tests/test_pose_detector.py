@@ -42,10 +42,12 @@ class TestPoseDetector:
         imgs = jnp.zeros((1, 64, 64, 3))
         v = model.init(jax.random.PRNGKey(0), imgs)
         frames = rng.integers(0, 255, (5, 64, 64, 3)).astype(np.uint8)
-        boxes, kpts, valid = detect_clip(model, v, frames, batch_size=2)
+        boxes, kpts, valid, scores = detect_clip(model, v, frames,
+                                                 batch_size=2)
         assert boxes.shape == (5, 4, 4)
         assert kpts.shape == (5, 4, 17, 3)
         assert valid.shape == (5, 4)
+        assert scores.shape == (5, 4)
 
     def test_feeds_selection(self):
         from skix.perception import select_person_sequence
@@ -54,7 +56,7 @@ class TestPoseDetector:
         imgs = jnp.zeros((1, 64, 64, 3))
         v = model.init(jax.random.PRNGKey(0), imgs)
         frames = rng.integers(0, 255, (3, 64, 64, 3)).astype(np.uint8)
-        boxes, kpts, valid = detect_clip(model, v, frames)
+        boxes, kpts, valid, _ = detect_clip(model, v, frames)
         sel = select_person_sequence(jnp.asarray(boxes), jnp.asarray(kpts),
                                      det_valid=jnp.asarray(valid))
         assert sel.keypoints.shape == (3, 17, 2)
