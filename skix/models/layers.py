@@ -106,6 +106,12 @@ class MultiHeadAttention(nn.Module):
     # this by opting in; VGGT's aggregator layouts qualify). Measured
     # ~12 ms/pair on VGGT-1B vs XLA-level rope (relayout copies).
     rope_tables: bool = False
+    # explicit kernel tile edge (block_q == block_k == attn_block): short
+    # self-attention layouts (ViT-Det 24² windows) default to the XLA
+    # fallback because S < the default block_q; a single tile sized to S
+    # keeps the softmax in VMEM instead of round-tripping the (S, S)
+    # score tensor through HBM.
+    attn_block: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -126,6 +132,9 @@ class MultiHeadAttention(nn.Module):
         if self.rope_freq > 0 and pos is not None and not fuse_rope:
             q = rope_2d(q, pos, self.rope_freq)
             k = rope_2d(k, pos, self.rope_freq)
+        blocks = ({} if self.attn_block is None else dict(
+            block_q=self.attn_block, block_k_major=self.attn_block,
+            block_k=self.attn_block))
         if self.attn_fn is not None:
             out = self.attn_fn(q, k, v)
         elif fuse_rope:
@@ -141,9 +150,10 @@ class MultiHeadAttention(nn.Module):
                     "(the cos/sin table is built from pos[0])"
             cos, sin = rope_2d_tables(pos[0], hd, self.rope_freq)
             out = flash_attention(q, k, v, fixed_max=self.attn_fixed_max,
-                                  rope_cos=cos, rope_sin=sin)
+                                  rope_cos=cos, rope_sin=sin, **blocks)
         else:
-            out = flash_attention(q, k, v, fixed_max=self.attn_fixed_max)
+            out = flash_attention(q, k, v, fixed_max=self.attn_fixed_max,
+                                  **blocks)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(C, use_bias=self.proj_bias, dtype=self.dtype,
                         name="proj")(out)
@@ -165,6 +175,7 @@ class Block(nn.Module):
     attn_fn: Optional[Callable] = None
     attn_fixed_max: Optional[float] = None
     rope_tables: bool = False
+    attn_block: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -176,6 +187,7 @@ class Block(nn.Module):
                                self.dtype, attn_fn=self.attn_fn,
                                attn_fixed_max=self.attn_fixed_max,
                                rope_tables=self.rope_tables,
+                               attn_block=self.attn_block,
                                name="attn")(h, pos)
         if self.init_values:
             h = LayerScale(self.init_values, name="ls1")(h)

@@ -9,9 +9,12 @@ absolute positions):
 
 - window partition/unpartition are pure reshapes — free layout changes
   under XLA; the 72×72 grid splits into 3×3 windows of 24² tokens and
-  every window attends through the same Pallas flash kernel;
-- RoPE uses GLOBAL grid coordinates in both window and global blocks (the
-  rotation depends only on relative offsets, which windowing preserves);
+  every window attends through a single-tile (block == ws²) Pallas flash
+  call with rope fused as cos/sin tables (``window_flash``), keeping the
+  (576, 576) score tile in VMEM;
+- RoPE rotation depends only on relative coordinate offsets, so window
+  blocks use window-LOCAL coordinates (batch-identical → table-fusable)
+  with outputs identical to the global-coordinate form;
 - the SimpleFPN neck hangs four scale branches (4×, 2×, 1×, 0.5×) off the
   LAST trunk feature, each ending in 1×1 + 3×3 convs to ``d_model``, with
   sine-cosine position maps (necks.py:110-124).
@@ -84,7 +87,7 @@ def apply_rope_interleaved(x, angles):
     return out.reshape(shape).astype(x.dtype)
 
 
-def _sam3_rope_attention(q, k, v, angles):
+def _sam3_rope_attention(q, k, v, angles, block: Optional[int] = None):
     """Attention core with the reference's interleaved axial rope applied
     to q/k (plugged in as ``attn_fn``; angles are static per layout).
 
@@ -92,12 +95,15 @@ def _sam3_rope_attention(q, k, v, angles):
     (skix.ops.attention): fused into the flash kernel on long sequences
     (the 4 global blocks at 1008 px), and applied as einsum@R at the XLA
     level otherwise — both avoid the reshape-pair relayout copies of the
-    naive interleaved rotation."""
+    naive interleaved rotation. ``block`` sizes a single kernel tile to
+    the window length so the 24² windows take the Pallas path too."""
     from skix.ops.attention import flash_attention, interleaved_rope_tables
 
     cos, sin = interleaved_rope_tables(jnp.asarray(angles))
+    blocks = ({} if block is None else dict(
+        block_q=block, block_k_major=block, block_k=block))
     return flash_attention(q, k, v, rope_cos=cos, rope_sin=sin,
-                           rope_rotate="interleaved")
+                           rope_rotate="interleaved", **blocks)
 
 
 def _window_positions(gh: int, gw: int, window_size: int) -> np.ndarray:
@@ -134,6 +140,15 @@ class ViTDetBackbone(nn.Module):
     pretrain_img_size: Optional[int] = None
     ln_pre: bool = True
     remat: bool = False
+    # Route the 24²-token window blocks through a single-tile Pallas
+    # flash call (block == ws²) with rope fused as cos/sin tables instead
+    # of the XLA fallback (which round-trips the (S, S) score tensor
+    # through HBM and applies rope as relayout copies). Window rope then
+    # uses WINDOW-LOCAL coordinates — numerically identical to global
+    # coords because axial-rope logits depend only on coordinate
+    # DIFFERENCES, which windowing preserves (q·R(θp_q)ᵀR(θp_k)·k =
+    # q·R(θ(p_k−p_q))·k). False = round-2 behavior (parity tests).
+    window_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -159,17 +174,31 @@ class ViTDetBackbone(nn.Module):
 
         hd = self.embed_dim // self.num_heads
         ws = self.window_size
+        win_block = ws * ws if self.window_flash else None
         if self.rope_style == "sam3":
             blk_extra_glob = dict(rope_freq=-1.0, attn_fn=functools.partial(
                 _sam3_rope_attention,
                 angles=jnp.asarray(axial_rope_angles(gh, gw, hd))))
             blk_extra_win = dict(rope_freq=-1.0, attn_fn=functools.partial(
                 _sam3_rope_attention,
-                angles=jnp.asarray(axial_rope_angles(ws, ws, hd))))
+                angles=jnp.asarray(axial_rope_angles(ws, ws, hd)),
+                block=win_block))
+        elif self.window_flash:
+            # batch-identical positions (global grid for global blocks,
+            # window-local for windows — see window_flash) let rope ride
+            # the fused-table kernel path in every block
+            blk_extra_glob = dict(rope_freq=self.rope_freq,
+                                  rope_tables=True)
+            blk_extra_win = dict(rope_freq=self.rope_freq,
+                                 rope_tables=True, attn_block=win_block)
         else:
             blk_extra_glob = blk_extra_win = dict(rope_freq=self.rope_freq)
         pos_global = jnp.asarray(make_grid_positions(gh, gw))[None]
-        pos_win = jnp.asarray(_window_positions(gh, gw, ws))
+        if self.window_flash and self.rope_style != "sam3":
+            pos_win = jnp.asarray(
+                make_grid_positions(ws, ws))[None]      # (1, ws², 2) local
+        else:
+            pos_win = jnp.asarray(_window_positions(gh, gw, ws))
         BlockCls = nn.remat(Block) if self.remat else Block
         glob = set(self.global_att_blocks)
         for i in range(self.depth):

@@ -48,6 +48,9 @@ class TestPallasKernelInterpret:
         (2, 3, 64, 64, 16, 16, 32, 16),     # two-level KV tiling
         (1, 2, 100, 72, 32, 32, 32, 16),    # ragged: q and kv padding
         (2, 2, 128, 128, 64, 64, 64, 32),
+        # single tile sized to S — the ViT-Det window configuration
+        # (block_q == block_k == S keeps the whole score tile in VMEM)
+        (1, 2, 64, 64, 64, 64, 64, 64),
     ]
 
     @pytest.mark.parametrize("case", CASES)

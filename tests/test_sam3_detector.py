@@ -49,6 +49,40 @@ class TestWindowing:
         np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_g),
                                    atol=1e-5)
 
+    def test_window_flash_matches_round2_path(self):
+        """window_flash routes window blocks through table-form rope with
+        WINDOW-LOCAL coordinates (single Pallas tile on TPU). Axial-rope
+        logits depend only on coordinate differences, so outputs must be
+        identical to the round-2 path (global per-window coords, rope_2d
+        at the XLA level) on a multi-window grid."""
+        rng = np.random.default_rng(903)
+        kw = dict(img_size=112, patch_size=14, embed_dim=32, depth=2,
+                  num_heads=2, mlp_ratio=2.0, window_size=4,
+                  global_att_blocks=(1,))
+        m_new = ViTDetBackbone(**kw, window_flash=True)
+        m_old = ViTDetBackbone(**kw, window_flash=False)
+        imgs = jnp.asarray(rng.normal(size=(2, 112, 112, 3)), jnp.float32)
+        v = m_new.init(jax.random.PRNGKey(0), imgs)
+        np.testing.assert_allclose(np.asarray(m_new.apply(v, imgs)),
+                                   np.asarray(m_old.apply(v, imgs)),
+                                   atol=2e-5)
+
+    def test_window_flash_sam3_style_runs(self):
+        """sam3-rope windows pass an explicit single-tile block size; the
+        two routes agree (same table rope either way — only the kernel
+        engagement differs, which the CPU XLA fallback normalizes)."""
+        rng = np.random.default_rng(904)
+        kw = dict(img_size=112, patch_size=14, embed_dim=32, depth=1,
+                  num_heads=2, mlp_ratio=2.0, window_size=4,
+                  global_att_blocks=(), rope_style="sam3")
+        m_new = ViTDetBackbone(**kw, window_flash=True)
+        m_old = ViTDetBackbone(**kw, window_flash=False)
+        imgs = jnp.asarray(rng.normal(size=(1, 112, 112, 3)), jnp.float32)
+        v = m_new.init(jax.random.PRNGKey(0), imgs)
+        np.testing.assert_allclose(np.asarray(m_new.apply(v, imgs)),
+                                   np.asarray(m_old.apply(v, imgs)),
+                                   atol=2e-5)
+
     def test_windowed_differs_on_larger_grid(self):
         rng = np.random.default_rng(902)
         m_win = ViTDetBackbone(img_size=112, patch_size=14, embed_dim=32,
