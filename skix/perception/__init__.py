@@ -1,5 +1,6 @@
 from skix.perception.byte_track import (  # noqa: F401
     ByteTrackConfig,
+    estimate_global_motion,
     track_sequence_ids,
 )
 from skix.perception.selection import (  # noqa: F401

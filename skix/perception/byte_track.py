@@ -159,10 +159,58 @@ def _det_taken(assign, N):
     return jnp.zeros(N, bool).at[safe].max(assign >= 0)
 
 
+def estimate_global_motion(flow, stride: int = 16):
+    """Per-pair affine camera motion from dense optical flow (the
+    BoT-SORT ``gmc_method: sparseOptFlow`` role, reference
+    configs/prepare_dataset.yaml:78 — here fit on the RAFT flow the
+    pipeline already computes, denser than sparse corners).
+
+    ``flow (T-1, 2, H, W)`` (dx, dy per pixel) → ``(T-1, 2, 3)`` affine
+    ``M = [A | b]`` mapping frame-t coords to frame-t+1 coords, least
+    squares over a ``stride``-subsampled grid."""
+    flow = jnp.asarray(flow, jnp.float32)
+    H, W = flow.shape[-2:]
+    ys = jnp.arange(0, H, stride, dtype=jnp.float32) + stride / 2
+    xs = jnp.arange(0, W, stride, dtype=jnp.float32) + stride / 2
+    gy, gx = jnp.meshgrid(jnp.clip(ys, 0, H - 1), jnp.clip(xs, 0, W - 1),
+                          indexing="ij")
+    P = jnp.stack([gx.ravel(), gy.ravel(),
+                   jnp.ones_like(gx.ravel())], -1)        # (n, 3)
+
+    def one(f):
+        d = f[:, gy.astype(jnp.int32), gx.astype(jnp.int32)]  # (2, n)
+        tgt = P[:, :2] + d.reshape(2, -1).T               # (n, 2)
+        # normal equations: M (3, 2) minimizing ||P M − tgt||²
+        G = P.T @ P + 1e-6 * jnp.eye(3)
+        M = jnp.linalg.solve(G, P.T @ tgt)                # (3, 2)
+        return M.T                                        # (2, 3)
+
+    return jax.vmap(one)(flow)
+
+
+def _apply_gmc(mean, cov, warp):
+    """BoT-SORT ``multi_gmc``: transform Kalman state by the camera
+    warp ``[A | b]`` — positions/velocities rotate by A, h scales by
+    √|det A|, and the covariance conjugates by the same block map."""
+    A = warp[:, :2]
+    b = warp[:, 2]
+    s = jnp.sqrt(jnp.abs(jnp.linalg.det(A)))
+    M = jnp.zeros((8, 8))
+    M = M.at[0:2, 0:2].set(A).at[2, 2].set(1.0).at[3, 3].set(s)
+    M = M.at[4:6, 4:6].set(A).at[6, 6].set(1.0).at[7, 7].set(s)
+    shift = jnp.zeros(8).at[0:2].set(b)
+    mean2 = jnp.einsum("ij,kj->ki", M, mean) + shift[None]
+    cov2 = jnp.einsum("ij,kjl,ml->kim", M, cov, M)
+    return mean2, cov2
+
+
 def byte_track_step(state: ByteTrackState, boxes_xyxy, scores, valid,
-                    cfg: ByteTrackConfig):
+                    cfg: ByteTrackConfig, warp=None):
     """One frame. ``boxes_xyxy (N, 4)``, ``scores (N,)``, ``valid (N,)``.
-    Returns ``(new_state, det_ids (N,) int32)``."""
+    ``warp (2, 3)`` optionally maps previous-frame coords into this
+    frame (BoT-SORT camera-motion compensation) and is applied to every
+    occupied slot before association. Returns ``(new_state,
+    det_ids (N,) int32)``."""
     K = cfg.max_tracks
     boxes_xyxy = jnp.asarray(boxes_xyxy, jnp.float32)
     scores = jnp.asarray(scores, jnp.float32)
@@ -171,6 +219,12 @@ def byte_track_step(state: ByteTrackState, boxes_xyxy, scores, valid,
     rounds = min(K, N)
 
     occupied = state.tracked | state.lost
+    if warp is not None:
+        gmean, gcov = _apply_gmc(state.mean, state.cov,
+                                 jnp.asarray(warp, jnp.float32))
+        state = state._replace(
+            mean=jnp.where(occupied[:, None], gmean, state.mean),
+            cov=jnp.where(occupied[:, None, None], gcov, state.cov))
     # ByteTrack zeroes the vh velocity of non-tracked tracks pre-predict
     mean0 = jnp.where((occupied & ~state.tracked)[:, None],
                       state.mean.at[:, 7].set(0.0), state.mean)
@@ -282,17 +336,34 @@ def byte_track_step(state: ByteTrackState, boxes_xyxy, scores, valid,
 
 
 def track_sequence_ids(boxes_xyxy, scores, valid,
-                       cfg: ByteTrackConfig = ByteTrackConfig()):
+                       cfg: ByteTrackConfig = ByteTrackConfig(),
+                       motion=None):
     """Whole-clip tracking: ``boxes_xyxy (T, N, 4)``, ``scores (T, N)``,
     ``valid (T, N)`` → ``(T, N)`` int32 det→track-id map (−1 = no track).
-    One jit-able ``lax.scan``."""
+    One jit-able ``lax.scan``.
+
+    ``motion (T-1, 2, 3)``: optional per-pair camera warps (frame t →
+    t+1, see :func:`estimate_global_motion`) — supplying them is the
+    BoT-SORT configuration (``tracker_type: botsort`` with
+    ``with_reid: False``, the reference's setting)."""
+    T = jnp.asarray(boxes_xyxy).shape[0]
+    if motion is None:
+        warps = None
+    else:
+        ident = jnp.eye(2, 3, dtype=jnp.float32)[None]
+        warps = jnp.concatenate(
+            [ident, jnp.asarray(motion, jnp.float32)], axis=0)[:T]
 
     def step(state, inp):
-        b, s, v = inp
-        return byte_track_step(state, b, s, v, cfg)
+        if warps is None:
+            b, s, v = inp
+            return byte_track_step(state, b, s, v, cfg)
+        b, s, v, w = inp
+        return byte_track_step(state, b, s, v, cfg, warp=w)
 
-    _, ids = jax.lax.scan(step, init_byte_track_state(cfg),
-                          (jnp.asarray(boxes_xyxy, jnp.float32),
-                           jnp.asarray(scores, jnp.float32),
-                           jnp.asarray(valid, bool)))
+    xs = (jnp.asarray(boxes_xyxy, jnp.float32),
+          jnp.asarray(scores, jnp.float32), jnp.asarray(valid, bool))
+    if warps is not None:
+        xs = xs + (warps,)
+    _, ids = jax.lax.scan(step, init_byte_track_state(cfg), xs)
     return ids

@@ -94,32 +94,45 @@ def _chunked_clip_detect(frames: np.ndarray, batch_size: int, pad_hw,
         np.concatenate(valid), np.concatenate(scores)
 
 
-def _compute_track_ids(cfg, boxes_cxcywh, scores, valid) -> np.ndarray:
+def _compute_track_ids(cfg, boxes_cxcywh, scores, valid,
+                       flow=None) -> np.ndarray:
     """(T, N) det→track-id map via the fixed-slot ByteTrack scan (jit
     cached per config). Reference: ultralytics ``mode="track"`` built
-    from the ``bytetrack`` yaml block
-    (configs/prepare_dataset.yaml:45-58, yolov11_pose.py:173)."""
+    from the ``bytetrack``/``botsort`` yaml blocks
+    (configs/prepare_dataset.yaml:45-82, yolov11_pose.py:173).
+    ``tracker_type: botsort`` adds camera-motion compensation fitted on
+    the pipeline's optical flow (``flow (T-1, 2, H, W)``; silently
+    plain-ByteTrack when the flow task is off)."""
     import jax
     import jax.numpy as jnp
 
     from skix.perception.byte_track import (ByteTrackConfig,
+                                            estimate_global_motion,
                                             track_sequence_ids)
 
-    raw = cfg.get("bytetrack", {}) or {}
+    raw = dict(cfg.get("bytetrack", {}) or {})
+    use_gmc = (raw.get("tracker_type") == "botsort" and flow is not None
+               and flow.shape[0] > 0)
     fields = ByteTrackConfig.__dataclass_fields__
-    btc = ByteTrackConfig(**{k: v for k, v in dict(raw).items()
-                             if k in fields})
+    btc = ByteTrackConfig(**{k: v for k, v in raw.items() if k in fields})
     cache = _compute_track_ids.__dict__.setdefault("_jit", {})
-    if btc not in cache:
-        def f(b, s, v, _c=btc):
-            return track_sequence_ids(b, s, v, _c)
+    key = (btc, use_gmc)
+    if key not in cache:
+        def f(b, s, v, m=None, _c=btc):
+            return track_sequence_ids(b, s, v, _c, motion=m)
 
-        cache[btc] = jax.jit(f)
+        cache[key] = jax.jit(f)
+    if "gmc" not in cache:     # module-cached: never a per-call closure
+        cache["gmc"] = jax.jit(estimate_global_motion)
     b = jnp.asarray(boxes_cxcywh, jnp.float32)
     xyxy = jnp.concatenate([b[..., :2] - b[..., 2:] / 2,
                             b[..., :2] + b[..., 2:] / 2], -1)
-    return np.asarray(cache[btc](xyxy, jnp.asarray(scores, jnp.float32),
-                                 jnp.asarray(valid, bool)))
+    args = (xyxy, jnp.asarray(scores, jnp.float32),
+            jnp.asarray(valid, bool))
+    if use_gmc:
+        motion = cache["gmc"](jnp.asarray(flow, jnp.float32))
+        return np.asarray(cache[key](*args, motion))
+    return np.asarray(cache[key](*args))
 
 
 def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
@@ -265,12 +278,6 @@ def _skix_backend(cfg, video_path: Path):
                 det_model, det_vars, frames,
                 batch_size=int(cfg.get("det_batch", 8)))
         out = {"boxes": boxes, "keypoints": kpts, "det_valid": valid}
-        if bool(cfg.get("tracking", True)) and frames.shape[0]:
-            # reference: ultralytics mode="track" (bytetrack) so person
-            # selection can follow the SAME track id across frames
-            # (yolov11_pose.py:173,241-269)
-            out["track_ids"] = _compute_track_ids(cfg, boxes, scores,
-                                                  valid)
         if "mask" in tasks:
             sb, sm, sv, _ = _detect_clip_seg(cfg, frames, load_vars)
             out.update({"seg_boxes": sb, "seg_masks": sm,
@@ -317,6 +324,13 @@ def _skix_backend(cfg, video_path: Path):
                 jnp.zeros((1, H + ph, W + pw, 3))))
             out["optical_flow"] = compute_flow_sequence(
                 rm, rv, frames, chunk_size=int(cfg.get("flow_batch", 2)))
+        if bool(cfg.get("tracking", True)) and frames.shape[0]:
+            # reference: ultralytics mode="track" so person selection can
+            # follow the SAME track id across frames
+            # (yolov11_pose.py:173,241-269); runs after the flow task so
+            # tracker_type: botsort can fit camera motion on it
+            out["track_ids"] = _compute_track_ids(
+                cfg, boxes, scores, valid, flow=out.get("optical_flow"))
         return out
 
     return run

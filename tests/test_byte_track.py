@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from skix.perception.byte_track import (ByteTrackConfig, ByteTrackState,
                                         _kalman_initiate, _kalman_predict,
                                         _kalman_update, byte_track_step,
+                                        estimate_global_motion,
                                         init_byte_track_state,
                                         track_sequence_ids, xyah_to_xyxy,
                                         xyxy_to_xyah)
@@ -158,6 +159,46 @@ class TestByteTrack:
         f = jax.jit(lambda b, s, v: track_sequence_ids(b, s, v))
         ids = f(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
         assert ids.shape == (5, 4) and ids.dtype == jnp.int32
+
+    def test_gmc_affine_recovered_from_flow(self):
+        """estimate_global_motion fits the exact affine that generated
+        a synthetic flow field (rotation + scale + translation)."""
+        H, W = 64, 96
+        A = np.array([[1.02, -0.05], [0.05, 1.02]], np.float32)
+        b = np.array([3.0, -2.0], np.float32)
+        gy, gx = np.mgrid[0:H, 0:W].astype(np.float32)
+        P = np.stack([gx, gy], 0)                       # (2, H, W)
+        tgt = np.einsum("ij,jhw->ihw", A, P) + b[:, None, None]
+        flow = (tgt - P)[None]                          # (1, 2, H, W)
+        M = np.asarray(estimate_global_motion(flow, stride=8))[0]
+        np.testing.assert_allclose(M[:, :2], A, atol=1e-3)
+        np.testing.assert_allclose(M[:, 2], b, atol=0.2)
+
+    def test_botsort_gmc_survives_camera_pan(self):
+        """A hard camera pan shifts every box by more than its own width
+        per frame: IoU association without motion compensation loses the
+        track (new id), while the BoT-SORT configuration (motion warps
+        from flow) keeps ONE id — the reference's tracker_type: botsort
+        behavior."""
+        T, N, W = 8, 4, 400
+        pan = 30.0                                  # px/frame, box w=16
+        boxes = np.zeros((T, N, 4), np.float32)
+        scores = np.zeros((T, N), np.float32)
+        valid = np.zeros((T, N), bool)
+        for t in range(T):
+            cx = 50 + pan * t                       # static in world
+            boxes[t, 0] = [cx - 8, 42, cx + 8, 74]
+            scores[t, 0] = 0.9
+            valid[t, 0] = True
+        flow = np.zeros((T - 1, 2, 32, W), np.float32)
+        flow[:, 0] = pan                            # uniform x-shift
+        motion = estimate_global_motion(flow, stride=8)
+        ids_plain = np.asarray(track_sequence_ids(boxes, scores, valid))
+        ids_gmc = np.asarray(track_sequence_ids(boxes, scores, valid,
+                                                motion=motion))
+        assert len(set(ids_plain[:, 0].tolist())) > 1   # track breaks
+        assert (ids_gmc[:, 0] == ids_gmc[0, 0]).all()   # GMC holds it
+        assert ids_gmc[0, 0] >= 0
 
     def test_selection_consumes_track_ids(self):
         """End-to-end with person selection: the tracker's ids make
