@@ -1,0 +1,96 @@
+"""One-shot TPU experiment batch: window-flash A/B on the detector path.
+
+Runs, in one process (remote compiles amortized):
+  1. the window-attention micro-bench (XLA vs single-tile Pallas, rope)
+  2. Sam3Detector full-size forward, window_flash ON vs OFF
+
+Honest timing per CLAUDE.md: iteration chains INSIDE jit where possible,
+dispatch chains otherwise, one host readback at the end of each chain.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/bench_window_flash_ab.py
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def micro():
+    from skix.ops.attention import flash_attention, rope_2d_tables
+
+    B, H, S, D = 9, 16, 576, 64
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, S, D),
+                                 jnp.bfloat16) for i in range(3))
+    pos = np.stack(np.meshgrid(np.arange(24), np.arange(24),
+                               indexing="ij"), -1).reshape(-1, 2)
+    cos, sin = rope_2d_tables(jnp.asarray(pos), D, 100.0)
+
+    def mk(**kw):
+        @jax.jit
+        def chain(q, k, v):
+            def body(c, _):
+                out = flash_attention(c, k, v, **kw)
+                return c + out.astype(c.dtype) * 1e-3, ()
+            c, _ = jax.lax.scan(body, q, None, length=20)
+            return jnp.sum(c)
+        return chain
+
+    tile = dict(block_q=576, block_k_major=576, block_k=576)
+    for name, fn in [
+            ("xla (old route)", mk()),
+            ("pallas576", mk(**tile)),
+            ("xla+rope-tables", mk(rope_cos=cos, rope_sin=sin)),
+            ("pallas576+rope", mk(rope_cos=cos, rope_sin=sin, **tile))]:
+        s = fn(q, k, v)
+        _ = float(s)                      # compile + settle
+        t0 = time.perf_counter()
+        _ = float(fn(q, k, v))
+        ms = (time.perf_counter() - t0) / 20 * 1e3
+        print(f"micro {name:18s} {ms:7.3f} ms/block  x28 = "
+              f"{28 * ms:6.1f} ms/frame", flush=True)
+
+
+def detector(window_flash: bool):
+    from skix.tracking.sam3_detector import Sam3Detector
+
+    det = Sam3Detector.full_size(dtype=jnp.bfloat16,
+                                 window_flash=window_flash)
+    rng = np.random.default_rng(0)
+    size = det.img_size
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(0, 0.1, (1, 8, det.d_model)), jnp.float32)
+    t0 = time.time()
+    variables = jax.jit(lambda k: det.init(k, imgs, text))(
+        jax.random.PRNGKey(0))
+    print(f"init {time.time()-t0:.0f}s (window_flash={window_flash})",
+          flush=True)
+
+    @jax.jit
+    def step(v, x):
+        out = det.apply(v, x, text)
+        nxt = x * 0.999 + jnp.mean(out.scores) * 1e-6
+        return jnp.sum(out.boxes_cxcywh) + jnp.sum(out.scores), nxt
+
+    t0 = time.time()
+    s, x = step(variables, imgs)
+    _ = float(s)
+    print(f"compile+first {time.time()-t0:.0f}s", flush=True)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        s, x = step(variables, x)
+    _ = float(s)
+    dt = (time.time() - t0) / iters
+    print(f"detector fwd window_flash={window_flash}: {dt*1000:.1f} "
+          f"ms/frame = {1/dt:.1f} fps @1008px", flush=True)
+
+
+if __name__ == "__main__":
+    micro()
+    detector(True)
+    detector(False)

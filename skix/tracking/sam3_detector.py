@@ -552,6 +552,15 @@ class Sam3Detector(nn.Module):
     max_points: int = 8
     max_boxes: int = 4
     box_rpb: str = "log"  # reference builder config (decoder.py boxRPB)
+    # single-tile Pallas flash for the trunk's window blocks (vitdet.py
+    # window_flash; False = pre-round-3 XLA fallback, for A/B benches)
+    window_flash: bool = True
+    # trunk rope convention: "skix" (2D rope, global coords) or "sam3"
+    # (the reference's interleaved axial rope — REQUIRED when running
+    # weights through convert_vitdet_state_dict) + the matching
+    # pretrain pos-embed grid (vitdet pretrain 336 → 24)
+    rope_style: str = "skix"
+    pretrain_img_size: Optional[int] = None
     remat: bool = False
     dtype: jnp.dtype = jnp.float32       # trunk compute dtype
     # compute dtype of the neck/encoder/decoder/pixel-decoder tail —
@@ -593,7 +602,9 @@ class Sam3Detector(nn.Module):
             num_heads=self.backbone_heads, mlp_ratio=self.mlp_ratio,
             window_size=self.window_size,
             global_att_blocks=self.global_att_blocks, remat=self.remat,
-            dtype=self.dtype, name="backbone")(x)
+            window_flash=self.window_flash, rope_style=self.rope_style,
+            pretrain_img_size=self.pretrain_img_size, dtype=self.dtype,
+            name="backbone")(x)
         feats, poss = SimpleFPNNeck(self.d_model, dtype=self.head_dtype,
                                     name="neck")(trunk)
         # encoder memory: the 1.0-scale level (stride = patch size)

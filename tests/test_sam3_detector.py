@@ -186,6 +186,22 @@ class TestDetector:
         for leaf in jax.tree.leaves(out):
             assert np.all(np.isfinite(np.asarray(leaf)))
 
+    def test_sam3_rope_style_plumbs_to_trunk(self):
+        """A converted SAM3 checkpoint needs the trunk in the reference
+        rope convention — rope_style/pretrain_img_size reach the
+        backbone through the full detector (regression: they used to be
+        backbone-only knobs, unreachable from Sam3Detector)."""
+        rng = np.random.default_rng(915)
+        m = Sam3Detector.tiny(rope_style="sam3", pretrain_img_size=56)
+        imgs = jnp.asarray(rng.uniform(0, 1, (1, 112, 112, 3)), jnp.float32)
+        text = jnp.asarray(rng.normal(0, 0.1, (1, 4, 64)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), imgs, text)
+        # pretrain grid 56/14 = 4 → tiled pos-embed table is (1, 4, 4, C)
+        pe = v["params"]["backbone"]["pos_embed"]
+        assert pe.shape[1:3] == (4, 4)
+        out = m.apply(v, imgs, text)
+        assert np.all(np.isfinite(np.asarray(out.scores)))
+
     def test_text_prompt_conditions_output(self):
         m, imgs, text, v = self._setup()
         s1 = m.apply(v, imgs, text).scores
