@@ -39,6 +39,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from skix.ops.nms import box_iou
 
@@ -159,33 +160,51 @@ def _det_taken(assign, N):
     return jnp.zeros(N, bool).at[safe].max(assign >= 0)
 
 
+def motion_grid(H: int, W: int, stride: int = 16):
+    """The (y_idx, x_idx) sample grid :func:`fit_global_motion` expects —
+    exposed so callers can subsample the flow volume HOST-side and ship
+    only ~1/stride² of it to the device (a 300-frame 1080p flow is ~5 GB
+    dense; the stride-16 samples are ~19 MB)."""
+    ys = np.clip(np.arange(0, H, stride) + stride // 2, 0, H - 1)
+    xs = np.clip(np.arange(0, W, stride) + stride // 2, 0, W - 1)
+    return np.meshgrid(ys, xs, indexing="ij")
+
+
+def fit_global_motion(points, flows):
+    """Least-squares affine fit: ``points (n, 2)`` full-resolution (x, y)
+    sample coords, ``flows (T-1, n, 2)`` their (dx, dy) flow vectors →
+    ``(T-1, 2, 3)`` affine ``M = [A | b]`` mapping frame-t coords to
+    frame-t+1 coords."""
+    points = jnp.asarray(points, jnp.float32)
+    P = jnp.concatenate([points, jnp.ones_like(points[:, :1])], -1)
+    G = P.T @ P + 1e-6 * jnp.eye(3)
+
+    def one(d):
+        tgt = points + d
+        M = jnp.linalg.solve(G, P.T @ tgt)                # (3, 2)
+        return M.T                                        # (2, 3)
+
+    return jax.vmap(one)(jnp.asarray(flows, jnp.float32))
+
+
 def estimate_global_motion(flow, stride: int = 16):
     """Per-pair affine camera motion from dense optical flow (the
     BoT-SORT ``gmc_method: sparseOptFlow`` role, reference
     configs/prepare_dataset.yaml:78 — here fit on the RAFT flow the
     pipeline already computes, denser than sparse corners).
 
-    ``flow (T-1, 2, H, W)`` (dx, dy per pixel) → ``(T-1, 2, 3)`` affine
-    ``M = [A | b]`` mapping frame-t coords to frame-t+1 coords, least
-    squares over a ``stride``-subsampled grid."""
+    ``flow (T-1, 2, H, W)`` (dx, dy per pixel) → ``(T-1, 2, 3)``
+    affines, least squares over a ``stride``-subsampled grid. Convenience
+    wrapper over :func:`fit_global_motion`; pipelines with host-resident
+    flow should subsample with :func:`motion_grid` first and jit only
+    the fit."""
     flow = jnp.asarray(flow, jnp.float32)
     H, W = flow.shape[-2:]
-    ys = jnp.arange(0, H, stride, dtype=jnp.float32) + stride / 2
-    xs = jnp.arange(0, W, stride, dtype=jnp.float32) + stride / 2
-    gy, gx = jnp.meshgrid(jnp.clip(ys, 0, H - 1), jnp.clip(xs, 0, W - 1),
-                          indexing="ij")
-    P = jnp.stack([gx.ravel(), gy.ravel(),
-                   jnp.ones_like(gx.ravel())], -1)        # (n, 3)
-
-    def one(f):
-        d = f[:, gy.astype(jnp.int32), gx.astype(jnp.int32)]  # (2, n)
-        tgt = P[:, :2] + d.reshape(2, -1).T               # (n, 2)
-        # normal equations: M (3, 2) minimizing ||P M − tgt||²
-        G = P.T @ P + 1e-6 * jnp.eye(3)
-        M = jnp.linalg.solve(G, P.T @ tgt)                # (3, 2)
-        return M.T                                        # (2, 3)
-
-    return jax.vmap(one)(flow)
+    gy, gx = motion_grid(H, W, stride)
+    points = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1),
+                         jnp.float32)
+    flows = flow[:, :, gy, gx].reshape(flow.shape[0], 2, -1)
+    return fit_global_motion(points, flows.transpose(0, 2, 1))
 
 
 def _apply_gmc(mean, cov, warp):
@@ -250,9 +269,10 @@ def byte_track_step(state: ByteTrackState, boxes_xyxy, scores, valid,
                        1.0 - cfg.second_match_thresh, rounds)
     taken = taken | _det_taken(a2, N)
 
-    # stage 3: unconfirmed tracks vs remaining high detections
+    # stage 3: unconfirmed tracks vs remaining high detections (score-
+    # fused like stage 1 — ultralytics fuses BOTH IoU-cost associations)
     unconf = state.tracked & ~state.activated
-    a3 = _greedy_match(iou, unconf, high & ~taken,
+    a3 = _greedy_match(sim1, unconf, high & ~taken,
                        1.0 - cfg.unconfirmed_match_thresh, rounds)
     taken = taken | _det_taken(a3, N)
 

@@ -107,8 +107,9 @@ def _compute_track_ids(cfg, boxes_cxcywh, scores, valid,
     import jax.numpy as jnp
 
     from skix.perception.byte_track import (ByteTrackConfig,
-                                            estimate_global_motion,
+                                            fit_global_motion, motion_grid,
                                             track_sequence_ids)
+    from skix.tracking.matcher import cxcywh_to_xyxy
 
     raw = dict(cfg.get("bytetrack", {}) or {})
     use_gmc = (raw.get("tracker_type") == "botsort" and flow is not None
@@ -123,14 +124,20 @@ def _compute_track_ids(cfg, boxes_cxcywh, scores, valid,
 
         cache[key] = jax.jit(f)
     if "gmc" not in cache:     # module-cached: never a per-call closure
-        cache["gmc"] = jax.jit(estimate_global_motion)
-    b = jnp.asarray(boxes_cxcywh, jnp.float32)
-    xyxy = jnp.concatenate([b[..., :2] - b[..., 2:] / 2,
-                            b[..., :2] + b[..., 2:] / 2], -1)
+        cache["gmc"] = jax.jit(fit_global_motion)
+    xyxy = cxcywh_to_xyxy(jnp.asarray(boxes_cxcywh, jnp.float32))
     args = (xyxy, jnp.asarray(scores, jnp.float32),
             jnp.asarray(valid, bool))
     if use_gmc:
-        motion = cache["gmc"](jnp.asarray(flow, jnp.float32))
+        # subsample HOST-side: ship ~1/stride² of the flow volume to the
+        # device instead of the dense (T-1, 2, H, W) field (~5 GB for a
+        # 300-frame 1080p clip through the relay)
+        flow = np.asarray(flow)
+        gy, gx = motion_grid(*flow.shape[-2:])
+        pts = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+        samples = flow[:, :, gy, gx].reshape(flow.shape[0], 2, -1)
+        motion = cache["gmc"](jnp.asarray(pts),
+                              jnp.asarray(samples.transpose(0, 2, 1)))
         return np.asarray(cache[key](*args, motion))
     return np.asarray(cache[key](*args))
 

@@ -186,11 +186,15 @@ class ViTDetBackbone(nn.Module):
         elif self.window_flash:
             # batch-identical positions (global grid for global blocks,
             # window-local for windows — see window_flash) let rope ride
-            # the fused-table kernel path in every block
+            # the fused-table kernel path in every block. Table-form
+            # rope needs rotation PAIRS inside each axis half (head_dim
+            # % 4); tiny test configs below that keep XLA-level rope_2d
+            # but still take the single-tile kernel.
+            tables = hd % 4 == 0
             blk_extra_glob = dict(rope_freq=self.rope_freq,
-                                  rope_tables=True)
+                                  rope_tables=tables)
             blk_extra_win = dict(rope_freq=self.rope_freq,
-                                 rope_tables=True, attn_block=win_block)
+                                 rope_tables=tables, attn_block=win_block)
         else:
             blk_extra_glob = blk_extra_win = dict(rope_freq=self.rope_freq)
         pos_global = jnp.asarray(make_grid_positions(gh, gw))[None]
