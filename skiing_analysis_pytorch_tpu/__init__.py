@@ -12,9 +12,9 @@ import sys
 import skix
 
 _SUBMODULES = (
-    "angle", "config", "front_side", "fuse", "geometry", "io", "metrics",
-    "models", "ops", "parallel", "perception", "pipelines", "solvers",
-    "tracking", "utils", "vis",
+    "angle", "config", "data", "front_side", "fuse", "geometry", "io",
+    "metrics", "models", "ops", "parallel", "perception", "pipelines",
+    "solvers", "tracking", "utils", "vis",
 )
 
 for _sub in _SUBMODULES:
