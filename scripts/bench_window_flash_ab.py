@@ -90,7 +90,42 @@ def detector(window_flash: bool):
           f"ms/frame = {1/dt:.1f} fps @1008px", flush=True)
 
 
+def lsum_vggt_scale():
+    """fixed-max fwd at VGGT-global scale (S=8192, D=64): does moving
+    the Σp partition onto the ones-column MXU matmul (mxu_lsum) beat the
+    VPU lane reduction? (The D=64 forward plateaued ~49.5 TF/s,
+    VPU-softmax-chain bound — docs/PERF.md.)"""
+    from skix.ops.attention import flash_attention
+
+    B, H, S, D = 1, 16, 8192, 64
+    key = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, H, S, D),
+                                 jnp.bfloat16) for i in range(3))
+    flops = 4.0 * B * H * S * S * D
+
+    def mk(**kw):
+        @jax.jit
+        def chain(q, k, v):
+            def body(c, _):
+                out = flash_attention(c, k, v, fixed_max=8.0, **kw)
+                return c + out.astype(c.dtype) * 1e-3, ()
+            c, _ = jax.lax.scan(body, q, None, length=10)
+            return jnp.sum(c)
+        return chain
+
+    for name, fn in [("fixed-max (vpu lsum)", mk()),
+                     ("fixed-max + mxu_lsum", mk(mxu_lsum=True))]:
+        s = fn(q, k, v)
+        _ = float(s)
+        t0 = time.perf_counter()
+        _ = float(fn(q, k, v))
+        dt = (time.perf_counter() - t0) / 10
+        print(f"lsum {name:22s} {dt*1e3:7.2f} ms  "
+              f"{flops/dt/1e12:6.1f} TF/s", flush=True)
+
+
 if __name__ == "__main__":
     micro()
+    lsum_vggt_scale()
     detector(True)
     detector(False)

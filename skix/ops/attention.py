@@ -185,7 +185,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
                 sm_scale: float, kv_tiles: int, kv_len: int,
                 block_k_major: int, block_k: int, needs_mask: bool,
                 fixed_max: float | None = None, with_rope: bool = False,
-                save_residuals: bool = True):
+                save_residuals: bool = True,
+                lsum_col: int | None = None):
     """One (q-tile × kv-major-tile) step of online-softmax accumulation,
     sub-tiled over ``block_k`` chunks for the MXU.
 
@@ -263,7 +264,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
             # KV step — is pure overhead. Over/underflow-safe as long as
             # |s − M| < 126 in base-2.
             p = jnp.exp2(s - fixed_max * _LOG2E)
-            l_scr[...] += jnp.sum(p, axis=1, keepdims=True)
+            if lsum_col is None:
+                l_scr[...] += jnp.sum(p, axis=1, keepdims=True)
+            # else: V carries a ones column at lsum_col — Σp accumulates
+            # inside the same MXU matmul, no VPU reduction at all
             acc_scr[...] += jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         else:
@@ -282,8 +286,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
 
     @pl.when(kv_idx == kv_tiles - 1)
     def _store():
-        l = l_scr[...]
-        o_ref[0, 0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(
+        if lsum_col is None:
+            l = l_scr[...]
+            acc = acc_scr[...]
+        else:
+            l = acc_scr[:, lsum_col:lsum_col + 1]
+            acc = acc_scr[:, :o_ref.shape[-1]]
+        o_ref[0, 0] = (acc / jnp.where(l == 0.0, 1.0, l)).astype(
             o_ref.dtype)
         if lse_ref is not None:
             if fixed_max is not None:
@@ -300,13 +309,18 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
                    block_k_major: int, block_k: int, interpret: bool,
                    save_residuals: bool, fixed_max: float | None = None,
                    rope_cos=None, rope_sin=None,
-                   rope_rotate: str = "half"):
+                   rope_rotate: str = "half", mxu_lsum: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     with_rope = rope_cos is not None
+    # MXU l-sum (fixed-max only): append a ones column to V at lane D so
+    # the softmax partition Σp rides the p·V matmul — output lanes ≤ 128
+    # cost the same MXU pass, and the per-step (bq, bk) VPU lane
+    # reduction disappears (the last reduction fixed-max mode still had).
+    lsum = bool(mxu_lsum) and fixed_max is not None and D < _LANES
     block_q = min(block_q, _round_up(Sq, 8))
     block_k_major = min(block_k_major, _round_up(Sk, 8))
     block_k = min(block_k, block_k_major)
@@ -317,6 +331,11 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    if lsum:
+        # ones at lane D (padded KV rows too — their p is exactly 0
+        # through the padding mask), zeros beyond
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, 0), (0, _LANES - D)))
+        vp = vp.at[..., D].set(jnp.asarray(1.0, vp.dtype))
     nq = (Sq + pq) // block_q
     nk = (Sk + pk) // block_k_major
 
@@ -324,14 +343,15 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
         _fwd_kernel, sm_scale=sm_scale, kv_tiles=nk, kv_len=Sk,
         block_k_major=block_k_major, block_k=block_k, needs_mask=pk > 0,
         fixed_max=fixed_max, with_rope=with_rope,
-        save_residuals=save_residuals)
+        save_residuals=save_residuals, lsum_col=D if lsum else None)
 
+    Dv = _LANES if lsum else D
     operands = [qp, kp, vp]
     in_specs = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_k_major, D),
                      lambda b, h, i, j: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_k_major, D),
+        pl.BlockSpec((1, 1, block_k_major, Dv),
                      lambda b, h, i, j: (b, h, j, 0)),
     ]
     if with_rope:
@@ -371,7 +391,7 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),   # running max
             pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
-            pltpu.VMEM((block_q, D), jnp.float32),   # output accumulator
+            pltpu.VMEM((block_q, Dv), jnp.float32),  # output accumulator
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -653,10 +673,11 @@ def _round_up(x: int, m: int) -> int:
 # --------------------------------------------------------------------------
 # custom-vjp wrapper + public API
 # --------------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
                      block_k_major, block_k, interpret, fixed_max,
-                     rope_rotate):
+                     rope_rotate, mxu_lsum):
     with_rope = rope_cos is not None
     if not (interpret or jax.default_backend() == "tpu"):
         if with_rope:
@@ -667,26 +688,28 @@ def _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
     return _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
                           block_k, interpret, save_residuals=False,
                           fixed_max=fixed_max, rope_cos=rope_cos,
-                          rope_sin=rope_sin, rope_rotate=rope_rotate)
+                          rope_sin=rope_sin, rope_rotate=rope_rotate,
+                          mxu_lsum=mxu_lsum)
 
 
 def _fwd(q, k, v, rope_cos, rope_sin, sm_scale, block_q, block_k_major,
-         block_k, interpret, fixed_max, rope_rotate):
+         block_k, interpret, fixed_max, rope_rotate, mxu_lsum):
     with_rope = rope_cos is not None
     if not (interpret or jax.default_backend() == "tpu"):
         o = _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale,
                              block_q, block_k_major, block_k, interpret,
-                             fixed_max, rope_rotate)
+                             fixed_max, rope_rotate, mxu_lsum)
         return o, (q, k, v, None, None, rope_cos, rope_sin)
     o, lse = _flash_forward(q, k, v, sm_scale, block_q, block_k_major,
                             block_k, interpret, save_residuals=True,
                             fixed_max=fixed_max, rope_cos=rope_cos,
-                            rope_sin=rope_sin, rope_rotate=rope_rotate)
+                            rope_sin=rope_sin, rope_rotate=rope_rotate,
+                            mxu_lsum=mxu_lsum)
     return o, (q, k, v, o, lse, rope_cos, rope_sin)
 
 
 def _bwd(sm_scale, block_q, block_k_major, block_k, interpret, fixed_max,
-         rope_rotate, res, g):
+         rope_rotate, mxu_lsum, res, g):
     q, k, v, o, lse, rope_cos, rope_sin = res
     with_rope = rope_cos is not None
     # rope tables are non-differentiable constants BY CONVENTION (see the
@@ -760,7 +783,8 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
                     block_k: int = 1024, interpret: bool = False,
                     fixed_max: float | None = None,
                     rope_cos=None, rope_sin=None,
-                    rope_rotate: str = "half"):
+                    rope_rotate: str = "half",
+                    mxu_lsum: bool = False):
     """Multi-head attention, shapes ``(B, H, S, D)`` → ``(B, H, Sq, D)``.
 
     Uses the Pallas flash kernels (fwd + bwd) on TPU, the fused-XLA
@@ -773,6 +797,12 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     the rotary embedding of q AND k into the kernel: the rotate-half lane
     shuffle runs as a 64-deep MXU matmul on VMEM tiles instead of XLA
     relayout copies (self-attention layouts only, Sq == Sk).
+
+    ``mxu_lsum`` (fixed-max mode, D < 128 only): append a ones column to
+    V so the softmax partition Σp accumulates inside the p·V matmul —
+    output lanes ≤ 128 cost the same MXU pass and the last remaining
+    per-step VPU lane reduction disappears. Forward-path optimization;
+    the backward is unchanged.
 
     ROPE TABLE INVARIANTS: (1) the sin table must be **pair-symmetric**
     under the chosen ``rope_rotate`` convention — ``sin[s, i] ==
@@ -807,4 +837,4 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
         block_q = 2048
     return _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
                             block_k_major, block_k, interpret, fixed_max,
-                            rope_rotate)
+                            rope_rotate, mxu_lsum)

@@ -87,6 +87,50 @@ class TestPallasKernelInterpret:
             q, k, v, 1.0 / np.sqrt(D)))))(q)
         np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=3e-4)
 
+    @pytest.mark.parametrize("case", CASES[:2])
+    def test_mxu_lsum_matches(self, case):
+        """mxu_lsum rides the softmax partition Σp on the ones-column of
+        the p·V matmul (fixed-max only) — exact vs the reference,
+        including the ragged case where padded KV rows must contribute
+        exactly zero mass, and grads still flow (bwd path unchanged)."""
+        B, H, Sq, Sk, D, bq, bkm, bk = case
+        r = np.random.default_rng(21)
+        q = jnp.asarray(r.normal(size=(B, H, Sq, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, Sk, D)), jnp.float32)
+        out = flash_attention(q, k, v, block_q=bq, block_k_major=bkm,
+                              block_k=bk, interpret=True, fixed_max=8.0,
+                              mxu_lsum=True)
+        ref = _attention_reference(q, k, v, 1.0 / np.sqrt(D))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+        g = jax.grad(lambda q: jnp.sum(jnp.sin(flash_attention(
+            q, k, v, block_q=bq, block_k_major=bkm, block_k=bk,
+            interpret=True, fixed_max=8.0, mxu_lsum=True))))(q)
+        gr = jax.grad(lambda q: jnp.sum(jnp.sin(_attention_reference(
+            q, k, v, 1.0 / np.sqrt(D)))))(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=3e-4)
+
+    def test_mxu_lsum_with_rope_tables(self, ):
+        """mxu_lsum composes with in-kernel rope (V is untouched by
+        rope, so the ones column is orthogonal to it)."""
+        from skix.ops.attention import rope_2d_tables
+
+        r = np.random.default_rng(23)
+        B, H, S, D = 1, 2, 64, 32
+        q = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        k = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        v = jnp.asarray(r.normal(size=(B, H, S, D)), jnp.float32)
+        pos = np.stack(np.meshgrid(np.arange(8), np.arange(8),
+                                   indexing="ij"), -1).reshape(-1, 2)
+        cos, sin = rope_2d_tables(jnp.asarray(pos), D, 100.0)
+        out = flash_attention(q, k, v, block_q=32, block_k_major=32,
+                              block_k=32, interpret=True, fixed_max=8.0,
+                              rope_cos=cos, rope_sin=sin, mxu_lsum=True)
+        ref = flash_attention(q, k, v, rope_cos=cos, rope_sin=sin)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+
     @pytest.mark.parametrize("case", CASES)
     def test_backward_matches_reference(self, case):
         B, H, Sq, Sk, D, bq, bkm, bk = case
