@@ -112,6 +112,9 @@ class MultiHeadAttention(nn.Module):
     # keeps the softmax in VMEM instead of round-tripping the (S, S)
     # score tensor through HBM.
     attn_block: Optional[int] = None
+    # fixed-max mode only: ride the softmax partition Σp on the ones-
+    # column of the p·V MXU matmul (skix.ops.attention mxu_lsum)
+    attn_mxu_lsum: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -135,6 +138,8 @@ class MultiHeadAttention(nn.Module):
         blocks = ({} if self.attn_block is None else dict(
             block_q=self.attn_block, block_k_major=self.attn_block,
             block_k=self.attn_block))
+        if self.attn_mxu_lsum:
+            blocks = dict(blocks, mxu_lsum=True)
         if self.attn_fn is not None:
             out = self.attn_fn(q, k, v)
         elif fuse_rope:
@@ -176,6 +181,7 @@ class Block(nn.Module):
     attn_fixed_max: Optional[float] = None
     rope_tables: bool = False
     attn_block: Optional[int] = None
+    attn_mxu_lsum: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None):
@@ -188,6 +194,7 @@ class Block(nn.Module):
                                attn_fixed_max=self.attn_fixed_max,
                                rope_tables=self.rope_tables,
                                attn_block=self.attn_block,
+                               attn_mxu_lsum=self.attn_mxu_lsum,
                                name="attn")(h, pos)
         if self.init_values:
             h = LayerScale(self.init_values, name="ls1")(h)
