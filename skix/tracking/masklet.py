@@ -457,6 +457,43 @@ def _full_frame_step(detector, tracker, cfg: MaskletConfig,
                                det.mask_logits[0], state, banks)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _scan_frame_chunk(detector, tracker, cfg: MaskletConfig,
+                      fill_holes: bool, is_u8: bool, det_size: int,
+                      trk_size: int, det_vars, trk_vars, frames, valid,
+                      text, state: MaskletState, banks):
+    """C frames as ONE program: ``lax.scan`` over the fused frame step.
+
+    ``valid (C,)`` masks tail padding — an invalid step still computes
+    (same program every chunk) but its state/bank updates are discarded,
+    so the caller pads the last chunk instead of compiling a second
+    program per tail length. Amortizes the per-frame dispatch + readback
+    round-trips of :meth:`MaskletVideoModel.propagate` across the chunk.
+    """
+
+    def body(carry, inp):
+        state, banks = carry
+        frame, ok = inp
+        ns, nb, out = _full_frame_step(detector, tracker, cfg, fill_holes,
+                                       is_u8, det_size, trk_size,
+                                       det_vars, trk_vars, frame, text,
+                                       state, banks)
+        ns = jax.tree.map(lambda a, b: jnp.where(ok, a, b), ns, state)
+        nb = jax.tree.map(lambda a, b: jnp.where(ok, a, b), nb, banks)
+        return (ns, nb), out
+
+    (state, banks), outs = jax.lax.scan(body, (state, banks),
+                                        (frames, valid))
+    return state, banks, outs
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _upsample_masks_batch(logits, out_h: int, out_w: int):
+    C, K = logits.shape[:2]
+    up = jax.image.resize(logits, (C, K, out_h, out_w), "bilinear")
+    return up > 0
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _prep_frame(frame, is_u8: bool, det_size: int, trk_size: int):
     """uint8/float frame → (det input, tracker input), one jitted program
@@ -599,3 +636,58 @@ class MaskletVideoModel:
                     "tracker_score": np.asarray(out["trk_scores"]),
                 },
             }
+
+    def propagate_clip(self, frames, prompt_tokens, yield_masks_at=None,
+                       chunk: int = 8):
+        """Chunk-scanned propagation: ``chunk`` frames per dispatch.
+
+        Same per-frame output dicts as :meth:`propagate`, but the frame
+        loop runs as a ``lax.scan`` inside one jitted program per chunk
+        (:func:`_scan_frame_chunk`) — upload, C frame steps, and ONE
+        stacked readback per chunk instead of a dispatch + readback
+        round-trip per frame through the relay. The last chunk pads with
+        repeated frames and masks them to no-ops (single compiled
+        program regardless of T). Geometry prompts are not supported on
+        this path — use :meth:`propagate`."""
+        T, H, W = frames.shape[:3]
+        out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
+        state, banks = self.init_state((self.trk_img_size,) * 2)
+        is_u8 = frames.dtype == np.uint8
+        for s in range(0, T, chunk):
+            e = min(s + chunk, T)
+            fr = frames[s:e]
+            if e - s < chunk:
+                fr = np.concatenate(
+                    [fr, np.repeat(fr[-1:], chunk - (e - s), axis=0)])
+            ok = jnp.arange(chunk) < (e - s)
+            state, banks, outs = _scan_frame_chunk(
+                self.detector, self.tracker, self.cfg, self.fill_holes,
+                is_u8, self.detector.img_size, self.trk_img_size,
+                self.det_variables, self.trk_variables, jnp.asarray(fr),
+                ok, prompt_tokens, state, banks)
+            logits = outs["out_mask_logits"]          # (C, K, gh, gw)
+            masks = np.asarray(_upsample_masks_batch(logits, *out_hw))
+            lh, lw = logits.shape[-2:]
+            boxes = np.array(outs["boxes_lowres"], np.float32)
+            boxes[..., [0, 2]] *= out_hw[1] / lw
+            boxes[..., [1, 3]] *= out_hw[0] / lh
+            logits_np = np.asarray(logits)
+            ids = np.asarray(outs["obj_id"])
+            act = np.asarray(outs["active"])
+            conf = np.asarray(outs["confirmed"])
+            sc = np.asarray(outs["spawn_score"])
+            tsc = np.asarray(outs["trk_scores"])
+            for i in range(e - s):
+                yield {
+                    "frame_index": s + i,
+                    "outputs": {
+                        "mask": masks[i],
+                        "mask_logits_lowres": logits_np[i],
+                        "boxes": boxes[i],
+                        "obj_id": ids[i],
+                        "active": act[i],
+                        "confirmed": conf[i],
+                        "score": sc[i],
+                        "tracker_score": tsc[i],
+                    },
+                }

@@ -245,8 +245,14 @@ class VideoPredictor:
             }
             for t, g in s.geometry.items()
         } or None
-        for item in mdl.propagate(s.frames, jnp.asarray(prompt),
-                                  geometry_by_frame=geometry_by_frame):
+        if geometry_by_frame is None:
+            # no geometric prompts → the chunk-scanned path (C frames
+            # per dispatch; exact-parity test vs the streaming loop)
+            stream = mdl.propagate_clip(s.frames, jnp.asarray(prompt))
+        else:
+            stream = mdl.propagate(s.frames, jnp.asarray(prompt),
+                                   geometry_by_frame=geometry_by_frame)
+        for item in stream:
             out = item["outputs"]
             out_np = {
                 "mask": out["mask"],

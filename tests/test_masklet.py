@@ -444,6 +444,27 @@ class TestMaskletVideoModel:
         # spawned-slot scores differ from the no-geometry run
         assert not np.allclose(base[0]["score"], geo[0]["score"])
 
+    def test_propagate_clip_matches_streaming(self, model):
+        """The chunk-scanned path (lax.scan over the fused frame step,
+        padded+masked tail) must produce EXACTLY the streaming loop's
+        outputs — including the final partial chunk whose padded steps
+        must not advance state."""
+        mdl, prompt = model
+        rng = np.random.default_rng(11)
+        frames = rng.integers(0, 255, (5, 40, 56, 3)).astype(np.uint8)
+        ref = [o["outputs"] for o in mdl.propagate(frames, prompt)]
+        got = [o["outputs"] for o in mdl.propagate_clip(frames, prompt,
+                                                        chunk=2)]
+        assert len(got) == len(ref) == 5
+        for r, g in zip(ref, got):
+            for k in ("obj_id", "active", "confirmed"):
+                np.testing.assert_array_equal(g[k], r[k], err_msg=k)
+            for k in ("score", "tracker_score", "boxes",
+                      "mask_logits_lowres"):
+                np.testing.assert_allclose(g[k], r[k], atol=1e-5,
+                                           err_msg=k)
+            np.testing.assert_array_equal(g["mask"], r["mask"])
+
     def test_memory_banks_written(self, model):
         mdl, prompt = model
         rng = np.random.default_rng(1)
