@@ -827,6 +827,14 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
             q = _apply_rope_tables(q, rope_cos, rope_sin, R)
             k = _apply_rope_tables(k, rope_cos, rope_sin, R)
         return _attention_reference(q, k, v, sm_scale)
+    if mxu_lsum and (fixed_max is None or q.shape[-1] >= _LANES):
+        import warnings
+
+        warnings.warn(
+            "mxu_lsum requested but inapplicable (needs fixed_max set and "
+            f"D < {_LANES}; got fixed_max={fixed_max}, D={q.shape[-1]}) — "
+            "running the baseline kernel. A/B measurements would silently "
+            "compare baseline against itself.", stacklevel=2)
     # wider Q tiles amortize K/V HBM reloads: measured +7% fwd at S=8192
     # (fixed-max, v5e — docs/PERF.md sweep). Applied only when the caller
     # left ALL tiling at defaults (an explicit sub-tiled block_k combined

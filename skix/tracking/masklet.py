@@ -494,6 +494,28 @@ def _upsample_masks_batch(logits, out_h: int, out_w: int):
     return up > 0
 
 
+def _frame_outputs(out_hw, mask, logits, boxes_lowres, obj_id, active,
+                   confirmed, score, trk_score) -> dict:
+    """ONE source for the per-frame session output dict (the streaming
+    and chunk-scanned paths must stay byte-identical — session.py routes
+    between them on geometry presence). ``boxes_lowres`` are xyxy on the
+    logits grid and scale to ``out_hw`` here."""
+    lh, lw = np.asarray(logits).shape[-2:]
+    boxes = np.array(boxes_lowres, np.float32)       # writable copy
+    boxes[..., [0, 2]] *= out_hw[1] / lw
+    boxes[..., [1, 3]] *= out_hw[0] / lh
+    return {
+        "mask": np.asarray(mask),
+        "mask_logits_lowres": np.asarray(logits),
+        "boxes": boxes,
+        "obj_id": np.asarray(obj_id),
+        "active": np.asarray(active),
+        "confirmed": np.asarray(confirmed),
+        "score": np.asarray(score),
+        "tracker_score": np.asarray(trk_score),
+    }
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _prep_frame(frame, is_u8: bool, det_size: int, trk_size: int):
     """uint8/float frame → (det input, tracker input), one jitted program
@@ -619,22 +641,12 @@ class MaskletVideoModel:
                                           geometry=geometry)
             logits = out["out_mask_logits"]               # (K, gh, gw)
             masks = np.asarray(_upsample_masks(logits, *out_hw))
-            lh, lw = logits.shape[-2:]
-            boxes = np.array(out["boxes_lowres"], np.float32)  # writable
-            boxes[:, [0, 2]] *= out_hw[1] / lw
-            boxes[:, [1, 3]] *= out_hw[0] / lh
             yield {
                 "frame_index": t,
-                "outputs": {
-                    "mask": masks,
-                    "mask_logits_lowres": np.asarray(logits),
-                    "boxes": boxes,
-                    "obj_id": np.asarray(out["obj_id"]),
-                    "active": np.asarray(out["active"]),
-                    "confirmed": np.asarray(out["confirmed"]),
-                    "score": np.asarray(out["spawn_score"]),
-                    "tracker_score": np.asarray(out["trk_scores"]),
-                },
+                "outputs": _frame_outputs(
+                    out_hw, masks, logits, out["boxes_lowres"],
+                    out["obj_id"], out["active"], out["confirmed"],
+                    out["spawn_score"], out["trk_scores"]),
             }
 
     def propagate_clip(self, frames, prompt_tokens, yield_masks_at=None,
@@ -666,28 +678,16 @@ class MaskletVideoModel:
                 self.det_variables, self.trk_variables, jnp.asarray(fr),
                 ok, prompt_tokens, state, banks)
             logits = outs["out_mask_logits"]          # (C, K, gh, gw)
-            masks = np.asarray(_upsample_masks_batch(logits, *out_hw))
-            lh, lw = logits.shape[-2:]
-            boxes = np.array(outs["boxes_lowres"], np.float32)
-            boxes[..., [0, 2]] *= out_hw[1] / lw
-            boxes[..., [1, 3]] *= out_hw[0] / lh
-            logits_np = np.asarray(logits)
-            ids = np.asarray(outs["obj_id"])
-            act = np.asarray(outs["active"])
-            conf = np.asarray(outs["confirmed"])
-            sc = np.asarray(outs["spawn_score"])
-            tsc = np.asarray(outs["trk_scores"])
+            # ONE batched device→host pull for the whole chunk (per-key
+            # np.asarray would serialize a readback round-trip each)
+            host = jax.device_get(
+                (_upsample_masks_batch(logits, *out_hw), logits,
+                 outs["boxes_lowres"], outs["obj_id"], outs["active"],
+                 outs["confirmed"], outs["spawn_score"],
+                 outs["trk_scores"]))
             for i in range(e - s):
                 yield {
                     "frame_index": s + i,
-                    "outputs": {
-                        "mask": masks[i],
-                        "mask_logits_lowres": logits_np[i],
-                        "boxes": boxes[i],
-                        "obj_id": ids[i],
-                        "active": act[i],
-                        "confirmed": conf[i],
-                        "score": sc[i],
-                        "tracker_score": tsc[i],
-                    },
+                    "outputs": _frame_outputs(
+                        out_hw, *(a[i] for a in host)),
                 }

@@ -43,7 +43,7 @@ class VideoPredictor:
                  variables=None, tracker_cfg: Optional[TrackerConfig] = None,
                  rng_seed: int = 0, batch_size: int = 4,
                  text_encoder=None, clip=None,
-                 tracker=None, masklet_cfg=None):
+                 tracker=None, masklet_cfg=None, scan_chunk: int = 8):
         """``detector``: a compact :class:`DetrDetector` (default) or a
         full-capability :class:`skix.tracking.sam3_detector.Sam3Detector`.
 
@@ -59,7 +59,10 @@ class VideoPredictor:
         mask-IoU association + memory-conditioned per-object propagation,
         and ``propagate_in_video`` outputs carry per-object ``mask``
         arrays. ``masklet_cfg``: a :class:`skix.tracking.masklet.
-        MaskletConfig` for that path."""
+        MaskletConfig` for that path. ``scan_chunk``: frames per fused
+        scan dispatch on the no-geometry masklet path — outputs arrive
+        in bursts of this size (first result after one chunk, not one
+        frame); set 1 for lowest-latency interactive streaming."""
         from skix.tracking.sam3_detector import Sam3Detector
 
         self.detector = detector or DetrDetector()
@@ -68,6 +71,7 @@ class VideoPredictor:
         self.clip = clip
         self.tracker = tracker
         self.masklet_cfg = masklet_cfg
+        self.scan_chunk = int(scan_chunk)
         if tracker is not None and not self.is_sam3:
             raise ValueError("masklet propagation (tracker=...) needs the "
                              "Sam3Detector path (mask-producing detector)")
@@ -247,8 +251,10 @@ class VideoPredictor:
         } or None
         if geometry_by_frame is None:
             # no geometric prompts → the chunk-scanned path (C frames
-            # per dispatch; exact-parity test vs the streaming loop)
-            stream = mdl.propagate_clip(s.frames, jnp.asarray(prompt))
+            # per dispatch; exact-parity test vs the streaming loop).
+            # Results arrive in scan_chunk-sized bursts — see __init__.
+            stream = mdl.propagate_clip(s.frames, jnp.asarray(prompt),
+                                        chunk=self.scan_chunk)
         else:
             stream = mdl.propagate(s.frames, jnp.asarray(prompt),
                                    geometry_by_frame=geometry_by_frame)
