@@ -89,6 +89,17 @@ def main(T: int = 10, n_obj: int = 8, trk_size: int = 512):
     print(f"masklet video step (device clip): {dt*1000:.1f} ms/frame = "
           f"{1/dt:.1f} fps", flush=True)
 
+    # chunk-scanned path: C frames per dispatch + one stacked readback
+    # (propagate_clip; exact-parity vs the streaming loop by test)
+    for chunk in (4, 8):
+        outs = list(model.propagate_clip(imgs[:chunk], text, chunk=chunk))
+        t0 = time.time()
+        outs = list(model.propagate_clip(imgs, text, chunk=chunk))
+        dt = (time.time() - t0) / T
+        print(f"propagate_clip chunk={chunk}: {dt*1000:.1f} ms/frame = "
+          f"{1/dt:.1f} fps (incl. upsample+download of "
+          f"{outs[0]['outputs']['mask'].shape} masks/frame)", flush=True)
+
     # ---- component budget (each piece chained 5× inside its own loop,
     # one readback per component) ----
     from skix.tracking.masklet import (_masklet_frame_core, _prep_frame)
