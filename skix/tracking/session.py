@@ -107,6 +107,55 @@ class VideoPredictor:
             lambda st, b, s, v: tracker_step(st, b, s, v, self.cfg))
 
     # ---------------- request API ----------------
+    def handle_request(self, request: dict) -> Optional[dict]:
+        """The reference's dict request protocol
+        (sam3_video_predictor.py:56 ``handle_request``): dispatch on
+        ``request["type"]``. ``start_session`` accepts the reference's
+        ``resource_path`` (decoded via skix.io.video) or a preloaded
+        ``frames`` array; ``add_prompt`` takes the protocol's
+        ``bounding_boxes`` in **xywh** (sam3_video_predictor.py:157
+        ``boxes_xywh``), converted here to the xyxy our API uses."""
+        rt = request["type"]
+        if rt == "start_session":
+            if "frames" in request:
+                frames = np.asarray(request["frames"])
+            else:
+                from skix.io.video import read_video
+
+                frames = read_video(request["resource_path"])
+            return {"session_id": self.start_session(frames)}
+        if rt == "add_prompt":
+            boxes = request.get("bounding_boxes")
+            if boxes is not None:
+                b = np.asarray(boxes, np.float32)
+                boxes = np.concatenate([b[:, :2], b[:, :2] + b[:, 2:]], -1)
+            fi = request.get("frame_index", 0)
+            self.add_prompt(request["session_id"],
+                            text=request.get("text"),
+                            frame_idx=fi,
+                            points=request.get("points"),
+                            point_labels=request.get("point_labels"),
+                            boxes_xyxy=boxes,
+                            box_labels=request.get("bounding_box_labels"))
+            return {"frame_index": fi}
+        if rt == "remove_object":
+            self.remove_object(request["session_id"], request["obj_id"])
+            return None
+        if rt == "reset_session":
+            self.reset_session(request["session_id"])
+            return None
+        if rt == "close_session":
+            self.close_session(request["session_id"])
+            return None
+        raise RuntimeError(f"invalid request type: {rt}")
+
+    def handle_stream_request(self, request: dict) -> Iterator[dict]:
+        """Streaming half of the protocol (sam3_video_predictor.py:88)."""
+        if request["type"] != "propagate_in_video":
+            raise RuntimeError(f"invalid request type: {request['type']}")
+        yield from self.propagate_in_video(request["session_id"],
+                                           request.get("text"))
+
     def start_session(self, frames: np.ndarray) -> int:
         sid = self._next_session
         self._next_session += 1

@@ -196,6 +196,73 @@ class TestSession:
         pred.close_session(sid)
         assert sid not in pred.sessions
 
+    def test_dict_request_protocol(self):
+        """The reference pipeline drives sessions through the dict
+        request protocol (prepare_front_results.py:58-129 — start,
+        person prompt, propagate, reset, snow prompt, propagate, close).
+        The adapter must accept that exact request sequence, including
+        xywh bounding_boxes and resource-free 'frames' start."""
+        det = DetrDetector(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                           num_heads=2, num_queries=4, decoder_depth=1,
+                           prompt_dim=16)
+        pred = VideoPredictor(det, tracker_cfg=TrackerConfig(
+            max_objects=4, det_score_threshold=0.0, min_hits_to_confirm=1),
+            batch_size=2)
+        frames = rng.integers(0, 255, (4, 48, 64, 3)).astype(np.uint8)
+        sid = pred.handle_request({"type": "start_session",
+                                   "frames": frames})["session_id"]
+        r = pred.handle_request({"type": "add_prompt", "session_id": sid,
+                                 "text": "person", "frame_index": 0})
+        assert r == {"frame_index": 0}
+        outs = list(pred.handle_stream_request(
+            {"type": "propagate_in_video", "session_id": sid,
+             "text": "person"}))
+        assert len(outs) == 4 and outs[0]["outputs"]["bbox"].shape == (4, 4)
+        pred.handle_request({"type": "reset_session", "session_id": sid})
+        pred.handle_request({"type": "add_prompt", "session_id": sid,
+                             "text": "snow", "frame_index": 0})
+        outs2 = list(pred.handle_stream_request(
+            {"type": "propagate_in_video", "session_id": sid,
+             "text": "snow"}))
+        assert len(outs2) == 4
+        pred.handle_request({"type": "close_session", "session_id": sid})
+        assert sid not in pred.sessions
+        with pytest.raises(RuntimeError):
+            pred.handle_request({"type": "nonsense"})
+
+    def test_request_protocol_xywh_boxes(self):
+        """bounding_boxes ride the protocol in xywh
+        (sam3_video_predictor.py boxes_xywh) and convert to the xyxy
+        geometry slots."""
+        from skix.tracking.sam3_detector import Sam3Detector
+
+        det = Sam3Detector.tiny()
+        prompt = jnp.zeros((1, 4, det.d_model))
+        Np, Nb = det.max_points, det.max_boxes
+        v = jax.jit(det.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3)), prompt,
+            points=jnp.zeros((1, Np, 2)),
+            point_labels=jnp.zeros((1, Np), jnp.int32),
+            point_valid=jnp.zeros((1, Np), bool),
+            boxes=jnp.zeros((1, Nb, 4)),
+            box_labels=jnp.zeros((1, Nb), jnp.int32),
+            box_valid=jnp.zeros((1, Nb), bool))
+        pred = VideoPredictor(det, v)
+        frames = rng.integers(0, 255, (2, 40, 56, 3)).astype(np.uint8)
+        sid = pred.handle_request({"type": "start_session",
+                                   "frames": frames})["session_id"]
+        pred.handle_request({"type": "add_prompt", "session_id": sid,
+                             "text": "person", "frame_index": 0,
+                             "bounding_boxes": [[10.0, 8.0, 20.0, 16.0]],
+                             "bounding_box_labels": [1]})
+        g = pred.sessions[sid].geometry[0]
+        # xywh (10, 8, 20, 16) → xyxy (10, 8, 30, 24) → stored as
+        # frame-normalized cxcywh: cx=20/56, cy=16/40, w=20/56, h=16/40
+        np.testing.assert_allclose(np.asarray(g["boxes"][0]),
+                                   [20 / 56, 16 / 40, 20 / 56, 16 / 40],
+                                   rtol=1e-5)
+        assert bool(g["box_valid"][0])
+
     def test_remove_object(self):
         det = DetrDetector(img_size=32, patch_size=16, embed_dim=32, depth=1,
                            num_heads=2, num_queries=4, decoder_depth=1,
