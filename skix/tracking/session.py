@@ -150,11 +150,16 @@ class VideoPredictor:
         raise RuntimeError(f"invalid request type: {rt}")
 
     def handle_stream_request(self, request: dict) -> Iterator[dict]:
-        """Streaming half of the protocol (sam3_video_predictor.py:88)."""
+        """Streaming half of the protocol (sam3_video_predictor.py:88);
+        the protocol's direction default is "both", like the reference."""
         if request["type"] != "propagate_in_video":
             raise RuntimeError(f"invalid request type: {request['type']}")
-        yield from self.propagate_in_video(request["session_id"],
-                                           request.get("text"))
+        yield from self.propagate_in_video(
+            request["session_id"], request.get("text"),
+            start_frame_idx=request.get("start_frame_index"),
+            max_frame_num_to_track=request.get("max_frame_num_to_track"),
+            propagation_direction=request.get("propagation_direction",
+                                              "both"))
 
     def start_session(self, frames: np.ndarray) -> int:
         sid = self._next_session
@@ -274,21 +279,24 @@ class VideoPredictor:
         det = self.detector.apply(variables, images, prompt)
         return det.boxes_xyxy, det.scores
 
-    def _propagate_masklets(self, s: _Session, prompt) -> Iterator[dict]:
+    def _propagate_masklets(self, s: _Session, prompt,
+                            idx_map) -> Iterator[dict]:
         """Masklet propagation (per-object masks through the memory
         tracker — reference Sam3VideoBase._det_track_one_frame). Thin
         adapter over :meth:`MaskletVideoModel.propagate` (single source
         for the per-frame loop + chunked uploads): renames ``boxes`` →
         ``bbox`` for the session output contract and applies
-        ``remove_object`` suppression."""
+        ``remove_object`` suppression. ``idx_map``: the ordered GLOBAL
+        frame indices this pass visits (forward or reverse segment)."""
         from skix.tracking.masklet import MaskletConfig, MaskletVideoModel
 
         trk_model, trk_vars = self.tracker
         mdl = MaskletVideoModel(self.detector, self.variables, trk_model,
                                 trk_vars,
                                 self.masklet_cfg or MaskletConfig())
+        frames = np.ascontiguousarray(s.frames[np.asarray(idx_map)])
         geometry_by_frame = {
-            t: {
+            local_t: {
                 "points": jnp.asarray(g["points"])[None],
                 "point_labels": jnp.asarray(g["point_labels"])[None],
                 "point_valid": jnp.asarray(g["point_valid"])[None],
@@ -296,16 +304,17 @@ class VideoPredictor:
                 "box_labels": jnp.asarray(g["box_labels"])[None],
                 "box_valid": jnp.asarray(g["box_valid"])[None],
             }
-            for t, g in s.geometry.items()
+            for local_t, gt in enumerate(idx_map)
+            if (g := s.geometry.get(int(gt))) is not None
         } or None
         if geometry_by_frame is None:
             # no geometric prompts → the chunk-scanned path (C frames
             # per dispatch; exact-parity test vs the streaming loop).
             # Results arrive in scan_chunk-sized bursts — see __init__.
-            stream = mdl.propagate_clip(s.frames, jnp.asarray(prompt),
+            stream = mdl.propagate_clip(frames, jnp.asarray(prompt),
                                         chunk=self.scan_chunk)
         else:
-            stream = mdl.propagate(s.frames, jnp.asarray(prompt),
+            stream = mdl.propagate(frames, jnp.asarray(prompt),
                                    geometry_by_frame=geometry_by_frame)
         for item in stream:
             out = item["outputs"]
@@ -321,16 +330,32 @@ class VideoPredictor:
             if s.removed_ids:
                 drop = np.isin(out_np["obj_id"], list(s.removed_ids))
                 out_np["active"] = out_np["active"] & ~drop
-            yield {"frame_index": item["frame_index"], "outputs": out_np}
+            yield {"frame_index": int(idx_map[item["frame_index"]]),
+                   "outputs": out_np}
 
     def propagate_in_video(self, session_id: int,
-                           prompt_text: Optional[str] = None
+                           prompt_text: Optional[str] = None,
+                           start_frame_idx: Optional[int] = None,
+                           max_frame_num_to_track: Optional[int] = None,
+                           propagation_direction: str = "forward"
                            ) -> Iterator[dict]:
         """Yield per-frame tracking outputs ``{frame_index, outputs}``
         (streaming, like reference handle_stream_request :88). With a
         memory ``tracker`` configured, outputs carry per-object ``mask``
-        arrays (masklet propagation); otherwise box-level tracking."""
+        arrays (masklet propagation); otherwise box-level tracking.
+
+        ``start_frame_idx``/``max_frame_num_to_track``/
+        ``propagation_direction`` follow the reference protocol
+        (sam3_video_predictor.py:183-220): forward yields
+        ``[s0, min(T, s0+max))``, backward walks ``s0 → 0`` reverse in
+        time (each direction restarts tracking at the prompted frame —
+        the start frame is yielded by BOTH passes under "both", exactly
+        as the reference does). Direct callers default to "forward";
+        the dict protocol defaults to "both" like the reference."""
         s = self.sessions[session_id]
+        if propagation_direction not in ("both", "forward", "backward"):
+            raise ValueError(
+                f"invalid propagation direction: {propagation_direction}")
         if prompt_text is None:
             if not s.prompts and s.geometry:
                 # geometry-only prompting uses the 'visual' concept token
@@ -339,19 +364,38 @@ class VideoPredictor:
             if not s.prompts:
                 raise ValueError("no prompt added to session")
             prompt_text = next(iter(s.prompts))
-        if self.tracker is not None:
-            yield from self._propagate_masklets(
-                s, jnp.asarray(s.prompts[prompt_text]))
-            return
+        T = s.frames.shape[0]
+        s0 = 0 if start_frame_idx is None else int(start_frame_idx)
+        maxn = T if max_frame_num_to_track is None \
+            else int(max_frame_num_to_track)
+        segments = []
+        if propagation_direction in ("both", "forward"):
+            segments.append(list(range(s0, min(T, s0 + maxn))))
+        if propagation_direction in ("both", "backward"):
+            segments.append(list(range(s0, max(-1, s0 - maxn), -1)))
+        for idx_map in segments:
+            if not idx_map:
+                continue
+            if self.tracker is not None:
+                yield from self._propagate_masklets(
+                    s, jnp.asarray(s.prompts[prompt_text]), idx_map)
+            else:
+                yield from self._propagate_boxes(s, prompt_text, idx_map)
+
+    def _propagate_boxes(self, s: _Session, prompt_text: str,
+                         idx_map) -> Iterator[dict]:
+        """Box-level tracking over one ordered frame segment."""
         prompt = jnp.asarray(s.prompts[prompt_text])[None]
         size = self.detector.img_size
-        T, H, W = s.frames.shape[:3]
+        H, W = s.frames.shape[1:3]
+        frames = s.frames[np.asarray(idx_map)]
+        T = frames.shape[0]
         state = init_tracker_state(self.cfg)
         sx, sy = W / size, H / size
 
         use_geo = self.is_sam3 and bool(s.geometry)
         for start in range(0, T, self.batch_size):
-            chunk = s.frames[start:start + self.batch_size]
+            chunk = frames[start:start + self.batch_size]
             n = len(chunk)
             imgs = jnp.asarray(chunk, jnp.float32) / 255.0
             imgs = jax.image.resize(imgs, (n, size, size, 3), "bilinear")
@@ -370,7 +414,7 @@ class VideoPredictor:
                       "box_labels": np.zeros((B, Nb), np.int32),
                       "box_valid": np.zeros((B, Nb), bool)}
                 for i in range(n):
-                    g = s.geometry.get(start + i)
+                    g = s.geometry.get(int(idx_map[start + i]))
                     if g is not None:
                         for k in gb:
                             gb[k][i] = g[k]
@@ -394,7 +438,8 @@ class VideoPredictor:
                 if s.removed_ids:
                     drop = np.isin(out_np["obj_id"], list(s.removed_ids))
                     out_np["active"] = out_np["active"] & ~drop
-                yield {"frame_index": start + i, "outputs": out_np}
+                yield {"frame_index": int(idx_map[start + i]),
+                       "outputs": out_np}
 
     # ---------------- stats ----------------
     def session_stats(self, session_id: int) -> dict:

@@ -217,18 +217,53 @@ class TestSession:
         outs = list(pred.handle_stream_request(
             {"type": "propagate_in_video", "session_id": sid,
              "text": "person"}))
-        assert len(outs) == 4 and outs[0]["outputs"]["bbox"].shape == (4, 4)
+        # protocol default direction is "both" (reference :95): forward
+        # [0..T) then backward from frame 0 re-yields frame 0
+        assert [o["frame_index"] for o in outs] == [0, 1, 2, 3, 0]
+        assert outs[0]["outputs"]["bbox"].shape == (4, 4)
         pred.handle_request({"type": "reset_session", "session_id": sid})
         pred.handle_request({"type": "add_prompt", "session_id": sid,
                              "text": "snow", "frame_index": 0})
         outs2 = list(pred.handle_stream_request(
             {"type": "propagate_in_video", "session_id": sid,
-             "text": "snow"}))
+             "text": "snow", "propagation_direction": "forward"}))
         assert len(outs2) == 4
         pred.handle_request({"type": "close_session", "session_id": sid})
         assert sid not in pred.sessions
         with pytest.raises(RuntimeError):
             pred.handle_request({"type": "nonsense"})
+
+    def test_directioned_propagation_from_mid_clip(self):
+        """A mid-clip prompt propagates forward AND backward
+        (reference sam3_video_predictor.py:203-220): forward covers
+        [s0, s0+max), backward walks s0 → 0 reverse in time, each
+        restarting tracking at the prompted frame."""
+        det = DetrDetector(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                           num_heads=2, num_queries=4, decoder_depth=1,
+                           prompt_dim=16)
+        pred = VideoPredictor(det, tracker_cfg=TrackerConfig(
+            max_objects=4, det_score_threshold=0.0, min_hits_to_confirm=1),
+            batch_size=2)
+        frames = rng.integers(0, 255, (6, 48, 64, 3)).astype(np.uint8)
+        sid = pred.start_session(frames)
+        pred.add_prompt(sid, "person", frame_idx=3)
+        outs = list(pred.propagate_in_video(
+            sid, "person", start_frame_idx=3,
+            propagation_direction="both"))
+        assert [o["frame_index"] for o in outs] == [3, 4, 5, 3, 2, 1, 0]
+        # max_frame_num_to_track bounds each direction
+        outs = list(pred.propagate_in_video(
+            sid, "person", start_frame_idx=3, max_frame_num_to_track=2,
+            propagation_direction="both"))
+        assert [o["frame_index"] for o in outs] == [3, 4, 3, 2]
+        # backward-only
+        outs = list(pred.propagate_in_video(
+            sid, "person", start_frame_idx=2,
+            propagation_direction="backward"))
+        assert [o["frame_index"] for o in outs] == [2, 1, 0]
+        with pytest.raises(ValueError):
+            list(pred.propagate_in_video(sid, "person",
+                                         propagation_direction="sideways"))
 
     def test_request_protocol_xywh_boxes(self):
         """bounding_boxes ride the protocol in xywh
