@@ -123,7 +123,8 @@ class VideoPredictor:
                 from skix.io.video import read_video
 
                 frames = read_video(request["resource_path"])
-            return {"session_id": self.start_session(frames)}
+            return {"session_id": self.start_session(
+                frames, session_id=request.get("session_id"))}
         if rt == "add_prompt":
             boxes = request.get("bounding_boxes")
             if boxes is not None:
@@ -161,12 +162,17 @@ class VideoPredictor:
             propagation_direction=request.get("propagation_direction",
                                               "both"))
 
-    def start_session(self, frames: np.ndarray) -> int:
-        sid = self._next_session
-        self._next_session += 1
-        self.sessions[sid] = _Session(frames=np.asarray(frames), prompts={},
-                                      removed_ids=set())
-        return sid
+    def start_session(self, frames: np.ndarray, session_id=None):
+        """``session_id``: optional caller-supplied identifier (the
+        reference accepts one and mints a uuid otherwise,
+        sam3_video_predictor.py:108-119; here the mint is an int)."""
+        if session_id is None:
+            session_id = self._next_session
+            self._next_session += 1
+        self.sessions[session_id] = _Session(frames=np.asarray(frames),
+                                             prompts={},
+                                             removed_ids=set())
+        return session_id
 
     def add_prompt(self, session_id: int, text: Optional[str] = None,
                    frame_idx: int = 0, points=None, point_labels=None,
