@@ -52,8 +52,34 @@ def probe_video(path: str | Path) -> VideoMeta:
 def read_video_chunks(path: str | Path, chunk_size: int = 64,
                       max_frames: Optional[int] = None
                       ) -> Iterator[np.ndarray]:
-    """Yield RGB ``(t, H, W, 3) uint8`` chunks (t ≤ chunk_size)."""
+    """Yield RGB ``(t, H, W, 3) uint8`` chunks (t ≤ chunk_size).
+
+    ``path`` may be a video file or a DIRECTORY of image frames in
+    sorted-name order (the reference accepts either for a session,
+    sam3/model/io_utils.py image-folder loader)."""
     import cv2
+
+    path = Path(path)
+    if path.is_dir():
+        files = sorted(p for p in path.iterdir()
+                       if p.suffix.lower() in (".jpg", ".jpeg", ".png",
+                                               ".bmp"))
+        if not files:
+            raise FileNotFoundError(f"no image frames in {path}")
+        if max_frames is not None:
+            files = files[:max_frames]
+        buf = []
+        for f in files:
+            img = cv2.imread(str(f), cv2.IMREAD_COLOR)
+            if img is None:
+                raise IOError(f"cannot decode frame {f}")
+            buf.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            if len(buf) == chunk_size:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)
+        return
 
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():

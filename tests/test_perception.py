@@ -130,6 +130,30 @@ class TestVideoIO:
         chunks = np.concatenate(list(read_video_chunks(p, chunk_size=5)), 0)
         np.testing.assert_array_equal(whole, chunks)
 
+    def test_image_folder_as_video(self, tmp_path):
+        """A directory of image frames reads like a video in sorted-name
+        order (reference io_utils image-folder loader) — chunking and
+        max_frames included."""
+        import cv2
+
+        from skix.io.video import read_video, read_video_chunks
+
+        d = tmp_path / "frames"
+        d.mkdir()
+        T, H, W = 7, 16, 20
+        frames = (np.arange(T)[:, None, None, None]
+                  * np.ones((T, H, W, 3)) * 30).astype(np.uint8)
+        for t in range(T):
+            cv2.imwrite(str(d / f"{t:05d}.png"),
+                        cv2.cvtColor(frames[t], cv2.COLOR_RGB2BGR))
+        back = read_video(d)
+        np.testing.assert_array_equal(back, frames)    # png: lossless
+        chunks = np.concatenate(list(read_video_chunks(d, chunk_size=3)), 0)
+        np.testing.assert_array_equal(chunks, frames)
+        assert read_video(d, max_frames=4).shape[0] == 4
+        with pytest.raises(FileNotFoundError):
+            read_video(tmp_path / "empty_dir_nope")
+
     def test_max_frames(self, tmp_path):
         from skix.io.video import read_video
 
