@@ -465,6 +465,31 @@ class TestMaskletVideoModel:
                                            err_msg=k)
             np.testing.assert_array_equal(g["mask"], r["mask"])
 
+    def test_session_masklet_directioned(self, model):
+        """Directioned propagation maps through the masklet path too:
+        a mid-clip start yields forward then backward segments with
+        GLOBAL frame indices, each restarting tracking."""
+        from skix.tracking.session import VideoPredictor
+
+        mdl, prompt = model
+        pred = VideoPredictor(mdl.detector, mdl.det_variables,
+                              tracker=(mdl.tracker, mdl.trk_variables),
+                              masklet_cfg=mdl.cfg, scan_chunk=2)
+        rng = np.random.default_rng(13)
+        frames = rng.integers(0, 255, (4, 40, 56, 3), np.uint8)
+        sid = pred.start_session(frames)
+        pred.add_prompt(sid, "person")
+        outs = list(pred.propagate_in_video(
+            sid, "person", start_frame_idx=2,
+            propagation_direction="both"))
+        assert [o["frame_index"] for o in outs] == [2, 3, 2, 1, 0]
+        for o in outs:
+            assert o["outputs"]["mask"].shape == (4, 40, 56)
+        # the backward pass re-detects frame 2 from scratch — same
+        # frame, same detector → identical spawn scores
+        np.testing.assert_allclose(outs[0]["outputs"]["score"],
+                                   outs[2]["outputs"]["score"], atol=1e-5)
+
     def test_memory_banks_written(self, model):
         mdl, prompt = model
         rng = np.random.default_rng(1)
