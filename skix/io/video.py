@@ -35,6 +35,19 @@ class VideoMeta:
 def probe_video(path: str | Path) -> VideoMeta:
     import cv2
 
+    path = Path(path)
+    if path.is_dir():
+        files = sorted(p for p in path.iterdir()
+                       if p.suffix.lower() in (".jpg", ".jpeg", ".png",
+                                               ".bmp"))
+        if not files:
+            raise FileNotFoundError(f"no image frames in {path}")
+        img = cv2.imread(str(files[0]), cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"cannot decode frame {files[0]}")
+        return VideoMeta(path=str(path), frame_count=len(files),
+                         height=img.shape[0], width=img.shape[1],
+                         fps=30.0)   # frame dirs carry no rate; assume 30
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video {path}")

@@ -146,6 +146,10 @@ class TestVideoIO:
         for t in range(T):
             cv2.imwrite(str(d / f"{t:05d}.png"),
                         cv2.cvtColor(frames[t], cv2.COLOR_RGB2BGR))
+        from skix.io.video import probe_video
+
+        meta = probe_video(d)
+        assert (meta.frame_count, meta.height, meta.width) == (T, H, W)
         back = read_video(d)
         np.testing.assert_array_equal(back, frames)    # png: lossless
         chunks = np.concatenate(list(read_video_chunks(d, chunk_size=3)), 0)
