@@ -12,7 +12,8 @@ import sys
 import skix
 
 _SUBMODULES = (
-    "angle", "config", "data", "front_side", "fuse", "geometry", "io",
+    "agent", "angle", "config", "data", "front_side", "fuse", "geometry",
+    "io",
     "metrics", "models", "ops", "parallel", "perception", "pipelines",
     "solvers", "tracking", "utils", "vis",
 )
