@@ -488,10 +488,23 @@ def _scan_frame_chunk(detector, tracker, cfg: MaskletConfig,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def _upsample_masks_batch(logits, out_h: int, out_w: int):
-    C, K = logits.shape[:2]
-    up = jax.image.resize(logits, (C, K, out_h, out_w), "bilinear")
-    return up > 0
+def _upsample_pack_masks(logits, out_h: int, out_w: int):
+    """Upsample + threshold + PACK TO BITS on device: (..., gh, gw)
+    logits → (..., ceil(out_h·out_w/8)) uint8. The full-res bool masks
+    are 7.4 MB/frame at 720p×8 objects — through the axon relay
+    (~26 MB/s measured) that download dominated propagate_clip
+    (594 ms/frame vs the 119 ms compute). Packed bits cut the transfer
+    8×; :func:`_unpack_masks` restores the EXACT same bool array."""
+    lead = logits.shape[:-2]
+    up = jax.image.resize(logits, (*lead, out_h, out_w), "bilinear") > 0
+    return jnp.packbits(up.reshape(*lead, out_h * out_w), axis=-1)
+
+
+def _unpack_masks(packed: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-side inverse of :func:`_upsample_pack_masks` (exact)."""
+    packed = np.asarray(packed)
+    flat = np.unpackbits(packed, axis=-1, count=out_h * out_w)
+    return flat.reshape(*packed.shape[:-1], out_h, out_w).astype(bool)
 
 
 def _frame_outputs(out_hw, mask, logits, boxes_lowres, obj_id, active,
@@ -640,7 +653,8 @@ class MaskletVideoModel:
                                           prompt_tokens, state, banks,
                                           geometry=geometry)
             logits = out["out_mask_logits"]               # (K, gh, gw)
-            masks = np.asarray(_upsample_masks(logits, *out_hw))
+            masks = _unpack_masks(_upsample_pack_masks(logits, *out_hw),
+                                  *out_hw)
             yield {
                 "frame_index": t,
                 "outputs": _frame_outputs(
@@ -681,13 +695,14 @@ class MaskletVideoModel:
             # ONE batched device→host pull for the whole chunk (per-key
             # np.asarray would serialize a readback round-trip each)
             host = jax.device_get(
-                (_upsample_masks_batch(logits, *out_hw), logits,
+                (_upsample_pack_masks(logits, *out_hw), logits,
                  outs["boxes_lowres"], outs["obj_id"], outs["active"],
                  outs["confirmed"], outs["spawn_score"],
                  outs["trk_scores"]))
+            masks = _unpack_masks(host[0], *out_hw)       # (C, K, H, W)
             for i in range(e - s):
                 yield {
                     "frame_index": s + i,
                     "outputs": _frame_outputs(
-                        out_hw, *(a[i] for a in host)),
+                        out_hw, masks[i], *(a[i] for a in host[1:])),
                 }

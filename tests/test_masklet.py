@@ -465,6 +465,27 @@ class TestMaskletVideoModel:
                                            err_msg=k)
             np.testing.assert_array_equal(g["mask"], r["mask"])
 
+    def test_packed_mask_download_is_exact(self):
+        """The packed-bit mask transfer (device packbits → host
+        unpackbits) must reproduce the plain upsample+threshold masks
+        bit-for-bit, including non-multiple-of-8 pixel counts."""
+        from skix.tracking.masklet import (_unpack_masks, _upsample_masks,
+                                           _upsample_pack_masks)
+
+        rng = np.random.default_rng(21)
+        for shape, hw in [((4, 8, 8), (23, 31)),     # H*W % 8 != 0
+                          ((3, 6, 6), (40, 56)),
+                          ((2, 4, 8, 8), (17, 19))]:  # batched (C, K, ...)
+            logits = jnp.asarray(rng.normal(0, 4, shape), jnp.float32)
+            packed = _upsample_pack_masks(logits, *hw)
+            got = _unpack_masks(packed, *hw)
+            if len(shape) == 3:
+                ref = np.asarray(_upsample_masks(logits, *hw))
+            else:
+                ref = np.stack([np.asarray(_upsample_masks(l, *hw))
+                                for l in logits])
+            np.testing.assert_array_equal(got, ref)
+
     def test_session_masklet_directioned(self, model):
         """Directioned propagation maps through the masklet path too:
         a mid-clip start yields forward then backward segments with
