@@ -91,13 +91,15 @@ def main(T: int = 10, n_obj: int = 8, trk_size: int = 512):
 
     # chunk-scanned path: C frames per dispatch + one stacked readback
     # (propagate_clip; exact-parity vs the streaming loop by test)
-    for chunk in (4, 8):
-        outs = list(model.propagate_clip(imgs[:chunk], text, chunk=chunk))
+    for chunk, lowres in ((4, True), (8, True), (8, False)):
+        kw = dict(chunk=chunk, include_lowres_logits=lowres)
+        outs = list(model.propagate_clip(imgs[:chunk], text, **kw))
         t0 = time.time()
-        outs = list(model.propagate_clip(imgs, text, chunk=chunk))
+        outs = list(model.propagate_clip(imgs, text, **kw))
         dt = (time.time() - t0) / T
-        print(f"propagate_clip chunk={chunk}: {dt*1000:.1f} ms/frame = "
-          f"{1/dt:.1f} fps (incl. upsample+download of "
+        print(f"propagate_clip chunk={chunk} lowres={lowres}: "
+          f"{dt*1000:.1f} ms/frame = "
+          f"{1/dt:.1f} fps (incl. packed download+unpack of "
           f"{outs[0]['outputs']['mask'].shape} masks/frame)", flush=True)
 
     # ---- component budget (each piece chained 5× inside its own loop,

@@ -55,11 +55,12 @@ def micro():
               f"{28 * ms:6.1f} ms/frame", flush=True)
 
 
-def detector(window_flash: bool):
+def detector(window_flash: bool, tail_flash: bool = True):
     from skix.tracking.sam3_detector import Sam3Detector
 
     det = Sam3Detector.full_size(dtype=jnp.bfloat16,
-                                 window_flash=window_flash)
+                                 window_flash=window_flash,
+                                 tail_flash=tail_flash)
     rng = np.random.default_rng(0)
     size = det.img_size
     imgs = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)), jnp.float32)
@@ -86,7 +87,8 @@ def detector(window_flash: bool):
         s, x = step(variables, x)
     _ = float(s)
     dt = (time.time() - t0) / iters
-    print(f"detector fwd window_flash={window_flash}: {dt*1000:.1f} "
+    print(f"detector fwd window_flash={window_flash} "
+          f"tail_flash={tail_flash}: {dt*1000:.1f} "
           f"ms/frame = {1/dt:.1f} fps @1008px", flush=True)
 
 
@@ -125,7 +127,14 @@ def lsum_vggt_scale():
 
 
 if __name__ == "__main__":
-    micro()
-    lsum_vggt_scale()
-    detector(True)
-    detector(False)
+    import sys
+
+    if "tail" in sys.argv[1:]:
+        # tail_flash A/B only (fusion-encoder self-attn through Pallas)
+        detector(True, tail_flash=True)
+        detector(True, tail_flash=False)
+    else:
+        micro()
+        lsum_vggt_scale()
+        detector(True)
+        detector(False)

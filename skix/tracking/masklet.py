@@ -507,19 +507,21 @@ def _unpack_masks(packed: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return flat.reshape(*packed.shape[:-1], out_h, out_w).astype(bool)
 
 
-def _frame_outputs(out_hw, mask, logits, boxes_lowres, obj_id, active,
-                   confirmed, score, trk_score) -> dict:
+def _frame_outputs(out_hw, lowres_hw, mask, logits, boxes_lowres, obj_id,
+                   active, confirmed, score, trk_score) -> dict:
     """ONE source for the per-frame session output dict (the streaming
     and chunk-scanned paths must stay byte-identical — session.py routes
     between them on geometry presence). ``boxes_lowres`` are xyxy on the
-    logits grid and scale to ``out_hw`` here."""
-    lh, lw = np.asarray(logits).shape[-2:]
+    logits grid (``lowres_hw``) and scale to ``out_hw`` here. ``logits``
+    is None when the caller opted out of the low-res download
+    (``include_lowres_logits=False`` — the session drops them, and the
+    f32 transfer costs ~0.5 MB/frame through the relay)."""
+    lh, lw = lowres_hw
     boxes = np.array(boxes_lowres, np.float32)       # writable copy
     boxes[..., [0, 2]] *= out_hw[1] / lw
     boxes[..., [1, 3]] *= out_hw[0] / lh
-    return {
+    out = {
         "mask": np.asarray(mask),
-        "mask_logits_lowres": np.asarray(logits),
         "boxes": boxes,
         "obj_id": np.asarray(obj_id),
         "active": np.asarray(active),
@@ -527,6 +529,9 @@ def _frame_outputs(out_hw, mask, logits, boxes_lowres, obj_id, active,
         "score": np.asarray(score),
         "tracker_score": np.asarray(trk_score),
     }
+    if logits is not None:
+        out["mask_logits_lowres"] = np.asarray(logits)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -623,7 +628,8 @@ class MaskletVideoModel:
         return state, banks, out
 
     def propagate(self, frames, prompt_tokens, yield_masks_at=None,
-                  upload_chunk: int = 32, geometry_by_frame=None):
+                  upload_chunk: int = 32, geometry_by_frame=None,
+                  include_lowres_logits: bool = True):
         """Stream per-frame outputs over ``frames (T, H, W, 3)``.
 
         Yields ``{frame_index, outputs}`` where outputs carry per-slot
@@ -636,7 +642,11 @@ class MaskletVideoModel:
         ``geometry_by_frame``: optional {frame_index: fixed-slot geometry
         prompt dict} (the session ``add_prompt`` path) — frames with
         geometry take the decomposed step; all others stay on the fused
-        one-dispatch hot path."""
+        one-dispatch hot path.
+
+        ``include_lowres_logits=False`` skips the per-frame f32 logits
+        download (~0.5 MB/frame through the relay) for callers that only
+        consume the packed masks (the session predictor)."""
         T, H, W = frames.shape[:3]
         out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
         state, banks = self.init_state((self.trk_img_size,) * 2)
@@ -653,18 +663,21 @@ class MaskletVideoModel:
                                           prompt_tokens, state, banks,
                                           geometry=geometry)
             logits = out["out_mask_logits"]               # (K, gh, gw)
+            lowres_hw = logits.shape[-2:]
             masks = _unpack_masks(_upsample_pack_masks(logits, *out_hw),
                                   *out_hw)
             yield {
                 "frame_index": t,
                 "outputs": _frame_outputs(
-                    out_hw, masks, logits, out["boxes_lowres"],
-                    out["obj_id"], out["active"], out["confirmed"],
-                    out["spawn_score"], out["trk_scores"]),
+                    out_hw, lowres_hw, masks,
+                    logits if include_lowres_logits else None,
+                    out["boxes_lowres"], out["obj_id"], out["active"],
+                    out["confirmed"], out["spawn_score"],
+                    out["trk_scores"]),
             }
 
     def propagate_clip(self, frames, prompt_tokens, yield_masks_at=None,
-                       chunk: int = 8):
+                       chunk: int = 8, include_lowres_logits: bool = True):
         """Chunk-scanned propagation: ``chunk`` frames per dispatch.
 
         Same per-frame output dicts as :meth:`propagate`, but the frame
@@ -692,10 +705,12 @@ class MaskletVideoModel:
                 self.det_variables, self.trk_variables, jnp.asarray(fr),
                 ok, prompt_tokens, state, banks)
             logits = outs["out_mask_logits"]          # (C, K, gh, gw)
+            lowres_hw = logits.shape[-2:]
             # ONE batched device→host pull for the whole chunk (per-key
             # np.asarray would serialize a readback round-trip each)
             host = jax.device_get(
-                (_upsample_pack_masks(logits, *out_hw), logits,
+                (_upsample_pack_masks(logits, *out_hw),
+                 logits if include_lowres_logits else jnp.zeros(()),
                  outs["boxes_lowres"], outs["obj_id"], outs["active"],
                  outs["confirmed"], outs["spawn_score"],
                  outs["trk_scores"]))
@@ -704,5 +719,7 @@ class MaskletVideoModel:
                 yield {
                     "frame_index": s + i,
                     "outputs": _frame_outputs(
-                        out_hw, masks[i], *(a[i] for a in host[1:])),
+                        out_hw, lowres_hw, masks[i],
+                        host[1][i] if include_lowres_logits else None,
+                        *(a[i] for a in host[2:])),
                 }

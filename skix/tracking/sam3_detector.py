@@ -55,10 +55,17 @@ def _inverse_sigmoid(x, eps: float = 1e-5):
 
 class _MHA(nn.Module):
     """Batch-first multi-head attention with optional additive key padding
-    mask (True = PAD, torch convention)."""
+    mask (True = PAD, torch convention).
+
+    Unbiased, unmasked self-attention at ``L ≥ flash_min_seq`` routes
+    through the Pallas flash kernel: the fusion encoder's image
+    self-attention (S = 72² = 5184 at 1008 px) otherwise materializes a
+    (heads, S, S) f32 score tensor — ~860 MB of HBM traffic per layer —
+    which dominated the detector's non-trunk tail (docs/PERF.md)."""
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    flash_min_seq: int = 2048     # 0/huge to force/disable the flash path
 
     @nn.compact
     def __call__(self, q, k, v, key_padding_mask=None, attn_bias=None):
@@ -72,14 +79,26 @@ class _MHA(nn.Module):
         vh = nn.Dense(C, dtype=self.dtype,
                       name="v")(v).reshape(B, v.shape[1],
                                            self.num_heads, hd)
-        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                       preferred_element_type=jnp.float32) / np.sqrt(hd)
-        if attn_bias is not None:
-            s = s + attn_bias  # (B, heads, Lq, Lk)
-        if key_padding_mask is not None:
-            s = jnp.where(key_padding_mask[:, None, None, :], -1e9, s)
-        p = nn.softmax(s, axis=-1).astype(vh.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, Lq, C)
+        if (attn_bias is None and key_padding_mask is None
+                and k.shape[1] == Lq and Lq >= self.flash_min_seq):
+            from skix.ops.attention import flash_attention
+
+            # pad-free tile when the token count allows (5184 = 9·576 —
+            # the same single-window tile the trunk kernel uses)
+            blk = 576 if Lq % 576 == 0 else 1024
+            out = flash_attention(
+                qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
+                vh.transpose(0, 2, 1, 3), block_q=blk, block_k_major=blk,
+                block_k=blk).transpose(0, 2, 1, 3).reshape(B, Lq, C)
+        else:
+            s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                           preferred_element_type=jnp.float32) / np.sqrt(hd)
+            if attn_bias is not None:
+                s = s + attn_bias  # (B, heads, Lq, Lk)
+            if key_padding_mask is not None:
+                s = jnp.where(key_padding_mask[:, None, None, :], -1e9, s)
+            p = nn.softmax(s, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, Lq, C)
         return nn.Dense(C, dtype=self.dtype, name="out")(out)
 
 
@@ -210,12 +229,14 @@ class FusionEncoderLayer(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 2048
     dtype: jnp.dtype = jnp.float32
+    self_flash_min_seq: int = 2048
 
     @nn.compact
     def __call__(self, src, pos, prompt, prompt_pad_mask=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         qk = h + pos
         src = src + _MHA(self.num_heads, dtype=self.dtype,
+                         flash_min_seq=self.self_flash_min_seq,
                          name="self_attn")(qk, qk, h)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
         src = src + _MHA(self.num_heads, dtype=self.dtype,
@@ -232,6 +253,7 @@ class FusionEncoder(nn.Module):
     dim_feedforward: int = 2048
     add_pooled_text_to_img_feat: bool = False
     dtype: jnp.dtype = jnp.float32
+    self_flash_min_seq: int = 2048
 
     @nn.compact
     def __call__(self, src, pos, prompt, prompt_pad_mask=None):
@@ -242,6 +264,7 @@ class FusionEncoder(nn.Module):
         for i in range(self.num_layers):
             src = FusionEncoderLayer(self.num_heads, self.dim_feedforward,
                                      dtype=self.dtype,
+                                     self_flash_min_seq=self.self_flash_min_seq,
                                      name=f"layer_{i}")(
                 src, pos, prompt, prompt_pad_mask)
         return src.astype(jnp.float32)
@@ -555,6 +578,10 @@ class Sam3Detector(nn.Module):
     # single-tile Pallas flash for the trunk's window blocks (vitdet.py
     # window_flash; False = pre-round-3 XLA fallback, for A/B benches)
     window_flash: bool = True
+    # Pallas flash for the fusion encoder's image self-attention (the
+    # S=5184 f32 score tensor is ~860 MB of HBM traffic per layer);
+    # False = unfused XLA, for A/B benches
+    tail_flash: bool = True
     # trunk rope convention: "skix" (2D rope, global coords) or "sam3"
     # (the reference's interleaved axial rope — REQUIRED when running
     # weights through convert_vitdet_state_dict) + the matching
@@ -648,6 +675,8 @@ class Sam3Detector(nn.Module):
         prompt_pad = jnp.concatenate(pad_parts, axis=1)
 
         memory = FusionEncoder(self.encoder_layers, dtype=self.head_dtype,
+                               self_flash_min_seq=(2048 if self.tail_flash
+                                                   else 1 << 30),
                                name="encoder")(
             src, pos, prompt, prompt_pad)
 

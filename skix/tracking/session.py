@@ -318,10 +318,12 @@ class VideoPredictor:
             # per dispatch; exact-parity test vs the streaming loop).
             # Results arrive in scan_chunk-sized bursts — see __init__.
             stream = mdl.propagate_clip(frames, jnp.asarray(prompt),
-                                        chunk=self.scan_chunk)
+                                        chunk=self.scan_chunk,
+                                        include_lowres_logits=False)
         else:
             stream = mdl.propagate(frames, jnp.asarray(prompt),
-                                   geometry_by_frame=geometry_by_frame)
+                                   geometry_by_frame=geometry_by_frame,
+                                   include_lowres_logits=False)
         for item in stream:
             out = item["outputs"]
             out_np = {

@@ -465,6 +465,26 @@ class TestMaskletVideoModel:
                                            err_msg=k)
             np.testing.assert_array_equal(g["mask"], r["mask"])
 
+    def test_skip_lowres_logits_changes_nothing_else(self, model):
+        """include_lowres_logits=False (the session path) must drop ONLY
+        the logits key — masks/boxes/ids identical on both paths."""
+        mdl, prompt = model
+        rng = np.random.default_rng(12)
+        frames = rng.integers(0, 255, (3, 40, 56, 3)).astype(np.uint8)
+        full = [o["outputs"] for o in mdl.propagate_clip(frames, prompt,
+                                                         chunk=2)]
+        slim = [o["outputs"] for o in mdl.propagate_clip(
+            frames, prompt, chunk=2, include_lowres_logits=False)]
+        slim_s = [o["outputs"] for o in mdl.propagate(
+            frames, prompt, include_lowres_logits=False)]
+        for f, g, h in zip(full, slim, slim_s):
+            assert "mask_logits_lowres" in f
+            assert "mask_logits_lowres" not in g
+            assert "mask_logits_lowres" not in h
+            for k in g:
+                np.testing.assert_array_equal(g[k], f[k], err_msg=k)
+                np.testing.assert_array_equal(h[k], f[k], err_msg=k)
+
     def test_packed_mask_download_is_exact(self):
         """The packed-bit mask transfer (device packbits → host
         unpackbits) must reproduce the plain upsample+threshold masks

@@ -51,6 +51,9 @@ class TestPallasKernelInterpret:
         # single tile sized to S — the ViT-Det window configuration
         # (block_q == block_k == S keeps the whole score tile in VMEM)
         (1, 2, 64, 64, 64, 64, 64, 64),
+        # D=32 f32 — the fusion-encoder tail self-attention (d_model 256
+        # / 8 heads); ragged S vs the 5184 = 9·576 pad-free tile shape
+        (1, 4, 72, 80, 32, 24, 24, 24),
     ]
 
     @pytest.mark.parametrize("case", CASES)

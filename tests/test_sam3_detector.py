@@ -302,6 +302,41 @@ class TestDetector:
         assert any(float(jnp.abs(x).max()) > 0 for x in gb)
 
 
+class TestMHAFlashDispatch:
+    def test_flash_branch_matches_einsum_branch(self):
+        """The _MHA self-attention flash dispatch (fusion-encoder tail)
+        must be numerically identical to the einsum branch on the same
+        parameters — the branches differ only in execution strategy."""
+        from skix.tracking.sam3_detector import _MHA
+
+        rng = np.random.default_rng(99)
+        x = jnp.asarray(rng.normal(0, 1, (2, 72, 32)), jnp.float32)
+        v_src = jnp.asarray(rng.normal(0, 1, (2, 72, 32)), jnp.float32)
+        m_ein = _MHA(num_heads=4, flash_min_seq=1 << 30)
+        m_flash = _MHA(num_heads=4, flash_min_seq=1)
+        variables = m_ein.init(jax.random.PRNGKey(0), x, x, v_src)
+        ref = m_ein.apply(variables, x, x, v_src)
+        got = m_flash.apply(variables, x, x, v_src)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_bias_or_mask_keeps_einsum_branch(self):
+        """boxRPB-biased / padded attention may NOT take the flash path
+        (the kernel has no bias operand) — results must stay exact."""
+        from skix.tracking.sam3_detector import _MHA
+
+        rng = np.random.default_rng(100)
+        x = jnp.asarray(rng.normal(0, 1, (1, 16, 32)), jnp.float32)
+        bias = jnp.asarray(rng.normal(0, 1, (1, 4, 16, 16)), jnp.float32)
+        pad = jnp.zeros((1, 16), bool).at[0, -3:].set(True)
+        m = _MHA(num_heads=4, flash_min_seq=1)
+        variables = m.init(jax.random.PRNGKey(0), x, x, x)
+        out_b = m.apply(variables, x, x, x, attn_bias=bias)
+        out_p = m.apply(variables, x, x, x, key_padding_mask=pad)
+        assert np.isfinite(np.asarray(out_b)).all()
+        assert np.isfinite(np.asarray(out_p)).all()
+
+
 class TestDAC:
     """DAC (divide-and-conquer) one-to-many training queries — reference
     decoder.py:114-145 + sam3_image.py:268 (train-time only, dac=True in
