@@ -305,6 +305,123 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs,
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+# single-tile fast path: heads per grid cell (0 disables the path; the
+# window A/B bench sweeps it). 8 measured best on v5e — see docs/PERF.md.
+SINGLE_TILE_HEAD_GROUP = 8
+
+
+def _fwd_kernel_single_tile(q_ref, k_ref, v_ref, *refs, sm_scale: float,
+                            heads_per_cell: int, with_rope: bool,
+                            save_residuals: bool,
+                            fixed_max: float | None):
+    """Whole-sequence-in-one-tile forward, G heads per grid cell.
+
+    The generic kernel at the ViT-Det window shape (9 windows × 16 heads
+    × 576 tokens) runs a 144-cell grid where each cell does one tiny
+    (576, 64) attention — per-cell DMA waits and prologues dominate
+    (measured 6.4 TF/s). Batching G heads into one cell amortizes them
+    and lets the pipeline overlap bigger DMAs with compute. Softmax is
+    EXACT single-pass here (no online bookkeeping): the whole score row
+    is in VMEM."""
+    idx = 0
+    if with_rope:
+        cos_ref, sin_ref, r_ref = refs[idx:idx + 3]
+        idx += 3
+    o_ref = refs[idx]
+    idx += 1
+    lse_ref = refs[idx] if save_residuals else None
+
+    for g in range(heads_per_cell):
+        q_raw = q_ref[0, g]
+        k_raw = k_ref[0, g]
+        v = v_ref[0, g]
+        if with_rope:
+            R = r_ref[...].astype(q_raw.dtype)
+            cos = cos_ref[...]
+            sin = sin_ref[...]
+            qrot = jax.lax.dot(q_raw, R,
+                               preferred_element_type=jnp.float32)
+            q32 = q_raw.astype(jnp.float32) * cos + qrot * sin
+            q = (q32 * (sm_scale * _LOG2E)).astype(q_raw.dtype)
+            krot = jax.lax.dot(k_raw, R,
+                               preferred_element_type=jnp.float32)
+            k = (k_raw.astype(jnp.float32) * cos
+                 + krot * sin).astype(k_raw.dtype)
+        else:
+            q = (q_raw.astype(jnp.float32)
+                 * (sm_scale * _LOG2E)).astype(q_raw.dtype)
+            k = k_raw
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if fixed_max is not None:
+            m = jnp.full((s.shape[0], 1), fixed_max * _LOG2E, jnp.float32)
+        else:
+            m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        acc = jax.lax.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+        o_ref[0, g] = (acc / jnp.where(l == 0.0, 1.0, l)).astype(
+            o_ref.dtype)
+        if lse_ref is not None:
+            lse = jnp.where(l > 0.0, m + jnp.log2(l), 0.0)
+            lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _flash_forward_single_tile(q, k, v, sm_scale: float, interpret: bool,
+                               save_residuals: bool, fixed_max,
+                               rope_cos, rope_sin, rope_rotate: str,
+                               head_group: int):
+    """pallas_call wrapper for :func:`_fwd_kernel_single_tile`; caller
+    guarantees Sq == Sk == one tile (no padding, no mask)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    G = head_group
+    with_rope = rope_cos is not None
+    if with_rope:
+        assert Sq == Sk, "fused rope expects self-attention layouts"
+    kernel = functools.partial(
+        _fwd_kernel_single_tile, sm_scale=sm_scale, heads_per_cell=G,
+        with_rope=with_rope, save_residuals=save_residuals,
+        fixed_max=fixed_max)
+    operands = [q, k, v]
+    in_specs = [
+        pl.BlockSpec((1, G, Sq, D), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, G, Sk, D), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, G, Sk, D), lambda b, h: (b, h, 0, 0)),
+    ]
+    if with_rope:
+        R = jnp.asarray(_rot_matrix(D, rope_rotate))
+        operands += [rope_cos.astype(jnp.float32),
+                     rope_sin.astype(jnp.float32), R]
+        in_specs += [pl.BlockSpec((Sq, D), lambda b, h: (0, 0)),
+                     pl.BlockSpec((Sq, D), lambda b, h: (0, 0)),
+                     pl.BlockSpec((D, D), lambda b, h: (0, 0))]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [pl.BlockSpec((1, G, Sq, D), lambda b, h: (b, h, 0, 0))]
+    if save_residuals:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, H, Sq, _LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, G, Sq, _LANES), lambda b, h: (b, h, 0, 0)))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, H // G),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*operands)
+    if save_residuals:
+        return outs[0], outs[1]
+    return outs[0]
+
+
 def _flash_forward(q, k, v, sm_scale: float, block_q: int,
                    block_k_major: int, block_k: int, interpret: bool,
                    save_residuals: bool, fixed_max: float | None = None,
@@ -338,6 +455,30 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
         vp = vp.at[..., D].set(jnp.asarray(1.0, vp.dtype))
     nq = (Sq + pq) // block_q
     nk = (Sk + pk) // block_k_major
+
+    # single-tile fast path: the whole sequence fits one tile with no
+    # padding — run the exact-softmax kernel with G heads per grid cell
+    # (the generic kernel's per-cell overheads dominate at this scale:
+    # 54.4 → 47.2 ms/frame on the ViT-Det window blocks at G=8)
+    if (SINGLE_TILE_HEAD_GROUP and nq == 1 and nk == 1 and pq == 0
+            and pk == 0 and not lsum):
+        G = math.gcd(H, SINGLE_TILE_HEAD_GROUP)
+        # scoped VMEM is 16 MB — halve G until the cell's buffers fit
+        # (measured: G=16 at the 9×16×576×64 window shape OOMs at 21.6 MB)
+        isz = jnp.dtype(q.dtype).itemsize
+
+        def cell_bytes(g):
+            qkv = g * (Sq + 2 * Sk) * D * isz
+            out = g * Sq * D * isz + Sq * D * 4          # + f32 acc
+            res = g * Sq * _LANES * 4 if save_residuals else 0
+            scores = 2 * Sq * Sk * 4                     # s + p, per head
+            return qkv + out + res + scores
+
+        while G > 1 and cell_bytes(G) > 12 * 2 ** 20:
+            G //= 2
+        return _flash_forward_single_tile(
+            q, k, v, sm_scale, interpret, save_residuals, fixed_max,
+            rope_cos, rope_sin, rope_rotate, G)
 
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, kv_tiles=nk, kv_len=Sk,

@@ -54,6 +54,10 @@ class TestPallasKernelInterpret:
         # D=32 f32 — the fusion-encoder tail self-attention (d_model 256
         # / 8 heads); ragged S vs the 5184 = 9·576 pad-free tile shape
         (1, 4, 72, 80, 32, 24, 24, 24),
+        # head-batched single-tile path (G = gcd(8, 8) heads per cell)
+        (2, 8, 48, 48, 32, 48, 48, 48),
+        # single-tile CROSS-attention (Sq != Sk, one tile each)
+        (1, 4, 40, 72, 32, 40, 72, 72),
     ]
 
     @pytest.mark.parametrize("case", CASES)
