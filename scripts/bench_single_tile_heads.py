@@ -60,39 +60,13 @@ def micro():
 
 
 def detector():
-    from skix.tracking.sam3_detector import Sam3Detector
+    from bench_window_flash_ab import build_detector, time_detector_fwd
 
-    det = Sam3Detector.full_size(dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    size = det.img_size
-    imgs = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)), jnp.float32)
-    text = jnp.asarray(rng.normal(0, 0.1, (1, 8, det.d_model)), jnp.float32)
-    t0 = time.time()
-    variables = jax.jit(lambda kk: det.init(kk, imgs, text))(
-        jax.random.PRNGKey(0))
-    print(f"init {time.time()-t0:.0f}s", flush=True)
-
+    det, variables, imgs, text = build_detector()
     for g in (8, 0):
         A.SINGLE_TILE_HEAD_GROUP = g
-
-        @jax.jit
-        def step(v, x):
-            out = det.apply(v, x, text)
-            nxt = x * 0.999 + jnp.mean(out.scores) * 1e-6
-            return jnp.sum(out.boxes_cxcywh) + jnp.sum(out.scores), nxt
-
-        t0 = time.time()
-        s, x = step(variables, imgs)
-        _ = float(s)
-        print(f"compile+first {time.time()-t0:.0f}s (G={g})", flush=True)
-        iters = 10
-        t0 = time.time()
-        for _ in range(iters):
-            s, x = step(variables, x)
-        _ = float(s)
-        dt = (time.time() - t0) / iters
-        print(f"detector fwd single_tile_heads={g}: {dt*1000:.1f} "
-              f"ms/frame = {1/dt:.1f} fps @1008px", flush=True)
+        time_detector_fwd(det, variables, imgs, text,
+                          f"single_tile_heads={g}")
     A.SINGLE_TILE_HEAD_GROUP = 8
 
 

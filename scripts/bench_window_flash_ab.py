@@ -55,12 +55,12 @@ def micro():
               f"{28 * ms:6.1f} ms/frame", flush=True)
 
 
-def detector(window_flash: bool, tail_flash: bool = True):
+def build_detector(**kw):
+    """Full-size detector + random weights + inputs — the shared harness
+    (also used by bench_single_tile_heads.py)."""
     from skix.tracking.sam3_detector import Sam3Detector
 
-    det = Sam3Detector.full_size(dtype=jnp.bfloat16,
-                                 window_flash=window_flash,
-                                 tail_flash=tail_flash)
+    det = Sam3Detector.full_size(dtype=jnp.bfloat16, **kw)
     rng = np.random.default_rng(0)
     size = det.img_size
     imgs = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)), jnp.float32)
@@ -68,9 +68,14 @@ def detector(window_flash: bool, tail_flash: bool = True):
     t0 = time.time()
     variables = jax.jit(lambda k: det.init(k, imgs, text))(
         jax.random.PRNGKey(0))
-    print(f"init {time.time()-t0:.0f}s (window_flash={window_flash})",
-          flush=True)
+    print(f"init {time.time()-t0:.0f}s ({kw})", flush=True)
+    return det, variables, imgs, text
 
+
+def time_detector_fwd(det, variables, imgs, text, label: str,
+                      iters: int = 10) -> float:
+    """Honest-timing forward loop: iteration chain via the input, one
+    host readback closing over the last iteration."""
     @jax.jit
     def step(v, x):
         out = det.apply(v, x, text)
@@ -80,16 +85,23 @@ def detector(window_flash: bool, tail_flash: bool = True):
     t0 = time.time()
     s, x = step(variables, imgs)
     _ = float(s)
-    print(f"compile+first {time.time()-t0:.0f}s", flush=True)
-    iters = 10
+    print(f"compile+first {time.time()-t0:.0f}s ({label})", flush=True)
     t0 = time.time()
     for _ in range(iters):
         s, x = step(variables, x)
     _ = float(s)
     dt = (time.time() - t0) / iters
-    print(f"detector fwd window_flash={window_flash} "
-          f"tail_flash={tail_flash}: {dt*1000:.1f} "
+    print(f"detector fwd {label}: {dt*1000:.1f} "
           f"ms/frame = {1/dt:.1f} fps @1008px", flush=True)
+    return dt
+
+
+def detector(window_flash: bool, tail_flash: bool = True):
+    det, variables, imgs, text = build_detector(
+        window_flash=window_flash, tail_flash=tail_flash)
+    time_detector_fwd(det, variables, imgs, text,
+                      f"window_flash={window_flash} "
+                      f"tail_flash={tail_flash}")
 
 
 def lsum_vggt_scale():

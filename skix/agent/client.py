@@ -43,7 +43,16 @@ class ScriptedLLM:
         self._i = 0
 
     def __call__(self, messages: List[dict]) -> Optional[str]:
-        self.seen.append([dict(m) for m in messages])
+        # deep-copy (minus image arrays) so the recorded history is a
+        # true snapshot — the agent later edits text content in place
+        # (_truncate_tool_tail) and a shallow copy would mutate it
+        def snap(m):
+            c = m.get("content")
+            if not isinstance(c, list):
+                return dict(m)
+            return {**m, "content": [dict(x) if isinstance(x, dict)
+                                     else x for x in c]}
+        self.seen.append([snap(m) for m in messages])
         if self._i >= len(self.responses):
             return None
         out = self.responses[self._i]
@@ -86,8 +95,9 @@ class Sam3AgentClient:
         masks = (np.stack(masks) if masks
                  else np.zeros((0, H, W), bool))
         # degenerate-mask drop (reference: RLE strings shorter than 5
-        # chars, i.e. near-empty masks)
-        ok = masks.reshape(len(masks), -1).sum(-1) >= self.min_mask_area
+        # chars, i.e. near-empty masks). Explicit H*W: reshape(0, -1)
+        # on an empty array raises (numpy cannot infer -1 from size 0)
+        ok = masks.reshape(len(masks), H * W).sum(-1) >= self.min_mask_area
         boxes, scores, masks = boxes[ok], scores[ok], masks[ok]
         if len(masks) > 1:
             keep = remove_overlapping_masks(scores, masks, self.iom_thresh)

@@ -56,15 +56,32 @@ def parse_tool_call(text: str) -> Tuple[str, dict]:
     sometimes emit several calls at once)."""
     if "<tool>" not in text:
         raise AgentError(f"no <tool> block in response: {text[:200]!r}")
-    payload = (text.split("</tool>", 1)[0].split("<tool>")[-1].strip()
-               .replace("}}}", "}}"))
+    payload = text.split("</tool>", 1)[0].split("<tool>")[-1].strip()
     try:
         call = json.loads(payload)
-    except json.JSONDecodeError as e:
-        raise AgentError(f"invalid JSON in tool call: {payload!r}") from e
-    if "name" not in call:
+    except json.JSONDecodeError:
+        # LLMs sometimes append a stray closing brace; retry with ONE
+        # trailing brace trimmed (a global '}}}'→'}}' replace would
+        # corrupt valid payloads containing triple braces in strings)
+        try:
+            call = json.loads(payload.rstrip()[:-1]) \
+                if payload.rstrip().endswith("}") else None
+        except json.JSONDecodeError:
+            call = None
+        if call is None:
+            raise AgentError(f"invalid JSON in tool call: {payload!r}") \
+                from None
+    if not isinstance(call, dict) or "name" not in call:
         raise AgentError(f"tool call missing 'name': {call!r}")
     return call["name"], call.get("parameters", {})
+
+
+def _param(params: dict, key: str):
+    """Required tool parameter — missing keys are protocol violations
+    (AgentError), not raw KeyErrors."""
+    if not isinstance(params, dict) or key not in params:
+        raise AgentError(f"tool call missing parameter {key!r}: {params!r}")
+    return params[key]
 
 
 def _user_msg(*content) -> dict:
@@ -96,9 +113,13 @@ def prune_messages(messages: List[dict], used_prompts: List[str],
     keep messages[:2]; keep the latest assistant message containing a
     segment_phrase tool call and everything after it; if prompts other
     than the latest were already tried, rebuild message 2 with a
-    do-not-reuse warning."""
-    if len(messages) >= 10:
-        raise AgentError("message history grew past 10 entries")
+    do-not-reuse warning.
+
+    Deviation from the reference: instead of asserting the history stays
+    under 10 entries (repeated ``examine_each_mask`` rounds after one
+    segment call legitimately grow the post-anchor tail by 2 each), an
+    over-long tail is compressed to its first and last exchange — the
+    newest render is what the model acts on."""
     part1 = [messages[0], dict(messages[1])]
     start = None
     for idx in range(len(messages) - 1, 1, -1):
@@ -113,7 +134,18 @@ def prune_messages(messages: List[dict], used_prompts: List[str],
                 break
         if start is not None:
             break
-    part2 = messages[start:] if start is not None else []
+    part2 = list(messages[start:]) if start is not None else []
+    if len(part2) > 6:
+        part2 = part2[:2] + part2[-2:]
+    # the ≤2-image budget: message 2 carries the raw image, so at most
+    # ONE kept tail message may carry one — strip images from all but
+    # the last image-bearing entry
+    img_idx = [i for i, m in enumerate(part2) if count_images([m])]
+    for i in img_idx[:-1]:
+        part2[i] = {**part2[i],
+                    "content": [c for c in part2[i]["content"]
+                                if not (isinstance(c, dict)
+                                        and c.get("type") == "image")]}
     previously = [p for p in used_prompts if p != latest_prompt]
     if part2 and previously:
         warning = (f"Previously tried segment_phrase text_prompts, none "
@@ -122,7 +154,7 @@ def prune_messages(messages: List[dict], used_prompts: List[str],
             _image(image),
             _text(f"The above image is the raw input image. The user "
                   f"query is: '{query}'. {warning}"))
-    return part1 + list(part2)
+    return part1 + part2
 
 
 def _verify_one_mask(llm, image: np.ndarray, query: str, overlay, zoomed,
@@ -199,7 +231,7 @@ def agent_inference(image: np.ndarray, query: str, llm,
                 f"report_no_mask, got {name}")
 
         if name == "segment_phrase":
-            prompt = str(params["text_prompt"])
+            prompt = str(_param(params, "text_prompt"))
             messages.append(assistant)
             if prompt in used_prompts:
                 messages.append(_user_msg(_text(
@@ -266,9 +298,15 @@ def agent_inference(image: np.ndarray, query: str, llm,
         elif name == "select_masks_and_return":
             if outputs is None:
                 raise AgentError("select before any segmentation")
-            wanted = params["final_answer_masks"]
+            wanted = _param(params, "final_answer_masks")
+            try:
+                wanted = [int(i) for i in wanted]
+            except (TypeError, ValueError) as e:
+                raise AgentError(
+                    f"final_answer_masks must be integers: {wanted!r}"
+                ) from e
             avail = set(range(1, len(outputs["pred_masks"]) + 1))
-            picked = sorted({int(i) for i in wanted if int(i) in avail})
+            picked = sorted({i for i in wanted if i in avail})
             final = _subset(outputs, [i - 1 for i in picked])
             messages.append(assistant)
             maybe_save(final, "final")
@@ -289,7 +327,8 @@ def agent_inference(image: np.ndarray, query: str, llm,
         _truncate_tool_tail(messages)
         messages = prune_messages(messages, used_prompts, latest_prompt,
                                   image, query)
-        assert count_images(messages) <= 2, "image budget exceeded"
+        if count_images(messages) > 2:   # hard invariant, not an assert
+            raise AgentError("image budget exceeded after pruning")
         generations += 1
         if generations > max_generations:
             raise AgentError(

@@ -463,18 +463,24 @@ def _flash_forward(q, k, v, sm_scale: float, block_q: int,
     if (SINGLE_TILE_HEAD_GROUP and nq == 1 and nk == 1 and pq == 0
             and pk == 0 and not lsum):
         G = math.gcd(H, SINGLE_TILE_HEAD_GROUP)
-        # scoped VMEM is 16 MB — halve G until the cell's buffers fit
-        # (measured: G=16 at the 9×16×576×64 window shape OOMs at 21.6 MB)
+        # scoped VMEM is 16 MB and Mosaic does NOT reuse the unrolled
+        # loop's buffers across heads: the f32 score tile and the rope
+        # intermediates are live PER HEAD, and the q/k/v blocks are
+        # double-buffered across grid cells. Halve G until the modeled
+        # footprint fits (measured: the 9×16×576×64 window shape inside
+        # the fused masklet program needs 17.07 MB at G=8 — the model
+        # gives 16.5 MB — and compiles at G=4)
         isz = jnp.dtype(q.dtype).itemsize
 
         def cell_bytes(g):
-            qkv = g * (Sq + 2 * Sk) * D * isz
-            out = g * Sq * D * isz + Sq * D * 4          # + f32 acc
-            res = g * Sq * _LANES * 4 if save_residuals else 0
-            scores = 2 * Sq * Sk * 4                     # s + p, per head
-            return qkv + out + res + scores
+            qkv = 2 * g * (Sq + 2 * Sk) * D * isz        # double-buffered
+            out = 2 * g * Sq * D * 4                     # o + f32 acc
+            res = 2 * g * Sq * _LANES * 4 if save_residuals else 0
+            scores = g * Sq * Sk * 4                     # per-head, live
+            rope = 4 * g * Sq * D * 4 if with_rope else 0
+            return qkv + out + res + scores + rope
 
-        while G > 1 and cell_bytes(G) > 12 * 2 ** 20:
+        while G > 1 and cell_bytes(G) > 14 * 2 ** 20:
             G //= 2
         return _flash_forward_single_tile(
             q, k, v, sm_scale, interpret, save_residuals, fixed_max,

@@ -53,9 +53,32 @@ class TestToolParse:
         assert name == "segment_phrase"
         assert params == {"text_prompt": "skier"}
 
+    def test_triple_brace_inside_string_param_survives(self):
+        """The stray-brace fixup must not corrupt VALID payloads whose
+        string content contains '}}}' (code-review finding)."""
+        name, params = parse_tool_call(
+            '<tool>{"name": "segment_phrase", "parameters": '
+            '{"text_prompt": "the }}} sign"}}</tool>')
+        assert params == {"text_prompt": "the }}} sign"}
+
     def test_missing_tool_raises(self):
         with pytest.raises(AgentError):
             parse_tool_call("no tools here")
+
+    def test_missing_parameter_raises_agent_error(self):
+        """Malformed tool calls must surface as AgentError (the loop's
+        documented contract), not raw KeyError."""
+        img = np.zeros((16, 16, 3), np.uint8)
+        llm = ScriptedLLM([tool("segment_phrase")])   # no text_prompt
+        with pytest.raises(AgentError, match="text_prompt"):
+            agent_inference(img, "q", llm, FakeSegmenter({}))
+        llm2 = ScriptedLLM([
+            tool("segment_phrase", text_prompt="skier"),
+            tool("select_masks_and_return"),          # no indices
+        ])
+        with pytest.raises(AgentError, match="final_answer_masks"):
+            agent_inference(img, "q", llm2,
+                            FakeSegmenter({"skier": make_masks((16, 16))}))
 
 
 class TestSom:
@@ -167,6 +190,53 @@ class TestAgentLoop:
                    or "ice" in c.get("text", "")
                    for m in last_seen if isinstance(m.get("content"), list)
                    for c in m["content"] if isinstance(c, dict))
+
+    def test_repeated_examine_rounds_complete(self):
+        """Three consecutive examine_each_mask rounds are a legitimate
+        sequence — the history must compress, not hard-fail (code-review
+        finding: the old <10-entry guard raised on the 3rd round)."""
+        img = np.zeros((48, 64, 3), np.uint8)
+        seg = FakeSegmenter({"skier": make_masks()})
+        llm = ScriptedLLM([
+            tool("segment_phrase", text_prompt="skier"),
+            tool("examine_each_mask"),
+            "<verdict>Accept</verdict>", "<verdict>Accept</verdict>",
+            "<verdict>Accept</verdict>",
+            tool("examine_each_mask"),
+            "<verdict>Accept</verdict>", "<verdict>Accept</verdict>",
+            "<verdict>Accept</verdict>",
+            tool("examine_each_mask"),
+            "<verdict>Accept</verdict>", "<verdict>Reject</verdict>",
+            "<verdict>Accept</verdict>",
+            tool("select_masks_and_return", final_answer_masks=[1, 2]),
+        ])
+        _, final, _ = agent_inference(img, "skiers", llm, seg)
+        assert len(final["pred_masks"]) == 2
+        # the ≤2-image budget applies to MAIN-loop conversations; the
+        # per-mask verifier conversations carry 3 by design (raw +
+        # overlay + zoom, like the reference's iterative checking)
+        from skix.agent.prompts import SYSTEM_PROMPT
+        main = [m for m in llm.seen if m[0].get("content") == SYSTEM_PROMPT]
+        assert main and all(count_images(m) <= 2 for m in main)
+
+    def test_segmenter_client_zero_masks(self):
+        """Sam3AgentClient must return an empty outputs dict (not crash)
+        when nothing clears the confidence threshold (code-review
+        finding: reshape(-1) on an empty array raises)."""
+        from skix.agent import Sam3AgentClient
+
+        class EmptyProcessor:
+            def set_image(self, image):
+                return {}
+
+            def set_text_prompt(self, prompt, state):
+                return {"boxes_xyxy": np.zeros((0, 4), np.float32),
+                        "scores": np.zeros((0,), np.float32),
+                        "masks_lowres": np.zeros((0, 4, 4), np.float32)}
+
+        out = Sam3AgentClient(EmptyProcessor())(
+            np.zeros((24, 32, 3), np.uint8), "unicorn")
+        assert out["pred_masks"] == [] and out["pred_boxes"] == []
 
     def test_report_no_mask(self):
         img = np.zeros((20, 30, 3), np.uint8)
