@@ -651,6 +651,20 @@ class MaskletVideoModel:
         out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
         state, banks = self.init_state((self.trk_img_size,) * 2)
         chunk_dev = None
+
+        def drain(pend):
+            t, dev, lowres_hw = pend
+            host = jax.device_get(dev)
+            yield {
+                "frame_index": t,
+                "outputs": _frame_outputs(
+                    out_hw, lowres_hw, _unpack_masks(host[0], *out_hw),
+                    host[1] if include_lowres_logits else None,
+                    *host[2:]),
+            }
+
+        pending = None   # one-frame lookahead: frame t+1 computes on
+        # device while frame t's outputs cross the relay
         for t in range(T):
             # upload frames in chunks and slice on device: per-frame
             # host→device transfers of a 720p frame through the axon
@@ -663,18 +677,16 @@ class MaskletVideoModel:
                                           prompt_tokens, state, banks,
                                           geometry=geometry)
             logits = out["out_mask_logits"]               # (K, gh, gw)
-            lowres_hw = logits.shape[-2:]
-            masks = _unpack_masks(_upsample_pack_masks(logits, *out_hw),
-                                  *out_hw)
-            yield {
-                "frame_index": t,
-                "outputs": _frame_outputs(
-                    out_hw, lowres_hw, masks,
-                    logits if include_lowres_logits else None,
-                    out["boxes_lowres"], out["obj_id"], out["active"],
-                    out["confirmed"], out["spawn_score"],
-                    out["trk_scores"]),
-            }
+            dev = (_upsample_pack_masks(logits, *out_hw),
+                   logits if include_lowres_logits else jnp.zeros(()),
+                   out["boxes_lowres"], out["obj_id"], out["active"],
+                   out["confirmed"], out["spawn_score"],
+                   out["trk_scores"])
+            if pending is not None:
+                yield from drain(pending)
+            pending = (t, dev, logits.shape[-2:])
+        if pending is not None:
+            yield from drain(pending)
 
     def propagate_clip(self, frames, prompt_tokens, yield_masks_at=None,
                        chunk: int = 8, include_lowres_logits: bool = True):
@@ -692,6 +704,25 @@ class MaskletVideoModel:
         out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
         state, banks = self.init_state((self.trk_img_size,) * 2)
         is_u8 = frames.dtype == np.uint8
+
+        def drain(pend):
+            s, e, dev, lowres_hw = pend
+            # ONE batched device→host pull for the whole chunk (per-key
+            # np.asarray would serialize a readback round-trip each)
+            host = jax.device_get(dev)
+            masks = _unpack_masks(host[0], *out_hw)   # (C, K, H, W)
+            for i in range(e - s):
+                yield {
+                    "frame_index": s + i,
+                    "outputs": _frame_outputs(
+                        out_hw, lowres_hw, masks[i],
+                        host[1][i] if include_lowres_logits else None,
+                        *(a[i] for a in host[2:])),
+                }
+
+        pending = None   # one-chunk lookahead: the device computes
+        # chunk i+1 while the host pulls chunk i over the relay —
+        # dispatch is async, device_get overlaps the next chunk's work
         for s in range(0, T, chunk):
             e = min(s + chunk, T)
             fr = frames[s:e]
@@ -705,21 +736,13 @@ class MaskletVideoModel:
                 self.det_variables, self.trk_variables, jnp.asarray(fr),
                 ok, prompt_tokens, state, banks)
             logits = outs["out_mask_logits"]          # (C, K, gh, gw)
-            lowres_hw = logits.shape[-2:]
-            # ONE batched device→host pull for the whole chunk (per-key
-            # np.asarray would serialize a readback round-trip each)
-            host = jax.device_get(
-                (_upsample_pack_masks(logits, *out_hw),
-                 logits if include_lowres_logits else jnp.zeros(()),
-                 outs["boxes_lowres"], outs["obj_id"], outs["active"],
-                 outs["confirmed"], outs["spawn_score"],
-                 outs["trk_scores"]))
-            masks = _unpack_masks(host[0], *out_hw)       # (C, K, H, W)
-            for i in range(e - s):
-                yield {
-                    "frame_index": s + i,
-                    "outputs": _frame_outputs(
-                        out_hw, lowres_hw, masks[i],
-                        host[1][i] if include_lowres_logits else None,
-                        *(a[i] for a in host[2:])),
-                }
+            dev = (_upsample_pack_masks(logits, *out_hw),
+                   logits if include_lowres_logits else jnp.zeros(()),
+                   outs["boxes_lowres"], outs["obj_id"], outs["active"],
+                   outs["confirmed"], outs["spawn_score"],
+                   outs["trk_scores"])
+            if pending is not None:
+                yield from drain(pending)
+            pending = (s, e, dev, logits.shape[-2:])
+        if pending is not None:
+            yield from drain(pending)
