@@ -688,6 +688,118 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *refs,
         dq_ref[0, 0] = dqr.astype(dq_ref.dtype)
 
 
+def _bwd_kernel_single_tile(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                            *refs, sm_scale: float, heads_per_cell: int,
+                            with_rope: bool):
+    """Combined dQ/dK/dV for the whole-sequence-in-one-tile case: every
+    operand tile is VMEM-resident, so one exact pass replaces the two
+    generic kernels (whose 512-capped tiles pad the 576-token window
+    blocks to 1024 — 4× wasted score work, twice)."""
+    idx = 0
+    if with_rope:
+        cos_ref, sin_ref, r_ref = refs[idx:idx + 3]
+        idx += 3
+    dq_ref, dk_ref, dv_ref = refs[idx:idx + 3]
+
+    for g in range(heads_per_cell):
+        q_raw = q_ref[0, g]
+        k_raw = k_ref[0, g]
+        v = v_ref[0, g]
+        do = do_ref[0, g]
+        lse = lse_ref[0, g][:, :1]       # (Sq, 1) f32, lane-replicated in
+        di = di_ref[0, g][:, :1]
+        if with_rope:
+            R = r_ref[...].astype(q_raw.dtype)
+            cos = cos_ref[...]
+            sin = sin_ref[...]
+            q = (q_raw.astype(jnp.float32) * cos
+                 + jax.lax.dot(q_raw, R, preferred_element_type=jnp.float32)
+                 * sin).astype(q_raw.dtype)
+            k = (k_raw.astype(jnp.float32) * cos
+                 + jax.lax.dot(k_raw, R, preferred_element_type=jnp.float32)
+                 * sin).astype(k_raw.dtype)
+        else:
+            q, k = q_raw, k_raw
+        qs = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp2(s - lse)                               # (Sq, Sk) f32
+        # dV = Pᵀ dO
+        dv = jax.lax.dot_general(p.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dP = dO Vᵀ ; dŜ = P ⊙ (dP − di)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - di)).astype(q.dtype)
+        dqr = jax.lax.dot(ds, k,
+                          preferred_element_type=jnp.float32) * sm_scale
+        dkr = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) \
+            * sm_scale
+        if with_rope:
+            # un-rotate through the orthogonal rope map (Rᵀ = −R)
+            R32 = r_ref[...]
+            dqr = (dqr * cos
+                   - jax.lax.dot(dqr.astype(jnp.float32), R32,
+                                 preferred_element_type=jnp.float32) * sin)
+            dkr = (dkr * cos
+                   - jax.lax.dot(dkr.astype(jnp.float32), R32,
+                                 preferred_element_type=jnp.float32) * sin)
+        dq_ref[0, g] = dqr.astype(dq_ref.dtype)
+        dk_ref[0, g] = dkr.astype(dk_ref.dtype)
+        dv_ref[0, g] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward_single_tile(q, k, v, lse, di, g_out, sm_scale: float,
+                                interpret: bool, rope_cos, rope_sin,
+                                rope_rotate: str, head_group: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    G = head_group
+    with_rope = rope_cos is not None
+    dip = jnp.broadcast_to(di[..., None], (*di.shape, _LANES))
+    kernel = functools.partial(
+        _bwd_kernel_single_tile, sm_scale=sm_scale, heads_per_cell=G,
+        with_rope=with_rope)
+    operands = [q, k, v, g_out, lse, dip]
+    in_specs = [
+        pl.BlockSpec((1, G, Sq, D), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, G, Sk, D), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, G, Sk, D), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, G, Sq, D), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, G, Sq, _LANES), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, G, Sq, _LANES), lambda b, h: (b, h, 0, 0)),
+    ]
+    if with_rope:
+        R = jnp.asarray(_rot_matrix(D, rope_rotate))
+        operands += [rope_cos.astype(jnp.float32),
+                     rope_sin.astype(jnp.float32), R]
+        in_specs += [pl.BlockSpec((Sq, D), lambda b, h: (0, 0)),
+                     pl.BlockSpec((Sq, D), lambda b, h: (0, 0)),
+                     pl.BlockSpec((D, D), lambda b, h: (0, 0))]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, H // G),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, G, Sq, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, G, Sk, D), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, G, Sk, D), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(*operands)
+    return outs[0], outs[1], outs[2]
+
+
 def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
                     block_q: int, block_k: int, interpret: bool,
                     rope_cos=None, rope_sin=None,
@@ -707,6 +819,29 @@ def _flash_backward(q, k, v, o, lse_padded, g, sm_scale: float,
 
     # di = Σ_d o · do, once, shared by both kernels (f32)
     di = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+
+    # single-tile fast path: the whole sequence fits one VMEM-budgeted
+    # tile — one combined dQ/dK/dV kernel replaces the two generic ones
+    # (whose 512-capped blocks pad a 576-token window to 1024: 4× score
+    # work, twice). Eligibility is independent of the caller's block cap.
+    if SINGLE_TILE_HEAD_GROUP and Sq % 8 == 0 and Sk % 8 == 0:
+        G = math.gcd(H, SINGLE_TILE_HEAD_GROUP)
+        isz = jnp.dtype(q.dtype).itemsize
+
+        def cell_bytes(gh):
+            blocks = 2 * gh * 2 * (Sq + Sk) * D * isz   # q,do,k,v dbl-buf
+            outs = 2 * gh * (Sq + 2 * Sk) * D * 4
+            scores = 3 * gh * Sq * Sk * 4               # p, dp, ds live
+            stats = 4 * gh * Sq * _LANES * 4            # lse + di blocks
+            rope = 6 * gh * Sq * D * 4 if with_rope else 0
+            return blocks + outs + scores + stats + rope
+
+        while G > 1 and cell_bytes(G) > 14 * 2 ** 20:
+            G //= 2
+        if cell_bytes(G) <= 14 * 2 ** 20:
+            return _flash_backward_single_tile(
+                q, k, v, lse_padded[:, :, :Sq, :], di, g, sm_scale,
+                interpret, rope_cos, rope_sin, rope_rotate, G)
 
     pad_q = ((0, 0), (0, 0), (0, pq), (0, 0))
     pad_k = ((0, 0), (0, 0), (0, pk), (0, 0))
