@@ -194,6 +194,10 @@ class Aggregator(nn.Module):
             # frame and global layouts → rope can fuse into the kernel
             rope_tables=True)
 
+        # NOTE: at 518 px the frame layout (P=1374) and global layout
+        # (S·P=2748 for stereo pairs) both hit flash_attention's S-fitted
+        # two-even-tiles rule — aggregator fwd 65→55 ms/pair measured
+        # (scripts/bench_vggt_blocks.py); no per-block overrides needed.
         outputs = []
         want = set(self.output_layers) if self.output_layers is not None else None
         BlockCls = nn.remat(Block) if self.remat else Block

@@ -1125,6 +1125,16 @@ def flash_attention(q, k, v, sm_scale: float | None = None,
     if (block_q == 1024 and block_k_major == 1024 and block_k == 1024
             and q.shape[2] % 2048 == 0):
         block_q = 2048
+    # self-attention just past one tile: the default pads S to 2·1024
+    # (S=1374 wastes 49% of the K tiles). Two even S-fitted tiles measured
+    # fastest on v5e for both VGGT layouts (scripts/bench_vggt_blocks.py:
+    # S=1374 2.26→1.91 ms, S=2748 2.24→2.11 ms; aggregator fwd 65→55
+    # ms/pair). Score tile ≤ 1408² f32 ≈ 7.9 MB keeps VMEM safe. Only at
+    # full defaults — explicit blocks are the caller's choice.
+    elif (block_q == 1024 and block_k_major == 1024 and block_k == 1024
+            and q.shape[2] == k.shape[2] and 1024 < q.shape[2] <= 2816):
+        block_q = block_k_major = block_k = -(-((q.shape[2] + 1) // 2)
+                                              // 8) * 8
     return _flash_attention(q, k, v, rope_cos, rope_sin, sm_scale, block_q,
                             block_k_major, block_k, interpret, fixed_max,
                             rope_rotate, mxu_lsum)
