@@ -8,9 +8,13 @@ Ry(180°), C=[0,0,20] :209-221).
 
 TPU-first: the per-frame Python loop becomes one batched program — vmapped
 RANSAC essential-matrix pose for every frame at once, one clip-wide DLT,
-post-triage gating and Savitzky–Golay smoothing all under jit. SIFT/ORB
-based pose methods (cv2, CPU) are optional extras behind
-``methods: [kpt, sift, orb]`` — `kpt` is the fully-on-TPU path.
+post-triage gating and Savitzky–Golay smoothing all under jit. The
+feature-based pose methods (cv2, CPU) are optional extras behind
+``methods: [kpt, sift, orb, bbox_sift, kpt_bbox]`` — `kpt` is the fully
+on-TPU path; `bbox_sift` matches inside the person-bbox crops (reference
+camera_position.py:242) and `kpt_bbox` pools weighted keypoint + bbox-crop
+correspondences (camera_position_kpt_bbox.py:178), completing the
+reference's five per-frame pose routes.
 """
 
 from __future__ import annotations
@@ -126,6 +130,23 @@ def estimate_pose_clip(kpts_a, kpts_b, score_a, score_b, K, baseline_m: float,
     return np.asarray(pose.R), t, int(pose.num_inliers)
 
 
+def _essential_pose(p1, p2, K, baseline_m: float):
+    """RANSAC essential + recoverPose on pixel correspondences, |t|
+    rescaled to the stereo baseline. Shared tail of every cv2-feature
+    pose method."""
+    import cv2
+
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    E, mask = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
+                                   prob=0.999, threshold=1.0)
+    if E is None:
+        return None
+    _, R, t, _ = cv2.recoverPose(E, p1, p2, K, mask=mask)
+    t = t.ravel() / (np.linalg.norm(t) + 1e-9) * baseline_m
+    return R, t
+
+
 def estimate_pose_opencv_features(frame_a, frame_b, K, baseline_m: float,
                                   method: str = "sift"):
     """SIFT/ORB pose for one frame pair (host-side cv2; reference
@@ -143,13 +164,98 @@ def estimate_pose_opencv_features(frame_a, frame_b, K, baseline_m: float,
         return None
     p1 = np.float64([kp1[m.queryIdx].pt for m in matches])
     p2 = np.float64([kp2[m.trainIdx].pt for m in matches])
-    E, mask = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
-                                   prob=0.999, threshold=1.0)
-    if E is None:
+    return _essential_pose(p1, p2, K, baseline_m)
+
+
+def _sift_ratio_match_bbox(frame_a, frame_b, bbox_a, bbox_b,
+                           ratio: float = 0.75, max_kp: int = 1000):
+    """Lowe-ratio SIFT matches restricted to one bbox pair, returned in
+    FULL-FRAME pixel coordinates: ``(p1 (M,2), p2 (M,2), dist (M,))``
+    float32, or ``None`` when either crop yields no usable features."""
+    import cv2
+
+    def crop(frame, bbox):
+        x1, y1, x2, y2 = (max(int(v), 0) for v in bbox)
+        return frame[y1:y2, x1:x2]
+
+    pa, pb = crop(frame_a, bbox_a), crop(frame_b, bbox_b)
+    if pa.size == 0 or pb.size == 0:
         return None
-    _, R, t, _ = cv2.recoverPose(E, p1, p2, K, mask=mask)
-    t = t.ravel() / (np.linalg.norm(t) + 1e-9) * baseline_m
-    return R, t
+    det = cv2.SIFT_create(nfeatures=max_kp)
+    kp1, des1 = det.detectAndCompute(pa, None)
+    kp2, des2 = det.detectAndCompute(pb, None)
+    if des1 is None or des2 is None or len(kp1) < 2 or len(kp2) < 2:
+        return None
+    pairs = cv2.BFMatcher().knnMatch(des1, des2, k=2)
+    good = [m[0] for m in pairs
+            if len(m) == 2 and m[0].distance < ratio * m[1].distance]
+    if not good:
+        return None
+    p1 = np.float32([kp1[m.queryIdx].pt for m in good])
+    p2 = np.float32([kp2[m.trainIdx].pt for m in good])
+    p1 += np.float32([bbox_a[0], bbox_a[1]])
+    p2 += np.float32([bbox_b[0], bbox_b[1]])
+    return p1, p2, np.float32([m.distance for m in good])
+
+
+def estimate_pose_bbox_region(frame_a, frame_b, bbox_a, bbox_b, K,
+                              baseline_m: float, ratio: float = 0.75):
+    """Pose from SIFT matches INSIDE the tracked-person bbox pair only
+    (reference camera_position.py:242 estimate_pose_from_bbox_region):
+    ratio-test matches in the crops, shifted back to full-frame
+    coordinates, then essential + recoverPose scaled to the baseline."""
+    res = _sift_ratio_match_bbox(frame_a, frame_b, bbox_a, bbox_b, ratio)
+    if res is None or len(res[0]) < 5:
+        return None
+    return _essential_pose(res[0], res[1], K, baseline_m)
+
+
+def estimate_pose_kpt_bbox(frame_a, frame_b, bbox_a, bbox_b, K,
+                           baseline_m: float, kpts_a=None, kpts_b=None,
+                           kpt_scores=None, kpt_weight: float = 1.5,
+                           pix_weight: float = 1.0, top_pix: int = 800,
+                           ratio: float = 0.75):
+    """Weighted union of bbox-crop SIFT matches and 2D keypoint
+    correspondences (reference camera_position_kpt_bbox.py:178
+    estimate_pose_from_bbox_and_kpt). findEssentialMat takes no weights,
+    so weights become integer row repetitions (weighted inlier voting):
+    each route's weights are normalized to max 3·base and clipped to
+    [1, 3·base] — keypoints weighted by score at base ``kpt_weight``,
+    pixel matches by ``exp(-dist/median_dist)`` at base ``pix_weight``,
+    keeping only the ``top_pix`` best matches."""
+    def repeat_by_weight(p1, p2, w, base):
+        w = np.asarray(w, np.float32)
+        w = w / (w.max() + 1e-8) * (3.0 * base)
+        reps = np.clip(np.rint(w), 1, max(1, int(3 * base))).astype(int)
+        return np.repeat(p1, reps, axis=0), np.repeat(p2, reps, axis=0)
+
+    P1, P2 = [], []
+    res = _sift_ratio_match_bbox(frame_a, frame_b, bbox_a, bbox_b, ratio)
+    if res is not None:
+        p1, p2, d = res
+        if top_pix and len(p1) > top_pix:
+            idx = np.argsort(d)[:top_pix]
+            p1, p2, d = p1[idx], p2[idx], d[idx]
+        w = np.exp(-d / (np.median(d) + 1e-6))
+        r1, r2 = repeat_by_weight(p1, p2, w, pix_weight)
+        P1.append(r1)
+        P2.append(r2)
+    if kpts_a is not None and kpts_b is not None and len(kpts_a):
+        ks = (np.asarray(kpt_scores, np.float32)
+              if kpt_scores is not None and len(kpt_scores) == len(kpts_a)
+              else np.ones((len(kpts_a),), np.float32))
+        r1, r2 = repeat_by_weight(np.asarray(kpts_a, np.float32),
+                                  np.asarray(kpts_b, np.float32),
+                                  ks, kpt_weight)
+        P1.append(r1)
+        P2.append(r2)
+    if not P1:
+        return None
+    P1 = np.concatenate(P1, axis=0)
+    P2 = np.concatenate(P2, axis=0)
+    if len(P1) < 5:
+        return None
+    return _essential_pose(P1, P2, K, baseline_m)
 
 
 def estimate_single_view_motion(kpts, scores, K, min_score: float = 0.3,
@@ -323,7 +429,7 @@ def main(cfg):
             elif method == "fixed":
                 R_clip, t_clip = fixed_demo_extrinsic(baseline)
                 logp.add(0, "fixed", R_clip, t_clip)
-            elif method in ("sift", "orb"):
+            elif method in ("sift", "orb", "bbox_sift", "kpt_bbox"):
                 # needs decoded frames in the records (store_frames: true)
                 from skix.io import load_pt_info
 
@@ -333,12 +439,31 @@ def main(cfg):
                     log.warning("method %s needs frames stored in the "
                                 "records; skipping", method)
                     continue
+                if method in ("bbox_sift", "kpt_bbox"):
+                    src = cfg.get("kpt_source", "detectron2")
+                    ba = il.d2_bbox if src == "detectron2" else il.yolo_bbox
+                    bb = ir.d2_bbox if src == "detectron2" else ir.yolo_bbox
+                    if ba is None or bb is None:
+                        log.warning("method %s needs %s bboxes in the "
+                                    "records; skipping", method, src)
+                        continue
                 stride = max(1, T // 10)
                 poses = []
                 for i in range(0, T, stride):
-                    res = estimate_pose_opencv_features(
-                        il.frames[i], ir.frames[i], K, baseline,
-                        method=method)
+                    if method == "bbox_sift":
+                        res = estimate_pose_bbox_region(
+                            il.frames[i], ir.frames[i], ba[i], bb[i], K,
+                            baseline)
+                    elif method == "kpt_bbox":
+                        res = estimate_pose_kpt_bbox(
+                            il.frames[i], ir.frames[i], ba[i], bb[i], K,
+                            baseline, kpts_a=ka[i].reshape(-1, 2),
+                            kpts_b=kb[i].reshape(-1, 2),
+                            kpt_scores=sa[i].reshape(-1))
+                    else:
+                        res = estimate_pose_opencv_features(
+                            il.frames[i], ir.frames[i], K, baseline,
+                            method=method)
                     if res is not None:
                         logp.add(i, method, *res)
                         poses.append(res)

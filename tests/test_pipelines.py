@@ -138,6 +138,106 @@ dist: null
             assert z["t"].shape == (T - 1, 3)
 
 
+class TestBboxPoseMethods:
+    """The reference's two bbox-guided camera-pose routes
+    (camera_position.py:242 estimate_pose_from_bbox_region,
+    camera_position_kpt_bbox.py:178 estimate_pose_from_bbox_and_kpt) on a
+    synthetic two-plane textured scene: each plane maps view A → view B by
+    the exact homography K(R + t·nᵀ/d)K⁻¹, so SIFT correspondences are
+    exact and two depths keep the essential matrix non-degenerate."""
+
+    def _scene(self):
+        import cv2
+
+        r = np.random.default_rng(3)
+        H, W = 480, 640
+        K = np.array([[500., 0, 320], [0, 500., 240], [0, 0, 1]])
+        ang = 0.06
+        R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]])
+        t = np.array([-0.6, 0.05, 0.02])
+        imgA = r.integers(0, 255, (H, W), np.uint8)
+        imgA = cv2.GaussianBlur(imgA, (0, 0), 1.2)
+        imgA = cv2.normalize(imgA, None, 0, 255, cv2.NORM_MINMAX
+                             ).astype(np.uint8)
+        n = np.array([0., 0, 1.])
+        depths = (5.0, 10.0)
+        masks = [np.zeros((H, W), np.uint8) for _ in depths]
+        masks[0][:, :W // 2] = 255
+        masks[1][:, W // 2:] = 255
+        imgB = np.zeros((H, W), np.uint8)
+        for d, m in sorted(zip(depths, masks), key=lambda z: -z[0]):
+            src = cv2.bitwise_and(imgA, imgA, mask=m)
+            Hm = K @ (R + np.outer(t, n) / d) @ np.linalg.inv(K)
+            warped = cv2.warpPerspective(src, Hm, (W, H))
+            imgB = np.where(warped > 0, warped, imgB).astype(np.uint8)
+        bbox = np.array([W * 0.2, H * 0.15, W * 0.8, H * 0.85])
+        return imgA, imgB, K, R, t, bbox, r
+
+    def test_bbox_sift_recovers_pose(self):
+        from skix.pipelines.triangulation import estimate_pose_bbox_region
+
+        imgA, imgB, K, R, t, bbox, _ = self._scene()
+        res = estimate_pose_bbox_region(imgA, imgB, bbox, bbox, K,
+                                        np.linalg.norm(t))
+        assert res is not None
+        Re, te = res
+        assert np.linalg.norm(Re - R) < 0.08
+        assert te @ t / (np.linalg.norm(te) * np.linalg.norm(t)) > 0.99
+        # |t| rescaled to the requested baseline
+        assert np.isclose(np.linalg.norm(te), np.linalg.norm(t), rtol=1e-6)
+
+    def test_kpt_bbox_weighted_union(self):
+        from skix.pipelines.triangulation import estimate_pose_kpt_bbox
+
+        imgA, imgB, K, R, t, bbox, r = self._scene()
+        X = np.c_[r.uniform(-2, 2, 25), r.uniform(-1.5, 1.5, 25),
+                  r.uniform(4, 11, 25)]
+        pa = X @ K.T
+        pa = pa[:, :2] / pa[:, 2:]
+        Xb = X @ R.T + t
+        pb = Xb @ K.T
+        pb = pb[:, :2] / pb[:, 2:]
+        res = estimate_pose_kpt_bbox(imgA, imgB, bbox, bbox, K,
+                                     np.linalg.norm(t), kpts_a=pa,
+                                     kpts_b=pb, kpt_scores=np.ones(25))
+        assert res is not None
+        Re, te = res
+        assert np.linalg.norm(Re - R) < 0.05
+        assert te @ t / (np.linalg.norm(te) * np.linalg.norm(t)) > 0.99
+
+    def test_kpt_bbox_keypoints_only(self):
+        # no usable texture in the crop → falls back to the kpt route
+        from skix.pipelines.triangulation import estimate_pose_kpt_bbox
+
+        _, _, K, R, t, _, r = self._scene()
+        flatA = np.zeros((480, 640), np.uint8)
+        X = np.c_[r.uniform(-2, 2, 40), r.uniform(-1.5, 1.5, 40),
+                  r.uniform(4, 11, 40)]
+        pa = X @ K.T
+        pa = pa[:, :2] / pa[:, 2:]
+        Xb = X @ R.T + t
+        pb = Xb @ K.T
+        pb = pb[:, :2] / pb[:, 2:]
+        res = estimate_pose_kpt_bbox(flatA, flatA, [0, 0, 64, 64],
+                                     [0, 0, 64, 64], K, np.linalg.norm(t),
+                                     kpts_a=pa, kpts_b=pb)
+        assert res is not None
+        Re, te = res
+        assert np.linalg.norm(Re - R) < 0.05
+
+    def test_degenerate_inputs_return_none(self):
+        from skix.pipelines.triangulation import (estimate_pose_bbox_region,
+                                                  estimate_pose_kpt_bbox)
+
+        imgA, imgB, K, _, t, _, _ = self._scene()
+        zero = [0, 0, 0, 0]
+        assert estimate_pose_bbox_region(imgA, imgB, zero, zero, K,
+                                         np.linalg.norm(t)) is None
+        assert estimate_pose_kpt_bbox(imgA, imgB, zero, zero, K,
+                                      np.linalg.norm(t)) is None
+
+
 class TestFuseAngleMetricsCLIs:
     def _make_fused_inputs(self, tmp_path, T=60):
         """Left/right MHR-70-style 3D sequences of the same moving pose."""
