@@ -5,10 +5,13 @@ sam3/train/matcher.py Hungarian matcher, train/loss/ focal + box + mask
 losses).
 
 TPU-first split: the **cost matrix and all losses are jnp** (batched,
-differentiable); the discrete assignment itself uses an auction-style
-fixed-iteration solver in jnp — no host round-trip, works under jit/vmap.
-For exactness-sensitive offline evaluation a scipy Hungarian fallback is
-provided host-side.
+differentiable); the discrete assignment runs on-device with no host
+round-trip, jit/vmap-safe, in two flavors: `auction_assign` (exact LAP —
+Bertsekas ε-scaling auction, total-cost parity vs scipy Hungarian;
+opt into the losses with ``exact=True``) and `greedy_assign` (cheaper
+fixed-iteration approximation, the default pending a measured
+train-step delta). A scipy Hungarian fallback is provided host-side
+for offline evaluation.
 """
 
 from __future__ import annotations
@@ -96,6 +99,138 @@ def greedy_assign(cost, gt_valid, rounds: int | None = None,
     return assign
 
 
+def auction_assign(cost, gt_valid, repeats: int = 1, n_phases: int = 9,
+                   scale: float = 8.0, max_rounds: int = 512):
+    """Exact LAP under jit: Bertsekas forward auction with ε-scaling.
+
+    Persons are the (valid) ground-truth columns, objects are the
+    queries; the Jacobi variant lets every unassigned person bid
+    simultaneously, so one bidding round is a handful of (G, Q) matrix
+    ops — VPU-friendly, no host round-trip. The reference matches with
+    scipy Hungarian on the host (sam3/train/matcher.py:15); this is the
+    TPU-native equivalent with the same optimal total cost (parity
+    tested vs ``scipy.optimize.linear_sum_assignment``).
+
+    ε-scaling: prices persist across ``n_phases`` phases whose ε shrinks
+    by ``scale`` each time down to ~1e-7·(cost range); the final phase's
+    assignment is optimal up to n·ε — indistinguishable from Hungarian
+    on float costs unless two assignments' totals differ by < 1e-6 of
+    the cost range (ties, where either is acceptable).
+
+    Matching is discrete, so the cost is ``stop_gradient``-ed (DETR
+    ``@torch.no_grad()`` matcher semantics). ``repeats > 1`` tiles the
+    columns for one-to-many (DAC o2m) matching, same as
+    ``greedy_assign``. Returns ``assign (Q,) int32`` — gt index per
+    query or −1.
+    """
+    cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
+    Q, G = cost.shape
+    r = int(repeats)
+    valid = gt_valid.astype(bool)
+
+    # Two auction refinements keep the round count TPU-friendly:
+    # 1. The asymmetric problem (persons < objects) is made square with
+    #    zero-benefit dummy persons; dummies are interchangeable, so
+    #    their bidding resolves analytically in one "waterfill" per
+    #    round (they hold the k globally cheapest objects, leveled to
+    #    the (k+1)-th smallest price) instead of the similar-person
+    #    stampede that makes naive padding O(range/ε) rounds.
+    # 2. repeats > 1 (one-to-many) treats each gt as a GROUP of
+    #    `repeats` similar persons (Bertsekas similar-persons rule):
+    #    the group's u unassigned members bid on its u best available
+    #    objects, all against the common (u+1)-th best value — exactly
+    #    equivalent to the reference's tiled-column Hungarian but
+    #    without identical tiled persons bidding each other up.
+    benefit = jnp.where(valid[:, None], -cost.T, 0.0)       # (G, Q)
+    finite = jnp.where(valid[:, None], cost.T, 0.0)
+    rng = jnp.maximum(jnp.max(finite) - jnp.min(finite), 1e-6)
+    eps0 = rng / 2.0
+    eps_min = rng * 1e-8
+    neg = jnp.float32(-1e30)
+    qs = jnp.arange(Q)
+    gs = jnp.arange(G)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    k_dummy = Q - r * n_valid                               # may be ≤ 0
+    DUMMY = jnp.int32(G)
+    topk = min(r + 1, Q)
+
+    def group_counts(owner):
+        is_real = (owner >= 0) & (owner < G)
+        return jnp.zeros(G, jnp.int32).at[
+            jnp.clip(owner, 0, G - 1)].add(is_real.astype(jnp.int32))
+
+    def round_body(state):
+        price, owner, eps = state
+        cnt = group_counts(owner)                            # (G,)
+        u = jnp.where(valid, r - cnt, 0)                     # (G,)
+        held = owner[None, :] == gs[:, None]                 # (G, Q)
+        v = jnp.where(valid[:, None] & ~held,
+                      benefit - price[None, :], neg)
+        vals, idxs = jax.lax.top_k(v, topk)                  # (G, topk)
+        # common w2 for the group = (u+1)-th best available value
+        w2 = jnp.take_along_axis(
+            vals, jnp.clip(u, 0, topk - 1)[:, None], 1)[:, 0]
+        w2 = jnp.where(w2 > neg / 2, w2, vals[:, 0] - eps0)
+        # slot i of the group bids on its i-th best object when i < u
+        slot_ok = (jnp.arange(topk)[None, :] < u[:, None]) & (
+            vals > neg / 2)                                  # (G, topk)
+        tgt_benefit = jnp.take_along_axis(benefit, idxs, 1)  # (G, topk)
+        bids = tgt_benefit - w2[:, None]  # = price[tgt] + (w - w2)
+        onehot = (idxs[:, :, None] == qs[None, None, :]) & (
+            slot_ok[:, :, None])                             # (G,topk,Q)
+        bidm = jnp.where(onehot, bids[:, :, None], neg).reshape(
+            G * topk, Q)
+        best_bid = jnp.max(bidm, axis=0)
+        win = jnp.argmax(bidm, axis=0) // topk               # gt index
+        has = best_bid > neg / 2
+        price = jnp.where(has, best_bid + eps, price)
+        owner = jnp.where(has, win.astype(jnp.int32), owner)
+
+        # waterfill: only when some dummy is unassigned (assigned
+        # dummies never rebid — ε-CS is their invariant)
+        du = k_dummy - jnp.sum((owner == DUMMY).astype(jnp.int32))
+        order = jnp.argsort(price, stable=True)
+        ranks = jnp.zeros(Q, jnp.int32).at[order].set(
+            qs.astype(jnp.int32))
+        level = price[order[jnp.clip(k_dummy, 0, Q - 1)]]
+        grab = (ranks < k_dummy) & (du > 0) & (k_dummy > 0)
+        price = jnp.where(grab, jnp.maximum(price, level), price)
+        owner = jnp.where(grab, DUMMY, owner)
+        return price, owner, eps
+
+    def round_cond(state):
+        _, owner, _ = state
+        short = jnp.any(valid & (group_counts(owner) < r))
+        # second clause: infeasible (more valid slots than queries) —
+        # stop once every query is owned instead of spinning to the cap
+        return short & (jnp.sum(owner >= 0) < Q)
+
+    def bounded_while(state):
+        def body(carry):
+            i, st = carry
+            return i + 1, round_body(st)
+
+        def cond(carry):
+            i, st = carry
+            return (i < max_rounds) & round_cond(st)
+
+        return jax.lax.while_loop(cond, body, (0, state))[1]
+
+    def phase(kp, carry):
+        price, owner = carry
+        eps = jnp.maximum(eps0 * (scale ** -kp.astype(jnp.float32)),
+                          eps_min)
+        price, owner, _ = bounded_while(
+            (price, jnp.full(Q, -1, jnp.int32), eps))
+        return price, owner
+
+    price0 = jnp.zeros(Q, jnp.float32)
+    _, owner = jax.lax.fori_loop(0, n_phases, phase,
+                                 (price0, jnp.full(Q, -1, jnp.int32)))
+    is_real = (owner >= 0) & (owner < G)
+    return jnp.where(is_real, owner, -1).astype(jnp.int32)
+
+
 def hungarian_assign_host(cost: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
     """Exact Hungarian (scipy) — host-side reference/eval path."""
     from scipy.optimize import linear_sum_assignment
@@ -141,7 +276,8 @@ def dice_loss(mask_logits, target_masks, eps: float = 1.0):
 def sam3_detection_loss(out, gt_boxes, gt_valid,
                         aux_weight: float = 0.5,
                         o2m_weight: float = 1.0,
-                        o2m_repeats: int = 3):
+                        o2m_repeats: int = 3,
+                        exact: bool = False):
     """Batched SAM3 detector loss (reference train/loss/sam3_loss.py):
     main one-to-one matched loss + per-layer aux box supervision + (when
     the detections carry DAC ``o2m_*`` outputs) the one-to-many matched
@@ -153,10 +289,13 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
     logits (reference return_intermediate semantics); otherwise the
     final-layer logits stand in for every aux layer (a documented
     approximation that re-weights cls vs box gradients by
-    ~(1 + aux_weight))."""
+    ~(1 + aux_weight)). ``exact=True`` matches with the on-device
+    auction LAP (reference scipy-Hungarian semantics) instead of the
+    greedy approximation."""
 
     def one(b, lg, g, gv, repeats=1):
-        return detection_loss(b, lg, g, gv, repeats=repeats).total
+        return detection_loss(b, lg, g, gv, repeats=repeats,
+                              exact=exact).total
 
     main = jnp.mean(jax.vmap(one)(out.boxes_cxcywh, out.scores,
                                   gt_boxes, gt_valid))
@@ -188,9 +327,11 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
 
 
 def sam3_mask_loss(out, gt_boxes, gt_masks, gt_valid,
-                   w_ce: float = 1.0, w_dice: float = 1.0):
+                   w_ce: float = 1.0, w_dice: float = 1.0,
+                   exact: bool = False):
     """Matched mask supervision (reference train/loss/loss_fns.py mask
-    terms): greedy-assign queries to GT by box/score cost, then sigmoid
+    terms): assign queries to GT by box/score cost (greedy by default,
+    exact auction LAP with ``exact=True``), then sigmoid
     CE + dice between each matched query's mask logits and its GT mask.
 
     ``out``: Sam3Detections (mask_logits (B, Q, Hm, Wm));
@@ -204,9 +345,11 @@ def sam3_mask_loss(out, gt_boxes, gt_masks, gt_valid,
             (*gt_masks.shape[:-2], Hm, Wm), "nearest")
     gt_masks = gt_masks.astype(jnp.float32)
 
+    assign_fn = auction_assign if exact else greedy_assign
+
     def one(boxes, logits, masks, g, gm, gv):
         cost = matching_cost(boxes, jax.nn.sigmoid(logits), g)
-        assign = greedy_assign(cost, gv)
+        assign = assign_fn(cost, gv)
         matched = assign >= 0
         safe = jnp.clip(assign, 0)
         tgt = gm[safe]                                  # (Q, Hm, Wm)
@@ -229,15 +372,19 @@ class DetrLosses(NamedTuple):
 
 def detection_loss(pred_boxes, pred_logits, gt_boxes, gt_valid,
                    w_class: float = 1.0, w_l1: float = 5.0,
-                   w_giou: float = 2.0, repeats: int = 1) -> DetrLosses:
-    """Matched set loss for one image: greedy-assign then focal + L1 +
-    gIoU on matched pairs, focal-negative on the rest. ``repeats > 1``
-    switches to one-to-many matching (DAC o2m supervision — reference
-    sam3/train/loss/sam3_loss.py:105 matches the ``*_o2m`` outputs with
-    an o2m matcher against the same targets)."""
+                   w_giou: float = 2.0, repeats: int = 1,
+                   exact: bool = False) -> DetrLosses:
+    """Matched set loss for one image: assign (greedy by default, exact
+    auction LAP with ``exact=True`` — reference scipy-Hungarian
+    semantics) then focal + L1 + gIoU on matched pairs, focal-negative
+    on the rest. ``repeats > 1`` switches to one-to-many matching (DAC
+    o2m supervision — reference sam3/train/loss/sam3_loss.py:105
+    matches the ``*_o2m`` outputs with an o2m matcher against the same
+    targets)."""
     scores = jax.nn.sigmoid(pred_logits)
     cost = matching_cost(pred_boxes, scores, gt_boxes)
-    assign = greedy_assign(cost, gt_valid, repeats=repeats)
+    assign_fn = auction_assign if exact else greedy_assign
+    assign = assign_fn(cost, gt_valid, repeats=repeats)
     matched = assign >= 0
     safe = jnp.clip(assign, 0)
     tgt = gt_boxes[safe]

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from skix.tracking.matcher import (
+    auction_assign,
     cxcywh_to_xyxy,
     detection_loss,
     dice_loss,
@@ -66,6 +67,75 @@ class TestMatching:
         g2 = np.asarray(greedy_assign(jnp.asarray(cost), jnp.asarray(valid),
                                       repeats=2))
         assert (g2 >= 0).sum() == 4
+
+    def test_auction_total_cost_parity_vs_hungarian(self):
+        """auction_assign is an exact LAP: optimal total cost matches
+        scipy Hungarian on random instances (where greedy need not)."""
+        from scipy.optimize import linear_sum_assignment
+
+        lrng = np.random.default_rng(7)
+        fn = jax.jit(auction_assign, static_argnames=("repeats",))
+        for _ in range(12):
+            Q = int(lrng.integers(3, 28))
+            G = int(lrng.integers(1, 9))
+            nv = int(lrng.integers(1, min(G, Q) + 1))
+            valid = np.zeros(G, bool)
+            valid[lrng.permutation(G)[:nv]] = True
+            cost = lrng.normal(size=(Q, G)).astype(np.float32) * 10
+            a = np.asarray(fn(jnp.asarray(cost), jnp.asarray(valid)))
+            # feasible: each valid gt exactly once, invalid never
+            counts = np.bincount(a[a >= 0], minlength=G)
+            np.testing.assert_array_equal(counts, valid.astype(int))
+            got = cost[a >= 0, a[a >= 0]].sum()
+            sub = cost[:, valid]
+            r, c = linear_sum_assignment(sub)
+            want = sub[r, c].sum()
+            assert abs(got - want) <= 1e-4 * max(abs(want), 1.0), (got, want)
+
+    def test_auction_one_to_many_parity(self):
+        """repeats=k auction == Hungarian on k-tiled columns (DAC o2m)."""
+        from scipy.optimize import linear_sum_assignment
+
+        lrng = np.random.default_rng(11)
+        cost = lrng.normal(size=(24, 5)).astype(np.float32)
+        valid = np.ones(5, bool)
+        a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(valid),
+                                      repeats=3))
+        counts = np.bincount(a[a >= 0], minlength=5)
+        np.testing.assert_array_equal(counts, 3)
+        got = cost[a >= 0, a[a >= 0]].sum()
+        tiled = cost[:, np.repeat(np.arange(5), 3)]
+        r, c = linear_sum_assignment(tiled)
+        want = tiled[r, c].sum()
+        assert abs(got - want) <= 1e-4 * max(abs(want), 1.0)
+
+    def test_auction_edge_cases(self):
+        # no valid gt → all -1
+        a = np.asarray(auction_assign(jnp.ones((6, 3)), jnp.zeros(3, bool)))
+        assert (a == -1).all()
+        # infeasible (slots > queries): every query assigned, no hang
+        lrng = np.random.default_rng(3)
+        cost = lrng.normal(size=(5, 3)).astype(np.float32)
+        a = np.asarray(auction_assign(jnp.asarray(cost), jnp.ones(3, bool),
+                                      repeats=4))
+        assert (a >= 0).all()
+        # all-tie costs: still a valid one-to-one assignment
+        a = np.asarray(auction_assign(jnp.zeros((4, 2)), jnp.ones(2, bool)))
+        counts = np.bincount(a[a >= 0], minlength=2)
+        np.testing.assert_array_equal(counts, 1)
+
+    def test_detection_loss_exact_runs(self):
+        lrng = np.random.default_rng(5)
+        boxes = jnp.asarray(lrng.uniform(0.2, 0.8, (10, 4)).astype(np.float32))
+        logits = jnp.asarray(lrng.normal(size=10).astype(np.float32))
+        gt = jnp.asarray(lrng.uniform(0.2, 0.8, (3, 4)).astype(np.float32))
+        gv = jnp.ones(3, bool)
+        out = detection_loss(boxes, logits, gt, gv, exact=True)
+        assert np.isfinite(float(out.total))
+        # exact matching can only lower-or-equal the matched cost piece;
+        # both variants must be finite and close in scale
+        out_g = detection_loss(boxes, logits, gt, gv, exact=False)
+        assert np.isfinite(float(out_g.total))
 
     def test_giou_identity_and_disjoint(self):
         a = cxcywh_to_xyxy(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]))
