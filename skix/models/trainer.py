@@ -50,16 +50,25 @@ class Trainer:
     returning a scalar, an initial params pytree and a batch iterator."""
 
     def __init__(self, loss_fn: Callable, params, cfg: TrainerConfig,
-                 ckpt_dir: Optional[str | Path] = None):
+                 ckpt_dir: Optional[str | Path] = None,
+                 tx: Optional[optax.GradientTransformation] = None):
+        """``tx`` overrides the config-built optimizer — pass the result
+        of :func:`skix.models.optim.construct_optimizer` for
+        pattern-scoped param groups / schedulers / layer decay
+        (reference construct_optimizer semantics)."""
         self.loss_fn = loss_fn
         self.cfg = cfg
         self.ckpt_dir = Path(ckpt_dir) if ckpt_dir else None
-        tx = [optax.clip_by_global_norm(cfg.grad_clip_norm)]
-        if cfg.weight_decay > 0:
-            tx.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+        if tx is not None:
+            self.optimizer = tx
         else:
-            tx.append(optax.adam(cfg.lr))
-        self.optimizer = optax.chain(*tx)
+            chain = [optax.clip_by_global_norm(cfg.grad_clip_norm)]
+            if cfg.weight_decay > 0:
+                chain.append(optax.adamw(cfg.lr,
+                                         weight_decay=cfg.weight_decay))
+            else:
+                chain.append(optax.adam(cfg.lr))
+            self.optimizer = optax.chain(*chain)
         if cfg.grad_accum_steps > 1:
             self.optimizer = optax.MultiSteps(self.optimizer,
                                               cfg.grad_accum_steps)
