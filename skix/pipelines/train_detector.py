@@ -65,6 +65,80 @@ def evaluate_train_ap(model, params, loader, max_batches: int = 8,
                                    iou_threshold=iou_threshold))
 
 
+def build_optimizer(cfg, params, steps: int):
+    """Optimizer from config. ``optim.scheme=sam3`` reproduces the
+    reference full-ft recipe (sam3/train/configs/roboflow_v100/
+    roboflow_v100_full_ft_100_images.yaml:339-396): inverse-sqrt LR
+    with a separate (lower) backbone LR, BEiT layer decay on the ViT
+    trunk with ``*pos_embed*`` pinned to 1.0, zero weight decay on
+    biases and norm scales, global grad clip. Default scheme: AdamW +
+    cosine decay (the pre-existing behavior)."""
+    import optax
+
+    ocfg = dict(cfg.get("optim", {}) or {})
+    clip = float(cfg.get("grad_clip", ocfg.get("grad_clip", 1.0)))
+    if str(ocfg.get("scheme", "simple")) != "sam3":
+        lr = optax.cosine_decay_schedule(float(cfg.get("lr", 1e-4)), steps,
+                                         alpha=0.05)
+        return optax.chain(
+            optax.clip_by_global_norm(clip),
+            optax.adamw(lr,
+                        weight_decay=float(cfg.get("weight_decay", 1e-4))))
+
+    from skix.models.optim import (LayerDecay, OptionRule,
+                                   construct_optimizer,
+                                   inverse_sqrt_schedule)
+
+    warmup = int(ocfg.get("warmup_steps", max(steps // 20, 1)))
+    cooldown = int(ocfg.get("cooldown_steps", 0))
+    timescale = int(ocfg.get("timescale", max(warmup, 1)))
+
+    def isr(base):
+        return inverse_sqrt_schedule(base, warmup, cooldown, timescale,
+                                     total_steps=steps)
+
+    lr = float(cfg.get("lr", 1e-4))
+    lr_backbone = float(ocfg.get("lr_backbone", lr * 0.1))
+    wd = float(cfg.get("weight_decay", 1e-4))
+
+    # built-in patterns are best-effort: drop the ones this particular
+    # model has no params for (construct_optimizer is strict, matching
+    # the reference's matches-no-params assert — right for user config,
+    # wrong for a canned scheme)
+    import fnmatch
+
+    from flax.traverse_util import flatten_dict
+    paths = ["/".join(map(str, k)) for k in flatten_dict(params)]
+
+    def live(pats):
+        return [p for p in pats if fnmatch.filter(paths, p)]
+
+    def scoped_rule(sched, pats):
+        pats = live(pats)
+        return OptionRule(sched, pats) if pats else None
+
+    options = {
+        "lr": [r for r in (OptionRule(isr(lr)),
+                           scoped_rule(isr(lr_backbone), ["backbone/*"]))
+               if r is not None],
+        "weight_decay": [r for r in (
+            OptionRule(wd),
+            scoped_rule(0.0, ["*/bias", "*/scale"])) if r is not None],
+    }
+    ld = None
+    lrd = float(ocfg.get("layer_decay", 0.0))
+    if lrd:
+        ld = LayerDecay(value=lrd, apply_to="backbone",
+                        minimum=(float(ocfg["layer_decay_min"])
+                                 if "layer_decay_min" in ocfg else None),
+                        overrides={"*pos_embed*": 1.0})
+    tx, groups = construct_optimizer(params, options, grad_clip_norm=clip,
+                                     layer_decay=ld)
+    log.info("sam3 optim scheme: %d param groups (lr=%g backbone=%g "
+             "wd=%g layer_decay=%g)", len(groups), lr, lr_backbone, wd, lrd)
+    return tx
+
+
 @cli_main("train_detector")
 def main(cfg):
     logging.basicConfig(level=logging.INFO)
@@ -97,11 +171,7 @@ def main(cfg):
             jnp.zeros((1, size, size, 3))))()["params"]
 
     steps = int(cfg.get("steps", 1000))
-    lr = optax.cosine_decay_schedule(float(cfg.get("lr", 1e-4)), steps,
-                                     alpha=0.05)
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(float(cfg.get("grad_clip", 1.0))),
-        optax.adamw(lr, weight_decay=float(cfg.get("weight_decay", 1e-4))))
+    optimizer = build_optimizer(cfg, params, steps)
     opt_state = optimizer.init(params)
     apply_dac = bool(cfg.get("dac", True))
     mask_w = float(cfg.get("mask_weight", 1.0))

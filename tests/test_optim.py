@@ -205,6 +205,59 @@ class TestLayerDecay:
         assert ld.scale_for("o/k", 8) == 1.0
 
 
+class TestDetectorOptimScheme:
+    def test_sam3_scheme_builds_reference_recipe(self):
+        """train_detector optim.scheme=sam3 wires the reference full-ft
+        recipe (roboflow_v100_full_ft_100_images.yaml:339-396): slower
+        layer-decayed backbone LR, zero wd on bias/scale."""
+        from skix.pipelines.train_detector import build_optimizer
+
+        params = {
+            "backbone": {
+                "patch_embed": {"kernel": jnp.ones((2, 2))},
+                "pos_embed": jnp.ones((1, 2)),
+                "block_0": {"kernel": jnp.ones((2, 2)),
+                            "bias": jnp.ones(2)},
+                "block_1": {"kernel": jnp.ones((2, 2)),
+                            "bias": jnp.ones(2)},
+            },
+            "decoder": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones(2),
+                        "norm": {"scale": jnp.ones(2)}},
+        }
+        cfg = {"lr": 1e-3, "weight_decay": 0.1, "grad_clip": 1.0,
+               "optim": {"scheme": "sam3", "lr_backbone": 1e-4,
+                         "warmup_steps": 2, "timescale": 2,
+                         "layer_decay": 0.5}, "steps": 100}
+        tx = build_optimizer(cfg, params, 100)
+        state = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        # run past warmup so LRs are at full scale
+        p = params
+        for _ in range(4):
+            upd, state = tx.update(g, state, p)
+            p = optax.apply_updates(p, upd)
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(upd)
+        u_dec = abs(float(flat[("decoder", "kernel")][0, 0]))
+        u_b1 = abs(float(flat[("backbone", "block_1", "kernel")][0, 0]))
+        u_b0 = abs(float(flat[("backbone", "block_0", "kernel")][0, 0]))
+        u_pe = abs(float(flat[("backbone", "pos_embed")][0, 0]))
+        # backbone 10x slower than decoder, then layer-decayed 0.5/level
+        assert u_dec > u_b1 > u_b0
+        assert u_b1 / u_b0 == pytest.approx(2.0, rel=0.2)
+        # pos_embed pinned at scale 1.0 (override) -> fastest backbone lr
+        assert u_pe > u_b1
+
+    def test_simple_scheme_unchanged(self):
+        from skix.pipelines.train_detector import build_optimizer
+
+        params = {"w": jnp.ones((2, 2))}
+        tx = build_optimizer({"lr": 1e-3}, params, 10)
+        state = tx.init(params)
+        upd, _ = tx.update({"w": jnp.ones((2, 2))}, state, params)
+        assert bool(jnp.isfinite(upd["w"]).all())
+
+
 class TestTrainerIntegration:
     def test_trainer_accepts_custom_tx(self):
         from skix.models.trainer import Trainer, TrainerConfig
