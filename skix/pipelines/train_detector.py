@@ -175,8 +175,18 @@ def main(cfg):
     opt_state = optimizer.init(params)
     apply_dac = bool(cfg.get("dac", True))
     mask_w = float(cfg.get("mask_weight", 1.0))
+    lcfg = dict(cfg.get("loss", {}) or {})
+    cls_kind = str(lcfg.get("cls", "focal"))
+    w_class = float(lcfg.get("w_class", 20.0 if cls_kind == "iabce"
+                             else 1.0))
+    w_presence = float(lcfg.get("w_presence",
+                                20.0 if cls_kind == "iabce" else 0.0))
+    exact_match = bool(lcfg.get("exact_match", False))
+    mask_points = lcfg.get("mask_points")  # None = full-grid mask loss
+    mask_points = int(mask_points) if mask_points else None
+    mask_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
 
-    def loss_fn(p, batch):
+    def loss_fn(p, batch, rng):
         imgs = batch["images"].astype(jnp.float32) / 255.0
         out = model.apply({"params": p}, imgs, apply_dac=apply_dac,
                           with_aux_scores=True)
@@ -185,17 +195,22 @@ def main(cfg):
              (batch["boxes"][..., 1] + batch["boxes"][..., 3]) / 2,
              batch["boxes"][..., 2] - batch["boxes"][..., 0],
              batch["boxes"][..., 3] - batch["boxes"][..., 1]], -1) / size
-        det = sam3_detection_loss(out, gt_cxcywh, batch["valid"])
+        det = sam3_detection_loss(out, gt_cxcywh, batch["valid"],
+                                  exact=exact_match, cls=cls_kind,
+                                  w_class=w_class,
+                                  w_presence=w_presence)
         msk = sam3_mask_loss(out, gt_cxcywh, batch["masks"],
-                             batch["valid"])
+                             batch["valid"],
+                             num_sample_points=mask_points, rng=rng)
         return det + mask_w * msk, (det, msk)
 
     @jax.jit
-    def step(p, o, batch):
+    def step(p, o, batch, rng):
+        rng, sub = jax.random.split(rng)
         (loss, (det, msk)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(p, batch)
+            loss_fn, has_aux=True)(p, batch, sub)
         updates, o2 = optimizer.update(grads, o, p)
-        return optax.apply_updates(p, updates), o2, loss, det, msk
+        return optax.apply_updates(p, updates), o2, loss, det, msk, rng
 
     ckpt_dir = Path(cfg.paths.checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -213,7 +228,8 @@ def main(cfg):
     loss = float("nan")
     for i in range(steps):
         batch = next(it)
-        params, opt_state, loss, det, msk = step(params, opt_state, batch)
+        params, opt_state, loss, det, msk, mask_rng = step(
+            params, opt_state, batch, mask_rng)
         if i % int(cfg.get("log_every", 50)) == 0 or i == steps - 1:
             log.info("step %d loss %.4f (det %.4f mask %.4f) %.1fs", i,
                      float(loss), float(det), float(msk),

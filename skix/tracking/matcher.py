@@ -277,7 +277,10 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
                         aux_weight: float = 0.5,
                         o2m_weight: float = 1.0,
                         o2m_repeats: int = 3,
-                        exact: bool = False):
+                        exact: bool = False,
+                        cls: str = "focal",
+                        w_class: float = 1.0,
+                        w_presence: float = 0.0):
     """Batched SAM3 detector loss (reference train/loss/sam3_loss.py):
     main one-to-one matched loss + per-layer aux box supervision + (when
     the detections carry DAC ``o2m_*`` outputs) the one-to-many matched
@@ -291,15 +294,25 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
     approximation that re-weights cls vs box gradients by
     ~(1 + aux_weight)). ``exact=True`` matches with the on-device
     auction LAP (reference scipy-Hungarian semantics) instead of the
-    greedy approximation."""
+    greedy approximation (measured +10% train-step cost at full size,
+    scripts/bench_exact_match_ab.py).
+
+    The reference's shipped classification recipe is
+    ``cls="iabce", w_class=20.0, w_presence=20.0`` (IABCEMdetr with
+    use_presence=True, roboflow_v100_full_ft_100_images.yaml:85-101):
+    IoU-aware BCE plus focal supervision of the image-level presence
+    logit. The defaults keep the plain-focal recipe."""
 
     def one(b, lg, g, gv, repeats=1):
         return detection_loss(b, lg, g, gv, repeats=repeats,
-                              exact=exact).total
+                              exact=exact, cls=cls, w_class=w_class).total
 
     main = jnp.mean(jax.vmap(one)(out.boxes_cxcywh, out.scores,
                                   gt_boxes, gt_valid))
     total = main
+    if w_presence and getattr(out, "presence", None) is not None:
+        pres, _ = jax.vmap(presence_loss)(out.presence, gt_boxes, gt_valid)
+        total = total + w_presence * jnp.mean(pres)
     n_aux = max(len(out.aux_boxes) - 1, 1)
     aux_scores = getattr(out, "aux_scores", ()) or ()
     if len(out.aux_boxes) > 1:
@@ -326,9 +339,74 @@ def sam3_detection_loss(out, gt_boxes, gt_valid,
     return total
 
 
+def point_sample(masks, coords):
+    """Bilinear sample ``masks (..., H, W)`` at ``coords (..., P, 2)``
+    xy in [0,1]² — ``F.grid_sample(align_corners=False,
+    padding_mode="zeros")`` semantics (reference
+    train/loss/mask_sampling.py ``point_sample``): pixel centers at
+    (i+0.5)/N, out-of-bounds corners contribute zeros. Leading dims of
+    ``masks`` and ``coords`` must match; parity-tested vs torch
+    grid_sample."""
+    H, W = masks.shape[-2], masks.shape[-1]
+    x = coords[..., 0] * W - 0.5
+    y = coords[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def tap(xi, yi):
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        v = jnp.take_along_axis(
+            masks.reshape(*masks.shape[:-2], H * W),
+            (yi * W + xi).astype(jnp.int32), axis=-1)
+        return jnp.where(inside, v, 0.0)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def uncertain_point_coords(mask_logits, rng, num_points: int,
+                           oversample_ratio: float = 3.0,
+                           importance_ratio: float = 0.75):
+    """PointRend uncertainty sampling (reference mask_sampling.py:38-98
+    ``get_uncertain_point_coords_with_randomness`` with
+    ``calculate_uncertainty = -|logit|``): draw ``num_points *
+    oversample_ratio`` uniform points per mask, keep the
+    ``importance_ratio`` fraction with the smallest |sampled logit|
+    (closest to the decision boundary), fill the rest with fresh uniform
+    points. ``mask_logits (..., H, W)`` → ``(..., num_points, 2)`` xy in
+    [0,1]². Static shapes; all randomness from ``rng``."""
+    n_over = int(num_points * oversample_ratio)
+    n_imp = int(importance_ratio * num_points)
+    n_rand = num_points - n_imp
+    lead = mask_logits.shape[:-2]
+    k1, k2 = jax.random.split(rng)
+    cand = jax.random.uniform(k1, (*lead, n_over, 2))
+    logit_at = point_sample(mask_logits, cand)
+    unc = -jnp.abs(logit_at)
+    _, idx = jax.lax.top_k(unc, n_imp)
+    picked = jnp.take_along_axis(cand, idx[..., None], axis=-2)
+    if n_rand > 0:
+        fresh = jax.random.uniform(k2, (*lead, n_rand, 2))
+        picked = jnp.concatenate([picked, fresh], axis=-2)
+    return jax.lax.stop_gradient(picked)
+
+
 def sam3_mask_loss(out, gt_boxes, gt_masks, gt_valid,
                    w_ce: float = 1.0, w_dice: float = 1.0,
-                   exact: bool = False):
+                   exact: bool = False,
+                   num_sample_points: int | None = None,
+                   oversample_ratio: float = 3.0,
+                   importance_ratio: float = 0.75,
+                   rng=None):
     """Matched mask supervision (reference train/loss/loss_fns.py mask
     terms): assign queries to GT by box/score cost (greedy by default,
     exact auction LAP with ``exact=True``), then sigmoid
@@ -337,9 +415,19 @@ def sam3_mask_loss(out, gt_boxes, gt_masks, gt_valid,
     ``out``: Sam3Detections (mask_logits (B, Q, Hm, Wm));
     ``gt_masks (B, G, Hg, Wg)`` bool — resized (nearest) to (Hm, Wm)
     host-side by the caller or here if shapes differ.
+
+    ``num_sample_points`` switches to the reference's PointRend sampled
+    path (``Masks._sampled_loss``, loss_fns.py:592-635 +
+    mask_sampling.py:38-98): focal+dice on ``num_sample_points``
+    uncertainty-sampled points per mask instead of the full grid — the
+    standard Mask2Former memory saver; GT is point-sampled at native
+    resolution (no resize). Requires ``rng``.
     """
     B, Q, Hm, Wm = out.mask_logits.shape
-    if gt_masks.shape[-2:] != (Hm, Wm):
+    sampled = num_sample_points is not None
+    if sampled and rng is None:
+        raise ValueError("num_sample_points requires an rng key")
+    if not sampled and gt_masks.shape[-2:] != (Hm, Wm):
         gt_masks = jax.image.resize(
             gt_masks.astype(jnp.float32),
             (*gt_masks.shape[:-2], Hm, Wm), "nearest")
@@ -347,20 +435,102 @@ def sam3_mask_loss(out, gt_boxes, gt_masks, gt_valid,
 
     assign_fn = auction_assign if exact else greedy_assign
 
-    def one(boxes, logits, masks, g, gm, gv):
+    def one(boxes, logits, masks, g, gm, gv, key):
         cost = matching_cost(boxes, jax.nn.sigmoid(logits), g)
         assign = assign_fn(cost, gv)
         matched = assign >= 0
         safe = jnp.clip(assign, 0)
-        tgt = gm[safe]                                  # (Q, Hm, Wm)
-        ce = optax_sigmoid_ce(masks, tgt).mean((-1, -2))
-        d = dice_loss(masks, tgt)
+        tgt = gm[safe]                          # (Q, Hm, Wm) / (Q, Hg, Wg)
+        if sampled:
+            # PointRend path (reference Masks._sampled_loss,
+            # loss_fns.py:592-635): focal + dice on uncertainty-sampled
+            # points; GT sampled at its NATIVE resolution (normalized
+            # coords make resizing unnecessary — the reference point-
+            # samples full-res targets the same way)
+            coords = uncertain_point_coords(
+                masks, key, int(num_sample_points), oversample_ratio,
+                importance_ratio)
+            p_pts = point_sample(masks, coords)             # (Q, P)
+            t_pts = jax.lax.stop_gradient(point_sample(tgt, coords))
+            ce = sigmoid_focal_loss(p_pts, t_pts).mean(-1)
+            d = dice_loss(p_pts[..., None], t_pts[..., None])
+        else:
+            ce = optax_sigmoid_ce(masks, tgt).mean((-1, -2))
+            d = dice_loss(masks, tgt)
         per_q = jnp.where(matched, w_ce * ce + w_dice * d, 0.0)
         return per_q.sum() / jnp.maximum(matched.sum(), 1)
 
+    keys = (jax.random.split(rng, B) if sampled
+            else jnp.zeros((B, 2), jnp.uint32))
     return jnp.mean(jax.vmap(one)(out.boxes_cxcywh, out.scores,
                                   out.mask_logits, gt_boxes, gt_masks,
-                                  gt_valid))
+                                  gt_valid, keys))
+
+
+def _elementwise_iou(a_xyxy, b_xyxy, eps: float = 1e-7):
+    """Diagonal (paired) box IoU — reference perflib
+    ``fast_diag_box_iou`` semantics. ``a, b: (N, 4)`` xyxy → ``(N,)``."""
+    lt = jnp.maximum(a_xyxy[..., :2], b_xyxy[..., :2])
+    rb = jnp.minimum(a_xyxy[..., 2:], b_xyxy[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a_xyxy[..., 2] - a_xyxy[..., 0], 0.0) * \
+        jnp.clip(a_xyxy[..., 3] - a_xyxy[..., 1], 0.0)
+    area_b = jnp.clip(b_xyxy[..., 2] - b_xyxy[..., 0], 0.0) * \
+        jnp.clip(b_xyxy[..., 3] - b_xyxy[..., 1], 0.0)
+    return inter / (area_a + area_b - inter + eps)
+
+
+def iabce_classification_loss(pred_logits, pred_boxes_cxcywh, gt_boxes,
+                              assign, pos_weight: float = 10.0,
+                              alpha: float = 0.25, gamma: float = 2.0,
+                              keep=None):
+    """IoU-aware BCE classification for one image — the reference's
+    ``IABCEMdetr.get_loss`` at its shipped config (pos_focal=False,
+    train/loss/loss_fns.py:348-471; config
+    roboflow_v100_full_ft_100_images.yaml:90-101):
+
+    - positives (matched queries) take BCE against the **detached** soft
+      target ``t = clip(p^alpha * IoU(pred, matched gt)^(1-alpha), 0.01)``
+      scaled by ``pos_weight`` (:367-375, 394);
+    - negatives take BCE against 0 scaled by ``p^gamma`` — focal-style
+      down-weighting with gradient flowing through ``p^gamma`` exactly as
+      the reference computes ``prob`` outside ``no_grad`` (:395-397);
+    - mean over queries (``pad_n_queries == Q`` in the shipped config,
+      :496-498);
+    - ``keep`` (scalar bool or None): zeroes the image's whole cls loss
+      when no visible GT exists (use_presence gating, :404-421).
+    """
+    prob = jax.nn.sigmoid(pred_logits)
+    matched = assign >= 0
+    safe = jnp.clip(assign, 0)
+    iou = _elementwise_iou(cxcywh_to_xyxy(pred_boxes_cxcywh),
+                           cxcywh_to_xyxy(gt_boxes[safe]))
+    t = jnp.clip(prob ** alpha * jnp.clip(iou, 0.0) ** (1 - alpha), 0.01)
+    t = jax.lax.stop_gradient(jnp.where(matched, t, 0.0))
+    pos = optax_sigmoid_ce(pred_logits, t) * matched * pos_weight
+    neg = optax_sigmoid_ce(pred_logits, jnp.zeros_like(t)) * \
+        (~matched) * prob ** gamma
+    loss = jnp.mean(pos + neg)
+    if keep is not None:
+        loss = loss * keep.astype(loss.dtype)
+    return loss
+
+
+def presence_loss(presence_logit, gt_boxes, gt_valid, alpha: float = 0.5,
+                  gamma: float = 0.0):
+    """Presence-head supervision for one image (loss_fns.py:412-437):
+    focal BCE (shipped presence_alpha=0.5, presence_gamma=0) between the
+    image-level presence logit and 'any visible GT exists' — a GT is
+    visible when valid and w>0, h>0 (:413-420). Reference normalizes by
+    batch size; the caller's ``jnp.mean`` over the batch matches."""
+    visible = gt_valid & (gt_boxes[..., 2] > 0) & (gt_boxes[..., 3] > 0)
+    keep = jnp.any(visible).astype(jnp.float32)
+    ce = optax_sigmoid_ce(presence_logit, keep)
+    p = jax.nn.sigmoid(presence_logit)
+    p_t = p * keep + (1 - p) * (1 - keep)
+    a_t = alpha * keep + (1 - alpha) * (1 - keep)
+    return a_t * ((1 - p_t) ** gamma) * ce, keep
 
 
 class DetrLosses(NamedTuple):
@@ -373,14 +543,18 @@ class DetrLosses(NamedTuple):
 def detection_loss(pred_boxes, pred_logits, gt_boxes, gt_valid,
                    w_class: float = 1.0, w_l1: float = 5.0,
                    w_giou: float = 2.0, repeats: int = 1,
-                   exact: bool = False) -> DetrLosses:
+                   exact: bool = False, cls: str = "focal",
+                   pos_weight: float = 10.0) -> DetrLosses:
     """Matched set loss for one image: assign (greedy by default, exact
     auction LAP with ``exact=True`` — reference scipy-Hungarian
-    semantics) then focal + L1 + gIoU on matched pairs, focal-negative
-    on the rest. ``repeats > 1`` switches to one-to-many matching (DAC
-    o2m supervision — reference sam3/train/loss/sam3_loss.py:105
-    matches the ``*_o2m`` outputs with an o2m matcher against the same
-    targets)."""
+    semantics) then classification + L1 + gIoU on matched pairs.
+    ``cls="focal"`` (default) supervises with plain focal BCE on hard
+    0/1 targets; ``cls="iabce"`` uses the reference's shipped
+    IoU-aware BCE recipe (:func:`iabce_classification_loss`, with
+    presence gating applied by the caller). ``repeats > 1`` switches to
+    one-to-many matching (DAC o2m supervision — reference
+    sam3/train/loss/sam3_loss.py:105 matches the ``*_o2m`` outputs with
+    an o2m matcher against the same targets)."""
     scores = jax.nn.sigmoid(pred_logits)
     cost = matching_cost(pred_boxes, scores, gt_boxes)
     assign_fn = auction_assign if exact else greedy_assign
@@ -389,8 +563,14 @@ def detection_loss(pred_boxes, pred_logits, gt_boxes, gt_valid,
     safe = jnp.clip(assign, 0)
     tgt = gt_boxes[safe]
 
-    cls_target = matched.astype(jnp.float32)
-    cls = jnp.mean(sigmoid_focal_loss(pred_logits, cls_target))
+    if cls == "iabce":
+        visible = gt_valid & (gt_boxes[..., 2] > 0) & (gt_boxes[..., 3] > 0)
+        cls_loss = iabce_classification_loss(
+            pred_logits, pred_boxes, gt_boxes, assign,
+            pos_weight=pos_weight, keep=jnp.any(visible))
+    else:
+        cls_target = matched.astype(jnp.float32)
+        cls_loss = jnp.mean(sigmoid_focal_loss(pred_logits, cls_target))
     l1 = jnp.sum(jnp.where(matched[:, None],
                            jnp.abs(pred_boxes - tgt), 0.0)) / (
         jnp.sum(matched) * 4 + 1e-6)
@@ -398,5 +578,5 @@ def detection_loss(pred_boxes, pred_logits, gt_boxes, gt_valid,
     g_matched = g[jnp.arange(g.shape[0]), safe]
     giou = jnp.sum(jnp.where(matched, 1.0 - g_matched, 0.0)) / (
         jnp.sum(matched) + 1e-6)
-    total = w_class * cls + w_l1 * l1 + w_giou * giou
-    return DetrLosses(total=total, cls=cls, l1=l1, giou=giou)
+    total = w_class * cls_loss + w_l1 * l1 + w_giou * giou
+    return DetrLosses(total=total, cls=cls_loss, l1=l1, giou=giou)

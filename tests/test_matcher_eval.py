@@ -145,6 +145,246 @@ class TestMatching:
         assert float(generalized_iou(a, b)[0, 0]) < 0.0  # disjoint → negative
 
 
+class TestIABCE:
+    """IoU-aware BCE + presence recipe (reference
+    train/loss/loss_fns.py IABCEMdetr at the shipped roboflow config)."""
+
+    def _numpy_oracle(self, logits, boxes_xyxy, gt_xyxy, assign,
+                      pos_weight=10.0, alpha=0.25, gamma=2.0):
+        """Direct transcription of IABCEMdetr.get_loss:348-471
+        (pos_focal=False): t = clip(p^a * iou^(1-a), 0.01) on matched,
+        BCE(l,t)*matched*pos_weight + BCE(l,0)*(1-matched)*p^gamma,
+        mean over queries."""
+        p = 1 / (1 + np.exp(-logits))
+
+        def bce(l, t):
+            return np.clip(l, 0, None) - l * t + np.log1p(np.exp(-abs(l)))
+
+        matched = assign >= 0
+        tgt = gt_xyxy[np.clip(assign, 0, None)]
+        lt = np.maximum(boxes_xyxy[:, :2], tgt[:, :2])
+        rb = np.minimum(boxes_xyxy[:, 2:], tgt[:, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        a = (boxes_xyxy[:, 2] - boxes_xyxy[:, 0]) * (
+            boxes_xyxy[:, 3] - boxes_xyxy[:, 1])
+        b = (tgt[:, 2] - tgt[:, 0]) * (tgt[:, 3] - tgt[:, 1])
+        iou = inter / (a + b - inter + 1e-7)
+        t = np.clip(p ** alpha * iou ** (1 - alpha), 0.01, None)
+        t = np.where(matched, t, 0.0)
+        pos = bce(logits, t) * matched * pos_weight
+        neg = bce(logits, 0.0) * (~matched) * p ** gamma
+        return np.mean(pos + neg)
+
+    def test_iabce_matches_numpy_oracle(self):
+        from skix.tracking.matcher import (cxcywh_to_xyxy,
+                                           iabce_classification_loss)
+
+        lrng = np.random.default_rng(21)
+        logits = lrng.normal(size=16).astype(np.float32)
+        boxes = lrng.uniform(0.3, 0.7, (16, 4)).astype(np.float32)
+        boxes[:, 2:] = lrng.uniform(0.05, 0.25, (16, 2))
+        gt = np.array([[0.4, 0.4, 0.2, 0.2], [0.6, 0.6, 0.1, 0.15]],
+                      np.float32)
+        assign = np.full(16, -1, np.int32)
+        assign[3], assign[11] = 0, 1
+        got = float(iabce_classification_loss(
+            jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(gt),
+            jnp.asarray(assign)))
+        want = self._numpy_oracle(
+            logits, np.asarray(cxcywh_to_xyxy(jnp.asarray(boxes))),
+            np.asarray(cxcywh_to_xyxy(jnp.asarray(gt))), assign)
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_keep_gates_empty_image(self):
+        """use_presence semantics: an image with no visible GT
+        contributes zero cls loss (loss_fns.py:404-421)."""
+        from skix.tracking.matcher import detection_loss
+
+        lrng = np.random.default_rng(5)
+        boxes = jnp.asarray(lrng.uniform(0.2, 0.8, (8, 4)).astype(np.float32))
+        logits = jnp.asarray(lrng.normal(size=8).astype(np.float32))
+        gt = jnp.zeros((2, 4), jnp.float32)
+        out = detection_loss(boxes, logits, gt, jnp.zeros(2, bool),
+                             cls="iabce")
+        assert float(out.cls) == 0.0
+        # focal recipe does NOT gate (negatives still supervised)
+        out_f = detection_loss(boxes, logits, gt, jnp.zeros(2, bool),
+                               cls="focal")
+        assert float(out_f.cls) > 0.0
+
+    def test_presence_loss_direction(self):
+        from skix.tracking.matcher import presence_loss
+
+        gt = jnp.asarray([[0.5, 0.5, 0.2, 0.2]])
+        gv = jnp.ones(1, bool)
+        hi, keep = presence_loss(jnp.asarray(4.0), gt, gv)
+        lo, _ = presence_loss(jnp.asarray(-4.0), gt, gv)
+        assert float(keep) == 1.0 and float(hi) < float(lo)
+        # zero-size boxes are not visible (loss_fns.py:415-419)
+        _, keep0 = presence_loss(jnp.asarray(0.0),
+                                 jnp.zeros((1, 4)), gv)
+        assert float(keep0) == 0.0
+
+    def test_sam3_loss_reference_recipe_grads(self):
+        """cls=iabce + presence: loss is finite and gradient reaches
+        both the boxes and the presence logit."""
+        from skix.tracking.matcher import sam3_detection_loss
+
+        class Out:
+            pass
+
+        lrng = np.random.default_rng(3)
+        B, Q, G = 2, 10, 3
+        boxes = jnp.asarray(lrng.uniform(0.3, 0.7, (B, Q, 4)).astype(np.float32))
+        scores = jnp.asarray(lrng.normal(size=(B, Q)).astype(np.float32))
+        pres = jnp.asarray(lrng.normal(size=(B,)).astype(np.float32))
+        gt = jnp.asarray(lrng.uniform(0.3, 0.7, (B, G, 4)).astype(np.float32))
+        gv = jnp.ones((B, G), bool)
+
+        def loss(bx, pr):
+            o = Out()
+            o.boxes_cxcywh, o.scores, o.presence = bx, scores, pr
+            o.aux_boxes, o.aux_scores = (bx,), ()
+            o.o2m_boxes = None
+            return sam3_detection_loss(o, gt, gv, cls="iabce",
+                                       w_class=20.0, w_presence=20.0)
+
+        val, (gb, gp) = jax.value_and_grad(loss, argnums=(0, 1))(
+            boxes, pres)
+        assert np.isfinite(float(val))
+        assert float(jnp.abs(gb).sum()) > 0
+        assert float(jnp.abs(gp).sum()) > 0
+
+
+class TestPointSampling:
+    """PointRend mask-loss sampling (reference mask_sampling.py +
+    Masks._sampled_loss)."""
+
+    def test_point_sample_parity_vs_torch_grid_sample(self):
+        """Exact semantics check against F.grid_sample
+        (align_corners=False, padding_mode='zeros') — the reference's
+        point_sample is a thin wrapper over it."""
+        import torch
+        import torch.nn.functional as F
+
+        from skix.tracking.matcher import point_sample
+
+        lrng = np.random.default_rng(31)
+        N, H, W, P = 3, 7, 11, 40
+        masks = lrng.normal(size=(N, H, W)).astype(np.float32)
+        coords = lrng.uniform(-0.05, 1.05, (N, P, 2)).astype(np.float32)
+        got = np.asarray(point_sample(jnp.asarray(masks),
+                                      jnp.asarray(coords)))
+        # torch point_sample: grid in [-1,1], input (N,1,H,W),
+        # grid (N,1,P,2)
+        grid = torch.from_numpy(2.0 * coords - 1.0)[:, None]
+        want = F.grid_sample(torch.from_numpy(masks)[:, None], grid,
+                             align_corners=False,
+                             padding_mode="zeros")[:, 0, 0].numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_uncertain_points_concentrate_on_boundary(self):
+        from skix.tracking.matcher import (point_sample,
+                                           uncertain_point_coords)
+
+        # logits = signed distance from x=0.5 -> boundary at x=0.5
+        H = W = 64
+        xs = (np.arange(W) + 0.5) / W
+        logits = np.tile(((xs - 0.5) * 20).astype(np.float32), (H, 1))
+        lg = jnp.asarray(logits)[None]
+        coords = uncertain_point_coords(lg, jax.random.PRNGKey(0),
+                                        num_points=128,
+                                        importance_ratio=0.75)
+        at = np.abs(np.asarray(point_sample(lg, coords)))[0]
+        # the 96 importance points must hug the boundary (96 best of
+        # 384 uniform candidates on a +-10 slope land within |logit|~2)
+        assert np.median(at[:96]) < 2.0
+        # uniform points would have median |logit| ~5
+        assert np.median(at[:96]) < 0.5 * np.median(at[96:])
+
+    def test_sampled_mask_loss_tracks_full_loss(self):
+        """With many points the sampled loss ranks mask quality the
+        same way as the full-grid loss (good pred << bad pred)."""
+        from skix.tracking.matcher import sam3_mask_loss
+
+        class Out:
+            pass
+
+        lrng = np.random.default_rng(7)
+        B, Q, G, Hm = 1, 4, 2, 32
+        gt = np.zeros((B, G, Hm, Hm), np.float32)
+        gt[0, 0, 4:16, 4:16] = 1
+        gt[0, 1, 18:30, 18:30] = 1
+        gt_boxes = jnp.asarray([[[0.3, 0.3, 0.4, 0.4],
+                                 [0.75, 0.75, 0.4, 0.4]]], jnp.float32)
+        gv = jnp.ones((B, G), bool)
+        boxes = jnp.asarray(np.tile(np.asarray(gt_boxes)[0][None, :1],
+                                    (1, Q, 1)))
+        boxes = jnp.asarray(lrng.uniform(0.2, 0.8, (B, Q, 4)),
+                            jnp.float32).at[0, 0].set(gt_boxes[0, 0]).at[
+            0, 1].set(gt_boxes[0, 1])
+        scores = jnp.full((B, Q), 2.0)
+
+        def make(pred_quality):
+            o = Out()
+            o.boxes_cxcywh, o.scores = boxes, scores
+            ml = np.full((B, Q, Hm, Hm), -8.0, np.float32)
+            if pred_quality == "good":
+                ml[0, 0] = np.where(gt[0, 0] > 0, 8.0, -8.0)
+                ml[0, 1] = np.where(gt[0, 1] > 0, 8.0, -8.0)
+            o.mask_logits = jnp.asarray(ml)
+            return o
+
+        key = jax.random.PRNGKey(3)
+        good_s = float(sam3_mask_loss(make("good"), gt_boxes,
+                                      jnp.asarray(gt), gv,
+                                      num_sample_points=256, rng=key))
+        bad_s = float(sam3_mask_loss(make("bad"), gt_boxes,
+                                     jnp.asarray(gt), gv,
+                                     num_sample_points=256, rng=key))
+        good_f = float(sam3_mask_loss(make("good"), gt_boxes,
+                                      jnp.asarray(gt), gv))
+        bad_f = float(sam3_mask_loss(make("bad"), gt_boxes,
+                                     jnp.asarray(gt), gv))
+        assert good_s < bad_s and good_f < bad_f
+        assert good_s < 0.2 * bad_s
+
+    def test_sampled_loss_grad_flows_and_requires_rng(self):
+        from skix.tracking.matcher import sam3_mask_loss
+
+        class Out:
+            pass
+
+        lrng = np.random.default_rng(9)
+        B, Q, G, Hm = 1, 3, 1, 16
+        gt = jnp.asarray(lrng.integers(0, 2, (B, G, Hm, Hm)),
+                         jnp.float32)
+        gt_boxes = jnp.asarray(lrng.uniform(0.3, 0.6, (B, G, 4)),
+                               jnp.float32)
+        gv = jnp.ones((B, G), bool)
+
+        def loss(ml):
+            o = Out()
+            o.boxes_cxcywh = jnp.asarray(
+                lrng.uniform(0.3, 0.6, (B, Q, 4)), jnp.float32)
+            o.scores = jnp.zeros((B, Q))
+            o.mask_logits = ml
+            return sam3_mask_loss(o, gt_boxes, gt, gv,
+                                  num_sample_points=64,
+                                  rng=jax.random.PRNGKey(0))
+
+        ml = jnp.asarray(lrng.normal(size=(B, Q, Hm, Hm)), jnp.float32)
+        g = jax.grad(loss)(ml)
+        assert float(jnp.abs(g).sum()) > 0
+        with pytest.raises(ValueError, match="rng"):
+            o = type("O", (), {})()
+            o.boxes_cxcywh = jnp.zeros((B, Q, 4))
+            o.scores = jnp.zeros((B, Q))
+            o.mask_logits = ml
+            sam3_mask_loss(o, gt_boxes, gt, gv, num_sample_points=64)
+
+
 class TestLosses:
     def test_focal_downweights_easy(self):
         easy = float(sigmoid_focal_loss(jnp.asarray(8.0), jnp.asarray(1.0)))
