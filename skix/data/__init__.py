@@ -2,7 +2,12 @@
 and fixed-shape collation feeding the TPU train steps."""
 
 from skix.data.coco import (CocoDataset, CocoLoader, collate_fixed,
-                            hflip_record, random_resize_crop, resize_pad_to)
+                            color_jitter_record, grayscale_record,
+                            hflip_record, mosaic_record,
+                            motion_blur_record, random_resize_crop,
+                            resize_pad_to)
 
-__all__ = ["CocoDataset", "CocoLoader", "collate_fixed", "hflip_record",
-           "random_resize_crop", "resize_pad_to"]
+__all__ = ["CocoDataset", "CocoLoader", "collate_fixed",
+           "color_jitter_record", "grayscale_record", "hflip_record",
+           "mosaic_record", "motion_blur_record", "random_resize_crop",
+           "resize_pad_to"]

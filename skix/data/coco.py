@@ -173,6 +173,123 @@ def random_resize_crop(rec: dict, rng: np.random.Generator,
             "keypoints": kpts, "masks": masks}
 
 
+def color_jitter_record(rec: dict, rng: np.random.Generator,
+                        brightness: float = 0.4, contrast: float = 0.4,
+                        saturation: float = 0.4, hue: float = 0.1) -> dict:
+    """Photometric jitter — torchvision ColorJitter semantics as used by
+    the reference (transforms/basic_for_api.py:959): the four ops run in
+    a random order with factors drawn uniformly from
+    [max(0, 1−x), 1+x] (hue from [−h, h]); geometry untouched."""
+    img = rec["image"].astype(np.float32)
+
+    def adj_brightness(x, f):
+        return x * f
+
+    def adj_contrast(x, f):
+        # torchvision: blend with the mean of the grayscale image
+        gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
+        return x * f + float(gray.mean()) * (1 - f)
+
+    def adj_saturation(x, f):
+        gray = (x @ np.array([0.299, 0.587, 0.114], np.float32))[..., None]
+        return x * f + gray * (1 - f)
+
+    def adj_hue(x, f):
+        import cv2
+
+        hsv = cv2.cvtColor(x.clip(0, 255).astype(np.uint8),
+                           cv2.COLOR_RGB2HSV)
+        # OpenCV hue is [0, 180); torchvision hue factor is in turns
+        hsv[..., 0] = (hsv[..., 0].astype(np.int32)
+                       + int(round(f * 180))) % 180
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
+
+    ops = [(adj_brightness, float(rng.uniform(max(0, 1 - brightness),
+                                              1 + brightness))),
+           (adj_contrast, float(rng.uniform(max(0, 1 - contrast),
+                                            1 + contrast))),
+           (adj_saturation, float(rng.uniform(max(0, 1 - saturation),
+                                              1 + saturation))),
+           (adj_hue, float(rng.uniform(-hue, hue)))]
+    for i in rng.permutation(4):
+        fn, f = ops[int(i)]
+        if fn is adj_hue and f == 0.0:
+            continue  # identity, but the HSV roundtrip would quantize
+        if fn is not adj_hue and f == 1.0:
+            continue
+        img = fn(img, f)
+    return {**rec, "image": img.clip(0, 255).astype(np.uint8)}
+
+
+def grayscale_record(rec: dict) -> dict:
+    """RandomGrayscale body (basic_for_api.py:941): luminance
+    replicated to 3 channels."""
+    gray = rec["image"].astype(np.float32) @ np.array(
+        [0.299, 0.587, 0.114], np.float32)
+    img = np.repeat(gray[..., None], 3, -1).clip(0, 255).astype(np.uint8)
+    return {**rec, "image": img}
+
+
+def motion_blur_record(rec: dict, rng: np.random.Generator,
+                       kernel_size: int = 5) -> dict:
+    """MotionBlur (basic_for_api.py:1289): a 1/k line kernel in a random
+    direction ∈ {horizontal, vertical, diagonal}, zero-padded conv."""
+    import cv2
+
+    k = np.zeros((kernel_size, kernel_size), np.float32)
+    d = int(rng.integers(0, 3))
+    if d == 0:
+        k[kernel_size // 2, :] = 1.0
+    elif d == 1:
+        k[:, kernel_size // 2] = 1.0
+    else:
+        np.fill_diagonal(k, 1.0)
+    k /= k.sum()
+    img = cv2.filter2D(rec["image"], -1, k,
+                       borderType=cv2.BORDER_CONSTANT)
+    return {**rec, "image": img}
+
+
+def mosaic_record(rec: dict, rng: np.random.Generator,
+                  grid: int = 2) -> dict:
+    """Self-mosaic distractor aug (reference RandomMosaicVideoAPI,
+    basic_for_api.py:715 + random_mosaic_frame): the image is downsized
+    and tiled into a grid×grid mosaic of itself; annotations follow ONE
+    randomly chosen target cell (the other copies become unlabeled
+    distractors — hard negatives for tracking/detection)."""
+    import cv2
+
+    img = rec["image"]
+    h, w = img.shape[:2]
+    out = np.zeros_like(img)
+    ty = int(rng.integers(0, grid))
+    tx = int(rng.integers(0, grid))
+    sy = sx = ey = ex = 0
+    for gy in range(grid):
+        for gx in range(grid):
+            y0, y1 = gy * h // grid, (gy + 1) * h // grid
+            x0, x1 = gx * w // grid, (gx + 1) * w // grid
+            out[y0:y1, x0:x1] = cv2.resize(img, (x1 - x0, y1 - y0),
+                                           interpolation=cv2.INTER_LINEAR)
+            if (gy, gx) == (ty, tx):
+                sy, sx, ey, ex = y0, x0, y1, x1
+    fy, fx = (ey - sy) / h, (ex - sx) / w
+    boxes = rec["boxes"] * [fx, fy, fx, fy] + [sx, sy, sx, sy]
+    kpts = rec["keypoints"].copy()
+    kpts[..., 0] = kpts[..., 0] * fx + sx
+    kpts[..., 1] = kpts[..., 1] * fy + sy
+    masks = rec["masks"]
+    if masks.shape[0]:
+        mout = np.zeros((masks.shape[0], h, w), bool)
+        for j, m in enumerate(masks):
+            mout[j, sy:ey, sx:ex] = cv2.resize(
+                m.astype(np.uint8), (ex - sx, ey - sy),
+                interpolation=cv2.INTER_NEAREST).astype(bool)
+        masks = mout
+    return {**rec, "image": out, "boxes": boxes.astype(np.float32),
+            "keypoints": kpts, "masks": masks}
+
+
 def resize_pad_to(rec: dict, size: int) -> dict:
     """Aspect-preserving resize so the long side equals ``size``, then
     bottom/right zero-pad to (size, size) — ONE static shape for jit."""
@@ -246,7 +363,13 @@ class CocoLoader:
     def __init__(self, dataset: CocoDataset, batch_size: int = 8,
                  image_size: int = 512, max_objects: int = 16,
                  mask_stride: int = 4, augment: bool = True, seed: int = 0,
-                 scale_range=(0.6, 1.4)):
+                 scale_range=(0.6, 1.4), photometric: bool = False,
+                 p_grayscale: float = 0.05, p_motion_blur: float = 0.1,
+                 p_mosaic: float = 0.0):
+        """``photometric=True`` adds the reference's pixel-level augs
+        (ColorJitter always, grayscale/motion-blur at their probs);
+        ``p_mosaic > 0`` enables the self-mosaic distractor aug
+        (reference RandomMosaicVideoAPI default prob 0.15)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.image_size = image_size
@@ -254,6 +377,10 @@ class CocoLoader:
         self.mask_stride = mask_stride
         self.augment = augment
         self.scale_range = scale_range
+        self.photometric = photometric
+        self.p_grayscale = p_grayscale
+        self.p_motion_blur = p_motion_blur
+        self.p_mosaic = p_mosaic
         self.rng = np.random.default_rng(seed)
 
     def _prep(self, i: int) -> dict:
@@ -261,8 +388,16 @@ class CocoLoader:
         if self.augment:
             if self.rng.random() < 0.5:
                 rec = hflip_record(rec)
+            if self.p_mosaic and self.rng.random() < self.p_mosaic:
+                rec = mosaic_record(rec, self.rng)
             rec = random_resize_crop(rec, self.rng,
                                      scale_range=self.scale_range)
+            if self.photometric:
+                rec = color_jitter_record(rec, self.rng)
+                if self.rng.random() < self.p_grayscale:
+                    rec = grayscale_record(rec)
+                if self.rng.random() < self.p_motion_blur:
+                    rec = motion_blur_record(rec, self.rng)
         return resize_pad_to(rec, self.image_size)
 
     def epoch(self):
