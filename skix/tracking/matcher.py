@@ -533,6 +533,62 @@ def presence_loss(presence_logit, gt_boxes, gt_valid, alpha: float = 0.5,
     return a_t * ((1 - p_t) ** gamma) * ce, keep
 
 
+def det2trk_assoc_loss(assoc_logits, matched_obj_ids_det,
+                       matched_obj_ids_trk, num_boxes,
+                       det_logits=None, use_fp_loss: bool = False,
+                       treat_fp_as_new_obj: bool = False,
+                       is_exhaustive=None):
+    """Detection→tracking association loss — the reference's
+    ``Det2TrkAssoc.get_loss`` (train/loss/loss_fns.py:1153-1226), the
+    video-training objective that teaches detection queries to point at
+    the tracking query carrying the same object (or declare
+    new-object / false-positive):
+
+    - label = index of the tracking query matched to the same GT object
+      id; else ``Q_trk`` ("new object") when matched to GT but no track;
+      else ``Q_trk + 1`` ("false positive") when unmatched with score>0
+      and ``use_fp_loss`` (optionally exhaustive-only / folded into
+      new-object); else −1 (ignored);
+    - softmax CE over ``Q_trk + 2`` classes, zeroed on frames with no
+      valid tracking query, summed and normalized by ``B * num_boxes``.
+
+    ``assoc_logits (B, Q_det, Q_trk+2)``; ``matched_obj_ids_* (B, Q)``
+    int (−1 = unmatched); fixed shapes, masked ignore semantics.
+    """
+    B, Q_det, K = assoc_logits.shape
+    Q_trk = K - 2
+    det_m = matched_obj_ids_det >= 0                    # (B, Q_det)
+    trk_m = matched_obj_ids_trk >= 0                    # (B, Q_trk)
+    same = (det_m[:, :, None] & trk_m[:, None, :]
+            & (matched_obj_ids_det[:, :, None]
+               == matched_obj_ids_trk[:, None, :]))     # (B, Qd, Qt)
+    has_trk_match = jnp.any(same, -1)
+    # first matching track index (the reference's nonzero-scatter keeps
+    # the LAST duplicate, but GT object ids are unique per frame so at
+    # most one track matches)
+    trk_idx = jnp.argmax(same, -1)
+    labels = jnp.full((B, Q_det), -1, jnp.int32)
+    labels = jnp.where(has_trk_match, trk_idx.astype(jnp.int32), labels)
+    labels = jnp.where(det_m & ~has_trk_match, Q_trk, labels)
+    if use_fp_loss:
+        if det_logits is None:
+            raise ValueError("use_fp_loss requires det_logits")
+        fp = (~det_m) & (det_logits > 0)
+        if treat_fp_as_new_obj:
+            labels = jnp.where(fp, Q_trk, labels)
+        else:
+            if is_exhaustive is not None:
+                fp = fp & is_exhaustive[:, None]
+            labels = jnp.where(fp, Q_trk + 1, labels)
+    logp = jax.nn.log_softmax(assoc_logits, -1)
+    safe = jnp.clip(labels, 0)
+    ce = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+    ce = jnp.where(labels >= 0, ce, 0.0)                # ignore_index=-1
+    frame_has_trk = jnp.any(trk_m, -1, keepdims=True)
+    ce = ce * frame_has_trk.astype(ce.dtype)
+    return jnp.sum(ce) / (B * jnp.maximum(num_boxes, 1))
+
+
 class DetrLosses(NamedTuple):
     total: jnp.ndarray
     cls: jnp.ndarray

@@ -257,6 +257,81 @@ class TestIABCE:
         assert float(jnp.abs(gp).sum()) > 0
 
 
+class TestDet2TrkAssoc:
+    """Video-training association loss (reference loss_fns.py:1153)."""
+
+    def _oracle(self, logits, ids_det, ids_trk, num_boxes,
+                det_logits=None, use_fp=False, fp_as_new=False,
+                exhaustive=None):
+        """Transcription of Det2TrkAssoc.get_loss:1168-1226."""
+        B, Qd, K = logits.shape
+        Qt = K - 2
+        labels = np.full((B, Qd), -1, np.int64)
+        for b in range(B):
+            for q in range(Qd):
+                if ids_det[b, q] >= 0:
+                    hit = [t for t in range(Qt)
+                           if ids_trk[b, t] >= 0
+                           and ids_trk[b, t] == ids_det[b, q]]
+                    labels[b, q] = hit[0] if hit else Qt
+                elif use_fp and det_logits[b, q] > 0:
+                    if fp_as_new:
+                        labels[b, q] = Qt
+                    elif exhaustive is None or exhaustive[b]:
+                        labels[b, q] = Qt + 1
+        total = 0.0
+        for b in range(B):
+            if not (ids_trk[b] >= 0).any():
+                continue
+            for q in range(Qd):
+                if labels[b, q] < 0:
+                    continue
+                z = logits[b, q] - logits[b, q].max()
+                total += -(z[labels[b, q]] - np.log(np.exp(z).sum()))
+        return total / (B * num_boxes)
+
+    def test_parity_vs_oracle(self):
+        from skix.tracking.matcher import det2trk_assoc_loss
+
+        lrng = np.random.default_rng(17)
+        B, Qd, Qt = 3, 6, 4
+        logits = lrng.normal(size=(B, Qd, Qt + 2)).astype(np.float32)
+        ids_det = lrng.integers(-1, 5, (B, Qd)).astype(np.int32)
+        ids_trk = lrng.integers(-1, 5, (B, Qt)).astype(np.int32)
+        # make track object ids unique per frame (GT invariant)
+        for b in range(B):
+            seen = set()
+            for t in range(Qt):
+                if ids_trk[b, t] in seen:
+                    ids_trk[b, t] = -1
+                seen.add(int(ids_trk[b, t]))
+        det_logits = lrng.normal(size=(B, Qd)).astype(np.float32)
+        exhaustive = np.array([True, False, True])
+        for use_fp, fp_as_new, exh in [(False, False, None),
+                                       (True, False, None),
+                                       (True, True, None),
+                                       (True, False, exhaustive)]:
+            got = float(det2trk_assoc_loss(
+                jnp.asarray(logits), jnp.asarray(ids_det),
+                jnp.asarray(ids_trk), 5.0,
+                det_logits=jnp.asarray(det_logits), use_fp_loss=use_fp,
+                treat_fp_as_new_obj=fp_as_new,
+                is_exhaustive=(jnp.asarray(exh) if exh is not None
+                               else None)))
+            want = self._oracle(logits, ids_det, ids_trk, 5.0,
+                                det_logits, use_fp, fp_as_new, exh)
+            assert got == pytest.approx(want, rel=1e-5), (use_fp,
+                                                          fp_as_new)
+
+    def test_no_tracks_means_zero(self):
+        from skix.tracking.matcher import det2trk_assoc_loss
+
+        logits = jnp.zeros((1, 4, 5))
+        loss = det2trk_assoc_loss(logits, jnp.zeros((1, 4), jnp.int32),
+                                  jnp.full((1, 3), -1, jnp.int32), 2.0)
+        assert float(loss) == 0.0
+
+
 class TestPointSampling:
     """PointRend mask-loss sampling (reference mask_sampling.py +
     Masks._sampled_loss)."""
