@@ -589,6 +589,52 @@ def det2trk_assoc_loss(assoc_logits, matched_obj_ids_det,
     return jnp.sum(ce) / (B * jnp.maximum(num_boxes, 1))
 
 
+def tracking_by_detection_assoc_loss(assoc_logits, matched_obj_ids_det,
+                                     prev_trk_object_ids, num_boxes):
+    """Bidirectional association loss — the reference's
+    ``TrackingByDetectionAssoc.get_loss`` (train/loss/loss_fns.py:
+    1229-1307). ``assoc_logits (B, Q_det+1, Q_trk+1)``: square-ish score
+    table whose last row/column are the "occluded"/"new-object"
+    classes.
+
+    - det→trk: CE over ``Q_trk+1`` on rows ``:-1`` — label = matching
+      track index, ``Q_trk`` ("new object") when GT-matched trackless,
+      −1 ignored;
+    - trk→det: the TRANSPOSED table, CE over ``Q_det+1`` — label =
+      matching detection index, ``Q_det`` ("occluded") when GT-matched
+      detectionless, −1 ignored;
+    - both gated on frames with ≥1 valid track and normalized by
+      ``B * num_boxes``. Returns ``(loss_det2trk, loss_trk2det)``.
+    """
+    B, Qd1, Qt1 = assoc_logits.shape
+    Q_det, Q_trk = Qd1 - 1, Qt1 - 1
+    det_m = matched_obj_ids_det >= 0
+    trk_m = prev_trk_object_ids >= 0
+    same = (det_m[:, :, None] & trk_m[:, None, :]
+            & (matched_obj_ids_det[:, :, None]
+               == prev_trk_object_ids[:, None, :]))
+    frame_has_trk = jnp.any(trk_m, -1, keepdims=True)
+
+    def ce_dir(logits, same_dir, src_matched, new_label):
+        # logits (B, Qsrc, K); same_dir (B, Qsrc, Qtgt)
+        has = jnp.any(same_dir, -1)
+        idx = jnp.argmax(same_dir, -1)
+        labels = jnp.full(same_dir.shape[:2], -1, jnp.int32)
+        labels = jnp.where(has, idx.astype(jnp.int32), labels)
+        labels = jnp.where(src_matched & ~has, new_label, labels)
+        logp = jax.nn.log_softmax(logits, -1)
+        safe = jnp.clip(labels, 0)
+        ce = -jnp.take_along_axis(logp, safe[..., None], -1)[..., 0]
+        ce = jnp.where(labels >= 0, ce, 0.0)
+        ce = ce * frame_has_trk.astype(ce.dtype)
+        return jnp.sum(ce) / (B * jnp.maximum(num_boxes, 1))
+
+    d2t = ce_dir(assoc_logits[:, :-1], same, det_m, Q_trk)
+    t2d = ce_dir(jnp.swapaxes(assoc_logits, 1, 2)[:, :-1],
+                 jnp.swapaxes(same, 1, 2), trk_m, Q_det)
+    return d2t, t2d
+
+
 class DetrLosses(NamedTuple):
     total: jnp.ndarray
     cls: jnp.ndarray

@@ -331,6 +331,51 @@ class TestDet2TrkAssoc:
                                   jnp.full((1, 3), -1, jnp.int32), 2.0)
         assert float(loss) == 0.0
 
+    def test_bidirectional_parity_vs_oracle(self):
+        """TrackingByDetectionAssoc (loss_fns.py:1229-1307): transposed
+        CE both ways, last row/col = occluded/new-object classes."""
+        from skix.tracking.matcher import tracking_by_detection_assoc_loss
+
+        lrng = np.random.default_rng(23)
+        B, Qd, Qt = 2, 5, 3
+        logits = lrng.normal(size=(B, Qd + 1, Qt + 1)).astype(np.float32)
+        ids_det = np.array([[0, 1, -1, 3, -1], [2, -1, -1, -1, 4]],
+                           np.int32)
+        ids_trk = np.array([[1, 0, 9], [-1, 4, -1]], np.int32)
+        d2t, t2d = tracking_by_detection_assoc_loss(
+            jnp.asarray(logits), jnp.asarray(ids_det),
+            jnp.asarray(ids_trk), 4.0)
+
+        def ce(z, lab):
+            z = z - z.max()
+            return -(z[lab] - np.log(np.exp(z).sum()))
+
+        want_d2t = 0.0
+        want_t2d = 0.0
+        for b in range(B):
+            if not (ids_trk[b] >= 0).any():
+                continue
+            for q in range(Qd):
+                if ids_det[b, q] < 0:
+                    continue
+                hits = [t for t in range(Qt)
+                        if ids_trk[b, t] == ids_det[b, q]
+                        and ids_trk[b, t] >= 0]
+                lab = hits[0] if hits else Qt
+                want_d2t += ce(logits[b, q], lab)
+            for t in range(Qt):
+                if ids_trk[b, t] < 0:
+                    continue
+                hits = [q for q in range(Qd)
+                        if ids_det[b, q] == ids_trk[b, t]
+                        and ids_det[b, q] >= 0]
+                lab = hits[0] if hits else Qd
+                want_t2d += ce(logits[b, :, t], lab)
+        want_d2t /= B * 4.0
+        want_t2d /= B * 4.0
+        assert float(d2t) == pytest.approx(want_d2t, rel=1e-5)
+        assert float(t2d) == pytest.approx(want_t2d, rel=1e-5)
+
 
 class TestPointSampling:
     """PointRend mask-loss sampling (reference mask_sampling.py +
