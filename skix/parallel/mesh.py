@@ -78,6 +78,37 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
         lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), params)
 
 
+def shard_params_fsdp(params, mesh: Mesh, axis: str = "data",
+                      min_size: int = 2 ** 14):
+    """FSDP / ZeRO-style parameter + optimizer-state sharding: each
+    tensor shards its LARGEST axis divisible by the ``axis`` mesh size
+    (small tensors below ``min_size`` elements stay replicated — the
+    gather latency would dominate). Under ``jit`` XLA then all-gathers
+    each weight right before use and reduce-scatters its gradient — the
+    weight-update-sharding recipe, cutting per-device param + optimizer
+    memory by ~axis-size. The reference trains DDP with fully
+    replicated weights (sam3/train/trainer.py:306); this is the
+    TPU-native upgrade for models whose AdamW state would not fit one
+    chip. Works on any pytree (params AND optimizer state — pass both).
+    """
+    size = mesh.shape[axis]
+
+    def spec_for(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.size < min_size:
+            return P()
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if x.shape[d] % size == 0 and x.shape[d] >= size:
+                spec = [None] * x.ndim
+                spec[d] = axis
+                return P(*spec)
+        return P()
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))),
+        params)
+
+
 def visualize(x) -> str:
     """Debug helper: sharding layout of an array as text."""
     import io

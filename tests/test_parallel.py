@@ -6,7 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from skix.parallel import batch_sharding, make_mesh, replicate, shard_params_tp
+from skix.parallel import (batch_sharding, make_mesh, replicate,
+                           shard_params_fsdp, shard_params_tp)
 from skix.parallel.collectives import (all_gather, all_reduce_mean,
                                        all_reduce_sum, data_parallel_map,
                                        psum_scalar)
@@ -48,6 +49,62 @@ class TestMesh:
         # 3 not divisible by 2 → replicated
         spec = b.sharding.spec
         assert all(s is None for s in spec)
+
+
+class TestFSDP:
+    def test_params_actually_sharded(self):
+        mesh = make_mesh({"data": 8})
+        params = {"big": jnp.ones((64, 1024)), "tiny": jnp.ones(3),
+                  "odd": jnp.ones((7, 3001))}
+        sh = shard_params_fsdp(params, mesh, min_size=1024)
+        # big shards its largest divisible axis over all 8 devices
+        shard = sh["big"].addressable_shards[0].data
+        assert shard.size == sh["big"].size // 8
+        # tiny (below min_size) and odd (no divisible axis) replicate
+        assert sh["tiny"].addressable_shards[0].data.size == 3
+        assert sh["odd"].addressable_shards[0].data.size == 7 * 3001
+
+    def test_fsdp_train_step_parity_vs_replicated(self):
+        """ZeRO-sharded params + optimizer state give the SAME loss and
+        the same updated params as the replicated DP step — XLA inserts
+        the all-gathers/reduce-scatters, the math is unchanged."""
+        from skix.models.train import init_state, make_optimizer, train_step
+        from skix.models.videopose3d import TemporalLifter
+
+        mesh = make_mesh({"data": 8})
+        model = TemporalLifter(filter_widths=(3, 3), channels=128,
+                               dropout=0.0)
+        optimizer = make_optimizer()
+        state = init_state(model, jax.random.PRNGKey(0), optimizer)
+
+        B = 8
+        lrng = np.random.default_rng(5)
+        x = jnp.asarray(lrng.normal(size=(B, model.rf, 17, 2)) * 0.1,
+                        jnp.float32)
+        y = jnp.asarray(lrng.normal(size=(B, 1, 17, 3)) * 0.1,
+                        jnp.float32)
+        step = jax.jit(train_step, static_argnums=(0, 1))
+
+        ref_state, ref_loss = step(model, optimizer, state, x, y,
+                                   jax.random.PRNGKey(1))
+
+        fs = state._replace(
+            params=shard_params_fsdp(state.params, mesh, min_size=1024),
+            opt_state=shard_params_fsdp(state.opt_state, mesh,
+                                        min_size=1024))
+        xb = jax.device_put(x, batch_sharding(mesh))
+        yb = jax.device_put(y, batch_sharding(mesh))
+        with mesh:
+            fs_state, fs_loss = step(model, optimizer, fs, xb, yb,
+                                     jax.random.PRNGKey(1))
+        assert float(fs_loss) == pytest.approx(float(ref_loss), rel=1e-5)
+        ref_leaf = jax.tree.leaves(ref_state.params)[0]
+        fs_leaf = jax.tree.leaves(fs_state.params)[0]
+        np.testing.assert_allclose(np.asarray(fs_leaf),
+                                   np.asarray(ref_leaf), atol=1e-5)
+        # sharding persisted through the update (memory win is real)
+        big = max(jax.tree.leaves(fs_state.params), key=lambda a: a.size)
+        assert big.addressable_shards[0].data.size < big.size
 
 
 class TestCollectives:
