@@ -21,6 +21,14 @@ from skix.tracking.memory_tracker import (  # noqa: F401
     propagate_objects,
 )
 from skix.tracking.postprocess import postprocess_detections  # noqa: F401
+from skix.tracking.point_sampling import (  # noqa: F401
+    get_best_gt_match_from_multimasks,
+    get_next_point,
+    sample_box_points,
+    sample_one_point_from_error_center,
+    sample_random_points_from_errors,
+    select_closest_cond_frames,
+)
 from skix.tracking.sam_prompt_encoder import (  # noqa: F401
     InteractiveSegmenter,
     SamImagePredictor,
