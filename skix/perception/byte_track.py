@@ -20,9 +20,11 @@ TPU-native redesign (original implementation, no upstream code):
   low-score detections vs the remaining *tracked* slots, gate 0.5; (3)
   remaining high detections vs unconfirmed tracks, gate 0.7 — matched
   unconfirmed tracks activate, unmatched ones are removed;
-- greedy fixed-round assignment instead of Hungarian (deviation,
-  documented: identical whenever each row's best match is unambiguous —
-  the 1-3 athletes this pipeline tracks);
+- greedy fixed-round assignment by default (identical to Hungarian
+  whenever each row's best match is unambiguous — the 1-3 athletes this
+  pipeline tracks); ``exact_match=True`` switches every stage to the
+  on-device Bertsekas auction LAP with the exact
+  ``lap.lapjv(cost_limit=...)`` semantics ultralytics uses;
 - lost tracks retire after ``track_buffer`` frames; duplicate
   tracked/lost pairs above IoU 0.85 resolve to the older track
   (ByteTrack ``remove_duplicate_stracks``).
@@ -62,6 +64,7 @@ class ByteTrackConfig:
     fuse_score: bool = True           # sim = IoU·score in stage 1
     second_match_thresh: float = 0.5  # ByteTrack hardcodes these two
     unconfirmed_match_thresh: float = 0.7
+    exact_match: bool = False         # auction LAP = lap.lapjv semantics
 
 
 class ByteTrackState(NamedTuple):
@@ -152,6 +155,31 @@ def _greedy_match(sim, row_ok, col_ok, thresh, rounds: int):
 
     _, assign = jax.lax.fori_loop(
         0, rounds, body, (masked, jnp.full(K, -1, jnp.int32)))
+    return assign
+
+
+def _exact_match(sim, row_ok, col_ok, thresh, rounds: int = 0):
+    """Exact LAP with a cost limit — the semantics of ultralytics'
+    ``lap.lapjv(1 − sim, extend_cost=True, cost_limit=1 − thresh)``,
+    solved on device by the Bertsekas auction (`skix.tracking.matcher.
+    auction_assign`). Every track may instead stay unmatched at cost
+    ``1 − thresh``; by a pairwise-exchange argument the optimum then
+    never matches a pair whose cost exceeds the limit, so the gate
+    emerges from the cost structure rather than masking. `rounds` is
+    ignored (signature-compatible with :func:`_greedy_match`)."""
+    from skix.tracking.matcher import auction_assign
+
+    K, N = sim.shape
+    big = jnp.float32(2.0)  # dominated by any real cost (≤1) or gate
+    cost = jnp.where(col_ok[None, :], 1.0 - sim, big)        # (K, N)
+    dummy = jnp.where(jnp.eye(K, dtype=bool), 1.0 - thresh, big)
+    full = jnp.concatenate([cost.T, dummy], axis=0)          # (N+K, K)
+    col_of_row = auction_assign(full, row_ok)                # (N+K,)
+    rows = jnp.arange(N + K, dtype=jnp.int32)
+    real = (col_of_row >= 0) & (rows < N)
+    # invert row→track into track→det (each track holds ≤ 1 row)
+    assign = jnp.full(K, -1, jnp.int32).at[
+        jnp.clip(col_of_row, 0)].max(jnp.where(real, rows, -1))
     return assign
 
 
@@ -256,24 +284,25 @@ def byte_track_step(state: ByteTrackState, boxes_xyxy, scores, valid,
     low = valid & (scores >= cfg.track_low_thresh) & ~high
 
     iou = box_iou(pred_boxes, boxes_xyxy)                     # (K, N)
+    match = _exact_match if cfg.exact_match else _greedy_match
 
     # stage 1: activated tracked + lost vs high detections
     pool1 = (state.tracked & state.activated) | state.lost
     sim1 = iou * scores[None, :] if cfg.fuse_score else iou
-    a1 = _greedy_match(sim1, pool1, high, 1.0 - cfg.match_thresh, rounds)
+    a1 = match(sim1, pool1, high, 1.0 - cfg.match_thresh, rounds)
     taken = _det_taken(a1, N)
 
     # stage 2: remaining activated-tracked vs low detections (IoU only)
     rem = state.tracked & state.activated & (a1 < 0)
-    a2 = _greedy_match(iou, rem, low & ~taken,
-                       1.0 - cfg.second_match_thresh, rounds)
+    a2 = match(iou, rem, low & ~taken,
+               1.0 - cfg.second_match_thresh, rounds)
     taken = taken | _det_taken(a2, N)
 
     # stage 3: unconfirmed tracks vs remaining high detections (score-
     # fused like stage 1 — ultralytics fuses BOTH IoU-cost associations)
     unconf = state.tracked & ~state.activated
-    a3 = _greedy_match(sim1, unconf, high & ~taken,
-                       1.0 - cfg.unconfirmed_match_thresh, rounds)
+    a3 = match(sim1, unconf, high & ~taken,
+               1.0 - cfg.unconfirmed_match_thresh, rounds)
     taken = taken | _det_taken(a3, N)
 
     assign = jnp.where(a1 >= 0, a1, jnp.where(a2 >= 0, a2, a3))

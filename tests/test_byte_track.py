@@ -224,3 +224,92 @@ class TestByteTrack:
                                      track_ids=jnp.asarray(ids))
         got_x = np.asarray(sel.boxes)[:, 0]
         np.testing.assert_allclose(got_x, 30.0, atol=1.0)
+
+
+class TestExactMatch:
+    def _lapjv_oracle(self, sim, row_ok, col_ok, thresh):
+        """lap.lapjv(cost_limit) semantics via scipy on the extended
+        matrix: each track may stay unmatched at cost 1-thresh."""
+        from scipy.optimize import linear_sum_assignment
+        K, N = sim.shape
+        big = 2.0
+        cost = np.where(col_ok[None, :], 1.0 - sim, big)
+        ext = np.full((K, N + K), big)
+        ext[:, :N] = cost
+        ext[np.arange(K), N + np.arange(K)] = 1.0 - thresh
+        ext[~row_ok] = big  # excluded rows: irrelevant columns
+        rows = np.where(row_ok)[0]
+        ri, ci = linear_sum_assignment(ext[rows])
+        assign = np.full(K, -1, np.int64)
+        for r, c in zip(rows[ri], ci):
+            if c < N:
+                assign[r] = c
+        total = sum(1.0 - sim[r, assign[r]] if assign[r] >= 0
+                    else 1.0 - thresh for r in rows)
+        return assign, total
+
+    def test_parity_vs_scipy_extended(self):
+        from skix.perception.byte_track import _exact_match
+        rng = np.random.default_rng(11)
+        for case in range(20):
+            K, N = int(rng.integers(2, 7)), int(rng.integers(1, 7))
+            sim = rng.random((K, N)).astype(np.float32)
+            row_ok = rng.random(K) < 0.8
+            col_ok = rng.random(N) < 0.8
+            thresh = float(rng.uniform(0.1, 0.5))
+            want, want_total = self._lapjv_oracle(sim, row_ok, col_ok,
+                                                  thresh)
+            got = np.asarray(_exact_match(jnp.asarray(sim), row_ok,
+                                          col_ok, thresh))
+            assert (got[~row_ok] == -1).all()
+            got_total = sum(
+                1.0 - sim[r, got[r]] if got[r] >= 0 else 1.0 - thresh
+                for r in np.where(row_ok)[0])
+            # same optimal total (assignments may differ only at ties)
+            np.testing.assert_allclose(got_total, want_total, atol=1e-4)
+            # no det matched twice, no gated pair matched
+            real = got[got >= 0]
+            assert len(set(real.tolist())) == len(real)
+            for r in np.where(got >= 0)[0]:
+                assert sim[r, got[r]] >= thresh - 1e-5
+
+    def test_step_recovers_crossover_greedy_misses(self):
+        """Two tracks, two dets with IoUs ~[[0.5, 0.45], [0.4, 0]]:
+        greedy's global-max pick (t0, A) consumes the only above-gate
+        option of t1 and strands it; the exact LAP takes the jointly
+        cheaper crossover t0<-B, t1<-A (cost 0.55+0.6 < 0.5+0.8-dummy)."""
+        t0_box = np.array([0, 0, 10, 10], np.float32)
+        t1_box = np.array([8.38, 0, 18.38, 10], np.float32)
+        bA = np.array([2.67, 0, 14.67, 10], np.float32)   # IoU: t0 .50, t1 .40
+        bB = np.array([-3.79, 0, 6.21, 10], np.float32)   # IoU: t0 .45, t1 0
+
+        def run(exact):
+            cfg = ByteTrackConfig(max_tracks=4, fuse_score=False,
+                                  exact_match=exact)
+            st = init_byte_track_state(cfg)
+            z = np.zeros(4, np.float32)
+            b0 = np.stack([t0_box, t1_box, z, z])
+            s0 = np.array([0.9, 0.9, 0, 0], np.float32)
+            v0 = np.array([True, True, False, False])
+            st, ids0 = byte_track_step(st, b0, s0, v0, cfg)
+            assert np.asarray(ids0)[:2].tolist() == [0, 1]
+            b1 = np.stack([bB, bA, z, z])
+            st, ids = byte_track_step(st, b1, s0, v0, cfg)
+            return np.asarray(ids)
+
+        ids_exact = run(True)
+        assert ids_exact[:2].tolist() == [0, 1], ids_exact
+        ids_greedy = run(False)
+        # greedy: A grabbed by t0, B below t1's gate -> t1 stranded
+        # (B spawns an unconfirmed track that does not emit this frame)
+        assert ids_greedy[:2].tolist() != [0, 1], ids_greedy
+
+    def test_sequence_jit_clean_with_exact(self):
+        boxes, scores, valid, truth = _clip(
+            [(0, 8, 20, 20, 1.0, 0.0, 10, 20, 0.9),
+             (0, 8, 60, 60, -1.0, 0.0, 12, 24, 0.8)], T=8, noise=0.1)
+        cfg = ByteTrackConfig(exact_match=True)
+        ids = np.asarray(track_sequence_ids(boxes, scores, valid, cfg))
+        for k in range(2):
+            got = ids[truth == k]
+            assert got[0] >= 0 and (got == got[0]).all()
