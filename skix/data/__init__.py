@@ -6,8 +6,11 @@ from skix.data.coco import (CocoDataset, CocoLoader, collate_fixed,
                             hflip_record, mosaic_record,
                             motion_blur_record, random_resize_crop,
                             resize_pad_to)
+from skix.data.video import (VideoDataset, collate_clips,
+                             sample_clip_frames, tile_image_clip)
 
 __all__ = ["CocoDataset", "CocoLoader", "collate_fixed",
            "color_jitter_record", "grayscale_record", "hflip_record",
            "mosaic_record", "motion_blur_record", "random_resize_crop",
-           "resize_pad_to"]
+           "resize_pad_to", "VideoDataset", "collate_clips",
+           "sample_clip_frames", "tile_image_clip"]

@@ -1,0 +1,155 @@
+"""End-to-end TRACKING accuracy evidence with a COMMITTED checkpoint.
+
+The zero-egress environment cannot download the reference's SAM3
+weights, so ``tests/fixtures/tracker_tiny.npz`` (a tiny Sam3Detector +
+MaskMemoryTracker trained offline by scripts/make_tracker_fixture.py on
+a synthetic moving-disk world) stands in: checkpoint → MaskletVideoModel
+(the full detect → mask-IoU associate → memory-propagate → lifecycle
+loop of reference sam3_video_base.py:151) → held-out clips → HOTA and
+identity-through-crossing assertions. The companion of
+test_lifter_fixture.py for the heavy tracking route."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+FIXTURE = Path(__file__).parent / "fixtures" / "tracker_tiny.npz"
+sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+
+
+@pytest.fixture(scope="module")
+def fixture_models():
+    import make_tracker_fixture as mtf
+
+    from skix.tracking.memory_tracker import MaskMemoryTracker
+    from skix.tracking.sam3_detector import Sam3Detector
+
+    det = Sam3Detector.tiny()
+    trk = MaskMemoryTracker(features=mtf.TRK_FEATURES,
+                            num_heads=mtf.TRK_HEADS,
+                            mem_slots=mtf.TRK_SLOTS)
+    det_vars, trk_vars = mtf.load_fixture(FIXTURE)
+    return det, det_vars, trk, trk_vars
+
+
+@pytest.fixture(scope="module")
+def masklet(fixture_models):
+    import make_tracker_fixture as mtf
+
+    from skix.tracking.masklet import MaskletConfig, MaskletVideoModel
+
+    det, det_vars, trk, trk_vars = fixture_models
+    cfg = MaskletConfig(max_objects=4, max_dets=6,
+                        score_threshold_detection=0.4,
+                        new_det_thresh=0.5,
+                        assoc_iou_thresh=0.3,
+                        trk_assoc_iou_thresh=0.3)
+    mdl = MaskletVideoModel(det, det_vars, trk, trk_vars, cfg)
+    return mdl, mtf._prompt(det)
+
+
+def _boxes_ids_from_outputs(outs):
+    """Per-frame (boxes xyxy px, ids) from the masklet stream outputs."""
+    from skix.ops.masks import masks_to_boxes
+
+    pb, pi = [], []
+    for o in outs:
+        out = o["outputs"]
+        act = np.asarray(out["active"])
+        masks = np.asarray(out["mask"])
+        nonempty = masks.reshape(masks.shape[0], -1).any(1)
+        keep = act & nonempty
+        boxes = np.asarray(masks_to_boxes(jnp.asarray(masks[keep])))
+        pb.append(boxes)
+        pi.append(np.asarray(out["obj_id"])[keep])
+    return pb, pi
+
+
+def _gt_boxes_ids(masks, valid):
+    from skix.ops.masks import masks_to_boxes
+
+    gb, gi = [], []
+    for t in range(masks.shape[0]):
+        keep = valid[t] & masks[t].reshape(masks.shape[1], -1).any(1)
+        gb.append(np.asarray(masks_to_boxes(jnp.asarray(masks[t][keep]))))
+        gi.append(np.where(keep)[0])
+    return gb, gi
+
+
+class TestCommittedTrackerFixture:
+    def test_detector_quality_held_out(self, fixture_models):
+        import make_tracker_fixture as mtf
+
+        det, det_vars, _, _ = fixture_models
+        prec, rec = mtf.eval_detector(det, det_vars, n=8, seed0=30_000)
+        assert prec > 0.85 and rec > 0.85, (prec, rec)
+
+    def test_propagation_miou_held_out(self, fixture_models):
+        import make_tracker_fixture as mtf
+
+        _, _, trk, trk_vars = fixture_models
+        miou = mtf.eval_tracker(trk, trk_vars, n=4, seed0=31_000)
+        assert miou > 0.5, miou
+
+    def test_hota_on_held_out_clips(self, masklet):
+        import make_tracker_fixture as mtf
+
+        from skix.metrics.tracking_eval import evaluate_hota
+
+        mdl, prompt = masklet
+        pb, pi, gb, gi = [], [], [], []
+        for seed in (5000, 5001, 5002):
+            frames, _, masks, valid = mtf.synth_clip(seed, T=12, n_obj=2)
+            outs = list(mdl.propagate(
+                (frames * 255).astype(np.uint8), prompt))
+            b, i = _boxes_ids_from_outputs(outs)
+            g, gid = _gt_boxes_ids(masks, valid)
+            # offset ids per clip so clips do not alias
+            pb += b
+            pi += [x + 100 * seed for x in i]
+            gb += g
+            gi += [x + 100 * seed for x in gid]
+        res = evaluate_hota(pb, pi, gb, gi)
+        assert res["HOTA"] > 0.55, res
+        assert res["DetA"] > 0.5, res
+        assert res["AssA"] > 0.5, res
+
+    def test_identity_through_crossing(self, masklet):
+        """Two disks cross paths; each GT object must keep ONE predicted
+        id for ≥80% of its visible frames and the two ids must differ."""
+        import make_tracker_fixture as mtf
+
+        mdl, prompt = masklet
+        frames, _, masks, valid = mtf.synth_crossing_clip(seed=7, T=20)
+        outs = list(mdl.propagate((frames * 255).astype(np.uint8), prompt))
+        votes = {0: [], 1: []}
+        for t, o in enumerate(outs):
+            out = o["outputs"]
+            act = np.asarray(out["active"])
+            pm = np.asarray(out["mask"])
+            ids = np.asarray(out["obj_id"])
+            for g in (0, 1):
+                if not valid[t, g]:
+                    continue
+                gt = masks[t, g]
+                best, bid = 0.0, -1
+                for k in np.where(act)[0]:
+                    inter = (pm[k] & gt).sum()
+                    union = (pm[k] | gt).sum()
+                    iou = inter / max(union, 1)
+                    if iou > best:
+                        best, bid = iou, ids[k]
+                if best >= 0.3:
+                    votes[g].append(int(bid))
+        for g in (0, 1):
+            assert len(votes[g]) >= 0.7 * valid[:, g].sum(), votes
+            vals, counts = np.unique(votes[g], return_counts=True)
+            assert counts.max() >= 0.8 * len(votes[g]), votes
+        id0 = np.bincount(np.asarray(votes[0]) + 1).argmax() - 1
+        id1 = np.bincount(np.asarray(votes[1]) + 1).argmax() - 1
+        assert id0 != id1, (votes, id0, id1)
