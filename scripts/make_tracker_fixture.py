@@ -38,7 +38,7 @@ H = W = 112
 MAXG = 3          # GT slots
 D_MODEL = 64      # Sam3Detector.tiny d_model
 PROMPT_LEN = 4
-TRK_FEATURES = 32
+TRK_FEATURES = 48
 TRK_HEADS = 2
 TRK_SLOTS = 3
 
@@ -99,9 +99,11 @@ def synth_scene(seed: int, n_obj: int | None = None):
 
 
 def synth_clip(seed: int, T: int = 16, n_obj: int = 2, min_sep: float = 2.2,
-               vel=None, pos0=None):
+               vel=None, pos0=None, same_color: bool = False):
     """Constant-velocity bouncing clip → (frames (T,H,W,3) f32,
-    boxes (T,MAXG,4) cxcywh01, masks (T,MAXG,H,W) bool, valid (T,MAXG))."""
+    boxes (T,MAXG,4) cxcywh01, masks (T,MAXG,H,W) bool, valid (T,MAXG)).
+    ``same_color=True`` paints every disk the same color (appearance
+    gives no identity signal — the memory must carry position)."""
     rng = np.random.default_rng(seed)
     radii = rng.uniform(9, 14, n_obj).astype(np.float32)
     if pos0 is None:
@@ -115,6 +117,8 @@ def synth_clip(seed: int, T: int = 16, n_obj: int = 2, min_sep: float = 2.2,
     vel = (np.asarray(vel, np.float32) if vel is not None
            else rng.uniform(-3.0, 3.0, (n_obj, 2)).astype(np.float32))
     colors = rng.uniform(0.55, 1.0, (n_obj, 3)).astype(np.float32)
+    if same_color:
+        colors[:] = colors[:1]
 
     frames = np.zeros((T, H, W, 3), np.float32)
     boxes = np.zeros((T, MAXG, 4), np.float32)
@@ -175,7 +179,16 @@ def train_detector(det, steps: int, batch: int, seed0: int, lr: float):
     variables = jax.jit(det.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), prompt[None])
     params = variables["params"]
-    opt = optax.adam(lr)
+    # Cold-start recipe: plain focal + lr 2e-4 — the reference's shipped
+    # IABCE(w=20)+presence recipe is a FINE-TUNING config whose IoU-aware
+    # soft targets collapse the scores when boxes start random (target
+    # t = clip(p^α·IoU^(1-α), 0.01) ≈ 0.01 at IoU≈0); measured: IABCE
+    # from scratch plateaus, focal converges (P 1.0/R 0.95 overfit).
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(100, steps // 10),
+        decay_steps=steps, end_value=lr * 0.1)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(sched, weight_decay=1e-4))
     opt_state = opt.init(params)
     text = jnp.tile(prompt[None], (batch, 1, 1))
 
@@ -189,7 +202,7 @@ def train_detector(det, steps: int, batch: int, seed0: int, lr: float):
             return l_det + l_msk
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt_state = opt.update(grads, opt_state)
+        upd, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt_state, loss
 
     for i in range(steps):
@@ -270,7 +283,11 @@ def train_tracker(trk, steps: int, batch: int, seed0: int, lr: float):
         jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)),
         init_memory(TRK_SLOTS, gh, gw, TRK_FEATURES))
     params = variables["params"]
-    opt = optax.adam(lr)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(50, steps // 10),
+        decay_steps=steps, end_value=lr * 0.01)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adam(sched))
     opt_state = opt.init(params)
 
     def bce_dice(logits, gt):
@@ -286,11 +303,11 @@ def train_tracker(trk, steps: int, batch: int, seed0: int, lr: float):
         bank = trk.apply(v, frames[:1], gt_full[:1], bank,
                          method=trk.init_from_mask)
         loss = 0.0
-        for t in (1, 2):
+        for t in (1, 2, 3):
             lg, _, bank = trk.apply(v, frames[t:t + 1], bank,
                                     method=trk.step)
             loss = loss + bce_dice(lg[0], gt_low[t])
-        return loss / 2.0
+        return loss / 3.0
 
     @jax.jit
     def step(params, opt_state, frames, gt_full, gt_low):
@@ -306,9 +323,14 @@ def train_tracker(trk, steps: int, batch: int, seed0: int, lr: float):
     for i in range(steps):
         fs, gfs, gls = [], [], []
         for b in range(batch):
-            fr, _, mk, _ = synth_clip(seed0 + i * batch + b, T=3,
-                                      n_obj=2, min_sep=1.2)
-            gt = mk[:, 0]                          # track object 0
+            seed = seed0 + i * batch + b
+            # hard distribution: near-touching disks, a third of the
+            # clips give appearance NO identity signal (same color), and
+            # the tracked object alternates — the memory must actually
+            # be read for the loss to go down
+            fr, _, mk, _ = synth_clip(seed, T=4, n_obj=2, min_sep=0.8,
+                                      same_color=(seed % 3 == 0))
+            gt = mk[:, seed % 2]
             gt_low = np.stack([
                 np.asarray(jax_resize(g, gh, gw)) for g in gt])
             fs.append(fr)
@@ -330,22 +352,32 @@ def jax_resize(mask_bool, gh, gw):
 
 
 def eval_tracker(trk, trk_vars, n: int = 8, seed0: int = 20_000):
+    """Held-out propagation quality: mask mIoU vs the tracked object AND
+    identity accuracy (propagated mask closer to the tracked object than
+    to the distractor)."""
     from skix.tracking.memory_tracker import propagate_object
 
     gh = gw = H // 8
-    ious = []
+    ious, correct = [], []
     for s in range(n):
         fr, _, mk, _ = synth_clip(seed0 + s, T=6, n_obj=2, min_sep=1.5)
-        logits, scores = propagate_object(trk, trk_vars, fr, mk[0, 0])
-        for t in range(1, 6):
-            pred = logits[t] > 0
-            gt = jax_resize(mk[t, 0], gh, gw)
-            inter = (pred & gt).sum()
-            union = (pred | gt).sum()
-            ious.append(inter / max(union, 1))
+        for k in (0, 1):
+            logits, _ = propagate_object(trk, trk_vars, fr, mk[0, k])
+            for t in range(1, 6):
+                pred = logits[t] > 0
+
+                def _iou(g):
+                    gt = jax_resize(g, gh, gw)
+                    return (pred & gt).sum() / max((pred | gt).sum(), 1)
+
+                self_iou = _iou(mk[t, k])
+                ious.append(self_iou)
+                correct.append(self_iou > _iou(mk[t, 1 - k]))
     miou = float(np.mean(ious))
-    print(f"  trk eval: propagation mIoU {miou:.3f} over {n} clips")
-    return miou
+    acc = float(np.mean(correct))
+    print(f"  trk eval: propagation mIoU {miou:.3f}, identity acc "
+          f"{acc:.3f} over {n} clips x 2 objects")
+    return miou, acc
 
 
 # ------------------------------------------------------------ save/load
@@ -391,12 +423,16 @@ def load_fixture(path: Path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--det-steps", type=int, default=700)
-    ap.add_argument("--trk-steps", type=int, default=400)
+    ap.add_argument("--det-steps", type=int, default=8000)
+    ap.add_argument("--trk-steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--det-lr", type=float, default=2e-4)
+    ap.add_argument("--trk-lr", type=float, default=7e-4)
     ap.add_argument("--out", default=str(
         REPO / "tests" / "fixtures" / "tracker_tiny.npz"))
+    ap.add_argument("--reuse-det", default=None,
+                    help="load detector weights from an existing fixture "
+                         "npz instead of training")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -410,12 +446,17 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     det, trk = _models()
-    print("training detector ...", flush=True)
-    det_vars = train_detector(det, args.det_steps, args.batch, 0, args.lr)
+    if args.reuse_det:
+        print(f"reusing detector from {args.reuse_det}", flush=True)
+        det_vars, _ = load_fixture(Path(args.reuse_det))
+    else:
+        print("training detector ...", flush=True)
+        det_vars = train_detector(det, args.det_steps, args.batch, 0,
+                                  args.det_lr)
     eval_detector(det, det_vars)
     print("training tracker ...", flush=True)
     trk_vars = train_tracker(trk, args.trk_steps, max(args.batch // 2, 2),
-                             1_000_000, args.lr)
+                             1_000_000, args.trk_lr)
     eval_tracker(trk, trk_vars)
     save_fixture(Path(args.out), det_vars, trk_vars)
 
