@@ -99,7 +99,8 @@ def synth_scene(seed: int, n_obj: int | None = None):
 
 
 def synth_clip(seed: int, T: int = 16, n_obj: int = 2, min_sep: float = 2.2,
-               vel=None, pos0=None, same_color: bool = False):
+               vel=None, pos0=None, same_color: bool = False,
+               crossing: bool = False):
     """Constant-velocity bouncing clip → (frames (T,H,W,3) f32,
     boxes (T,MAXG,4) cxcywh01, masks (T,MAXG,H,W) bool, valid (T,MAXG)).
     ``same_color=True`` paints every disk the same color (appearance
@@ -114,8 +115,21 @@ def synth_clip(seed: int, T: int = 16, n_obj: int = 2, min_sep: float = 2.2,
                 break
     else:
         pos = np.asarray(pos0, np.float32).copy()
-    vel = (np.asarray(vel, np.float32) if vel is not None
-           else rng.uniform(-3.0, 3.0, (n_obj, 2)).astype(np.float32))
+    if vel is not None:
+        vel = np.asarray(vel, np.float32)
+    elif crossing and n_obj >= 2:
+        # head-on pass: trajectories meet mid-clip (the occlusion /
+        # identity stress the memory must survive)
+        d = (pos[1] - pos[0]) / max(T * 0.55, 1.0)
+        vel = np.zeros((n_obj, 2), np.float32)
+        vel[0] = d * rng.uniform(1.0, 1.6)
+        vel[1] = -d * rng.uniform(0.4, 1.2)
+        vel += rng.uniform(-0.5, 0.5, (n_obj, 2))
+        speed = np.linalg.norm(vel, axis=1, keepdims=True)
+        vel *= np.minimum(1.0, 6.0 / np.maximum(speed, 1e-6))
+    else:
+        vel = rng.uniform(-3.0, 3.0, (n_obj, 2)).astype(np.float32)
+    vel = vel.astype(np.float32)
     colors = rng.uniform(0.55, 1.0, (n_obj, 3)).astype(np.float32)
     if same_color:
         colors[:] = colors[:1]
@@ -297,17 +311,19 @@ def train_tracker(trk, steps: int, batch: int, seed0: int, lr: float):
             p.sum() + gt.sum() + 1.0)
         return bce + dice
 
+    UNROLL = 5
+
     def clip_loss(p, frames, gt_full, gt_low):
         v = {"params": p}
         bank = init_memory(TRK_SLOTS, gh, gw, TRK_FEATURES)
         bank = trk.apply(v, frames[:1], gt_full[:1], bank,
                          method=trk.init_from_mask)
         loss = 0.0
-        for t in (1, 2, 3):
+        for t in range(1, UNROLL + 1):
             lg, _, bank = trk.apply(v, frames[t:t + 1], bank,
                                     method=trk.step)
             loss = loss + bce_dice(lg[0], gt_low[t])
-        return loss / 3.0
+        return loss / UNROLL
 
     @jax.jit
     def step(params, opt_state, frames, gt_full, gt_low):
@@ -324,12 +340,16 @@ def train_tracker(trk, steps: int, batch: int, seed0: int, lr: float):
         fs, gfs, gls = [], [], []
         for b in range(batch):
             seed = seed0 + i * batch + b
-            # hard distribution: near-touching disks, a third of the
-            # clips give appearance NO identity signal (same color), and
-            # the tracked object alternates — the memory must actually
-            # be read for the loss to go down
-            fr, _, mk, _ = synth_clip(seed, T=4, n_obj=2, min_sep=0.8,
-                                      same_color=(seed % 3 == 0))
+            # hard distribution: near-touching disks, 40% of clips CROSS
+            # mid-unroll (occlusion survival), the tracked object
+            # alternates, and 10% of clips are same-color (position-only
+            # identity) — kept small: crossing disambiguation NEEDS
+            # appearance, and a large same-color fraction trains the
+            # memory to ignore it (measured: 1/3 same-color → identity
+            # flips at crossings)
+            fr, _, mk, _ = synth_clip(seed, T=6, n_obj=2, min_sep=0.8,
+                                      same_color=(seed % 10 == 0),
+                                      crossing=(seed % 5 < 2))
             gt = mk[:, seed % 2]
             gt_low = np.stack([
                 np.asarray(jax_resize(g, gh, gw)) for g in gt])
