@@ -34,3 +34,4 @@ from skix.tracking.sam_prompt_encoder import (  # noqa: F401
     SamImagePredictor,
     SamPromptEncoder,
 )
+from skix.tracking.vos_predictor import InteractiveVideoPredictor  # noqa: F401
