@@ -373,7 +373,9 @@ class DPTHead(nn.Module):
 # --------------------------------------------------------------------------
 class VGGT(nn.Module):
     """Aggregator + camera / depth / point heads (reference
-    vggt/vggt/models/vggt.py:17; track head deferred to a later round)."""
+    vggt/vggt/models/vggt.py:17; the CoTracker-style track head lives in
+    ``skix/models/track_head.py`` and consumes the aggregator tokens this
+    module exposes via ``return_tokens``)."""
 
     img_size: int = 518
     patch_size: int = 14
@@ -385,6 +387,7 @@ class VGGT(nn.Module):
     intermediate_layer_idx: Sequence[int] = (4, 11, 17, 23)
     patch_embed_kind: str = "conv"
     remat: bool = False  # rematerialize aggregator blocks (training)
+    return_tokens: bool = False  # expose (B,S,gh,gw,2E) patch tokens
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -425,6 +428,11 @@ class VGGT(nn.Module):
                 dtype=self.dtype, name="point_head")(taps, (H, W), patch_start)
             result["world_points"] = pts
             result["world_points_conf"] = pt_conf
+        if self.return_tokens:
+            gh = H // self.patch_size
+            gw = W // self.patch_size
+            result["tokens"] = last[:, :, patch_start:, :].reshape(
+                B, S, gh, gw, last.shape[-1])
         return result
 
 

@@ -202,6 +202,102 @@ def process_multi_view(model, variables, rec_left, rec_right, out_dir: Path,
             "ba_final_cost": float(res.final_cost)}
 
 
+def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
+                       cfg) -> dict:
+    """Feed-forward SfM: VGGT cameras/point-maps + point tracks → COLMAP
+    sparse reconstruction (the reference's vggt/vggt/dependency/ flow:
+    track_predict.py predict_tracks over VGGSfM-tracker features +
+    np_to_pycolmap.py batch_np_matrix_to_pycolmap).
+
+    The track head is ``skix.models.track_head.TrackHead`` driven by the
+    aggregator's patch tokens; query keypoints come from the on-device
+    Shi–Tomasi extractor (the learned ALIKED/SuperPoint extractors are
+    zero-egress-blocked — see skix/perception/sfm_tracks.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.io.colmap_export import (build_reconstruction,
+                                       write_reconstruction_text)
+    from skix.models.track_head import TrackHead
+    from skix.perception.sfm_tracks import predict_tracks
+    from skix.utils.jitapply import apply_model
+    from skix.io.video import read_video
+
+    size = int(cfg.get("img_size", 518))
+    stride = int(cfg.get("frame_stride", 30))
+    frames = read_video(video_path, max_frames=cfg.get("max_frames"))
+    sel = frames[::stride][: int(cfg.get("sfm_max_frames", 8))]
+    if len(sel) < 2:
+        raise ValueError(f"need ≥2 frames for SfM, got {len(sel)}")
+    x = preprocess_frames(sel, size)
+
+    sfm_model = model.clone(return_tokens=True)
+    out = apply_model(sfm_model, None, variables, jnp.asarray(x)[None])
+    cams = cameras_from_pose_enc(np.asarray(out["pose_enc"][0]),
+                                 (size, size))
+    tokens = np.asarray(out["tokens"][0], np.float32)  # (S, gh, gw, 2E)
+    conf = np.asarray(out["world_points_conf"][0], np.float32)
+    p3d_map = np.asarray(out["world_points"][0], np.float32)[..., :3]
+
+    head = TrackHead(dim=int(cfg.get("track_dim", 128)),
+                     patch_size=int(cfg.get("patch_size", 14)))
+    head_vars = load_or_init_track_head(head, tokens.shape, cfg)
+    tracks = predict_tracks(
+        head, head_vars, x, tokens, conf=conf, points_3d=p3d_map,
+        max_query_pts=int(cfg.get("sfm_max_query_pts", 512)),
+        query_frame_num=int(cfg.get("sfm_query_frames", 3)),
+        conf_thresh=float(cfg.get("sfm_conf_thresh", 1.2)),
+        min_vis=int(cfg.get("sfm_min_vis", 500)))
+
+    extr = np.concatenate([cams["R"], cams["t"][..., None]], axis=-1)
+    masks = tracks.vis_scores > float(cfg.get("sfm_vis_thresh", 0.05))
+    points3d = (tracks.points_3d if tracks.points_3d is not None
+                else np.zeros((tracks.tracks.shape[1], 3)))
+    recon, valid = build_reconstruction(
+        points3d, extr, cams["intrinsic"], tracks.tracks,
+        image_size=(size, size), masks=masks,
+        max_reproj_error=cfg.get("sfm_max_reproj_error"),
+        shared_camera=bool(cfg.get("sfm_shared_camera", False)),
+        camera_type=str(cfg.get("sfm_camera_type", "SIMPLE_PINHOLE")),
+        min_inlier_per_frame=int(cfg.get("sfm_min_inlier_per_frame", 8)),
+        points_rgb=tracks.colors)
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    np.savez(out_dir / f"{video_path.stem}_sfm_tracks.npz",
+             tracks=tracks.tracks, vis=tracks.vis_scores,
+             colors=tracks.colors, R=cams["R"], t=cams["t"],
+             K=cams["intrinsic"],
+             **({"points_3d": tracks.points_3d}
+                if tracks.points_3d is not None else {}))
+    report = {"frames": int(len(sel)),
+              "num_tracks": int(tracks.tracks.shape[1]),
+              "reconstruction": recon is not None}
+    if recon is not None:
+        sparse_dir = write_reconstruction_text(
+            recon, out_dir / f"{video_path.stem}_sparse")
+        report["sparse_dir"] = str(sparse_dir)
+        report["valid_tracks"] = int(np.asarray(valid).sum())
+    return report
+
+
+def load_or_init_track_head(head, token_shape, cfg):
+    """Converted VGGSfM-tracker weights when provided, random init
+    otherwise (the reference downloads vggsfm_v2_tracker.pt — blocked in
+    the zero-egress build env; the converter seam is the checkpoint key)."""
+    import jax
+    import jax.numpy as jnp
+
+    S, gh, gw, C = token_shape
+    dummy_feats = jnp.zeros((1, S, gh, gw, C))
+    dummy_q = jnp.zeros((1, 4, 2))
+    ckpt = cfg.get("track_checkpoint")
+    if ckpt and Path(ckpt).exists():
+        from skix.pipelines.videopose3d import load_checkpoint
+
+        return load_checkpoint(ckpt)
+    return head.init(jax.random.PRNGKey(0), dummy_feats, dummy_q)
+
+
 @cli_main("vggt")
 def main(cfg):
     logging.basicConfig(level=logging.INFO)
@@ -210,14 +306,15 @@ def main(cfg):
     mode = str(cfg.get("mode", "single"))
     out_root = Path(cfg.paths.out_root)
     reports = {}
-    if mode == "single":
+    if mode in ("single", "sfm"):
+        fn = process_single_view if mode == "single" else process_sfm_tracks
         root = Path(cfg.paths.video_root)
         for person_dir in iter_person_dirs(root, cfg):
             for video in sorted(person_dir.glob("*.mp4")):
                 try:
                     reports[f"{person_dir.name}/{video.stem}"] = \
-                        process_single_view(model, variables, video,
-                                            out_root / person_dir.name, cfg)
+                        fn(model, variables, video,
+                           out_root / person_dir.name, cfg)
                 except Exception:  # noqa: BLE001
                     log.exception("%s failed", video)
     else:

@@ -87,3 +87,37 @@ class TestMultiView:
             assert z["final_cost"] <= z["initial_cost"]
         rep = json.loads((out_root / "vggt_summary.json").read_text())
         assert rep["p01"]["vggt_pairs"] == 2
+
+
+class TestSfmTracksCLI:
+    def test_end_to_end(self, tmp_path):
+        from skix.io.video import write_video
+        from skix.pipelines.vggt import main
+
+        root = tmp_path / "videos" / "p01"
+        root.mkdir(parents=True)
+        write_video(root / "osmo_1.mp4",
+                    rng.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8),
+                    fps=8)
+        out_root = tmp_path / "out"
+        cdir = tmp_path / "configs"
+        cdir.mkdir()
+        (cdir / "vggt.yaml").write_text(
+            f"paths:\n  video_root: {tmp_path / 'videos'}\n"
+            f"  pt_root: {tmp_path / 'videos'}\n  out_root: {out_root}\n"
+            + TINY_CFG.format(mode="sfm", stride=2).replace(
+                "enable_point: false", "enable_point: true")
+            + "sfm_max_frames: 4\nsfm_max_query_pts: 32\n"
+              "sfm_query_frames: 2\nsfm_min_vis: 1\nsfm_vis_thresh: 0.0\n"
+              "sfm_min_inlier_per_frame: 0\ntrack_dim: 16\n")
+        main([f"--config-dir={cdir}"])
+        with np.load(out_root / "p01" / "osmo_1_sfm_tracks.npz") as z:
+            S, P, _ = z["tracks"].shape
+            assert S == 4 and P > 0
+            assert z["vis"].shape == (S, P)
+            assert z["points_3d"].shape == (P, 3)
+        rep = json.loads((out_root / "vggt_summary.json").read_text())
+        assert rep["p01/osmo_1"]["reconstruction"] is True
+        sparse = out_root / "p01" / "osmo_1_sparse"
+        for f in ("cameras.txt", "images.txt", "points3D.txt"):
+            assert (sparse / f).exists()
