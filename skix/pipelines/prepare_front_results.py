@@ -213,6 +213,23 @@ def process_video(pred, video_path: Path, out_dir: Path, cfg) -> dict:
                 best = np.argmax(np.where(active, scores, -1), axis=1)
                 np.save(out_dir / "person_bboxes.npy",
                         boxes[np.arange(len(boxes)), best])
+            if has_masks and bool(cfg.get("overlay_video", False)):
+                # per-object masklet overlay video (the reference's
+                # visualization_utils.py save_masklet_video output)
+                from skix.vis.masklet import (masklet_outputs_from_session,
+                                              save_masklet_video)
+
+                H, W = frames.shape[1:3]
+                per_frame = {
+                    t: masklet_outputs_from_session(
+                        {"mask": masks[t], "bbox": boxes[t],
+                         "score": scores[t], "active": active[t],
+                         "obj_id": ids[t]}, (H, W))
+                    for t in range(len(boxes))}
+                save_masklet_video(
+                    frames, per_frame,
+                    out_dir / f"{prompt}_overlay.mp4",
+                    fps=float(cfg.get("overlay_fps", 10.0)))
             report[prompt] = {
                 "frames": int(len(boxes)),
                 "mean_active": float(active.mean()),

@@ -405,12 +405,16 @@ det_score_threshold: 0.0
 new_det_thresh: 0.0
 save_mask_size: 24
 max_frames: null
+overlay_video: true
 """)
         main([f"--config-dir={cdir}"])
         pdir = out_root / "p01"
         masks = np.load(pdir / "person_masks.npy")
         assert masks.shape == (4, 4, 24, 24) and masks.dtype == bool
         assert (pdir / "snow_masks.npy").exists()
+        # opt-in masklet overlay video (skix/vis/masklet.py consumer)
+        ov = pdir / "person_overlay.mp4"
+        assert ov.exists() and ov.stat().st_size > 0
         assert np.load(pdir / "person_tracker_scores.npy").shape == (4, 4)
         # front_side consumes this exact file/schema
         pb = np.load(pdir / "person_bboxes.npy")
