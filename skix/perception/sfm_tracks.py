@@ -197,12 +197,16 @@ def _tracks_for_query(track_model, variables, images_np, features,
 
     q_conf = q_p3d = None
     if conf is not None and points_3d is not None:
-        ch, cw = np.asarray(conf).shape[-2:]
+        cmap = np.asarray(conf)
+        if cmap.ndim == 4:      # (S, 1, H, W) reference layout
+            cmap = cmap[:, 0]
+        pmap = np.asarray(points_3d)
+        ch, cw = cmap.shape[-2:]
         sx, sy = cw / W, ch / H
         qx = np.clip(np.round(xy[:, 0] * sx).astype(np.int64), 0, cw - 1)
         qy = np.clip(np.round(xy[:, 1] * sy).astype(np.int64), 0, ch - 1)
-        q_conf = np.asarray(conf)[query_index][qy, qx]
-        q_p3d = np.asarray(points_3d)[query_index][qy, qx]
+        q_conf = cmap[query_index][qy, qx]
+        q_p3d = pmap[query_index][qy, qx]
         keep = q_conf > conf_thresh  # track_predict.py:198 heuristic
         if keep.sum() > min_conf_keep:
             xy, colors = xy[keep], colors[keep]
