@@ -273,6 +273,39 @@ def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
               "num_tracks": int(tracks.tracks.shape[1]),
               "reconstruction": recon is not None}
     if recon is not None:
+        valid = np.asarray(valid)
+        if bool(cfg.get("sfm_ba", True)) and valid.any():
+            # LM bundle adjustment over (points, cameras) against the track
+            # observations — the role pycolmap.bundle_adjustment plays after
+            # batch_np_matrix_to_pycolmap in the reference flow.
+            from skix.solvers import BAConfig, bundle_adjust
+
+            obs = tracks.tracks[:, valid]          # (N, P', 2)
+            w = masks[:, valid].astype(np.float32)
+            ba_cfg = BAConfig(mode=str(cfg.get("sfm_ba_mode", "full")),
+                              method="lm", bones=(),  # point cloud, no rig
+                              max_steps=int(cfg.get("ba_max_steps", 30)))
+            res = bundle_adjust(points3d[valid][None],
+                                extr[:, :, :3], extr[:, :, 3],
+                                cams["intrinsic"],
+                                obs[None], w[None], cfg=ba_cfg)
+            pts_ref = points3d.copy()
+            pts_ref[valid] = np.asarray(res.X[0])
+            extr_ref = np.concatenate(
+                [np.asarray(res.R), np.asarray(res.t)[..., None]], axis=-1)
+            recon, valid = build_reconstruction(
+                pts_ref, extr_ref, cams["intrinsic"], tracks.tracks,
+                image_size=(size, size), masks=masks,
+                max_reproj_error=cfg.get("sfm_max_reproj_error"),
+                shared_camera=bool(cfg.get("sfm_shared_camera", False)),
+                camera_type=str(cfg.get("sfm_camera_type",
+                                        "SIMPLE_PINHOLE")),
+                min_inlier_per_frame=int(
+                    cfg.get("sfm_min_inlier_per_frame", 8)),
+                points_rgb=tracks.colors)
+            report["ba_initial_cost"] = float(res.initial_cost)
+            report["ba_final_cost"] = float(res.final_cost)
+    if recon is not None:
         sparse_dir = write_reconstruction_text(
             recon, out_dir / f"{video_path.stem}_sparse")
         report["sparse_dir"] = str(sparse_dir)

@@ -107,14 +107,19 @@ def ba_loss_terms(X, rvec, tvec, K, x2d, conf2d, cfg: BAConfig,
 
     import numpy as _np
 
-    bones = _np.asarray(cfg.bones)
-    seg = X[:, bones[:, 0], :] - X[:, bones[:, 1], :]
-    L = jnp.linalg.norm(seg, axis=-1)  # (T, B)
-    ref = (jax.lax.stop_gradient(jnp.mean(L, axis=0, keepdims=True))
-           if ref_bone_len is None else jnp.asarray(ref_bone_len)[None, :])
-    bone = cfg.w_bone * jnp.mean((L - ref) ** 2)
+    bones = _np.asarray(cfg.bones, dtype=_np.int64).reshape(-1, 2)
+    if len(bones):
+        seg = X[:, bones[:, 0], :] - X[:, bones[:, 1], :]
+        L = jnp.linalg.norm(seg, axis=-1)  # (T, B)
+        ref = (jax.lax.stop_gradient(jnp.mean(L, axis=0, keepdims=True))
+               if ref_bone_len is None
+               else jnp.asarray(ref_bone_len)[None, :])
+        bone = cfg.w_bone * jnp.mean((L - ref) ** 2)
+    else:
+        bone = jnp.asarray(0.0, X.dtype)
 
-    temporal = cfg.w_temporal * jnp.mean((X[1:] - X[:-1]) ** 2)
+    temporal = (cfg.w_temporal * jnp.mean((X[1:] - X[:-1]) ** 2)
+                if X.shape[0] >= 2 else jnp.asarray(0.0, X.dtype))
     return {
         "reprojection": reproj,
         "camera_smooth": cam_smooth,
@@ -149,15 +154,18 @@ def _residual_blocks(X, rvec, tvec, K, x2d, conf2d, cfg: BAConfig,
 
     import numpy as _np
 
-    bones = _np.asarray(cfg.bones)
-    seg = X[:, bones[:, 0], :] - X[:, bones[:, 1], :]
-    L = jnp.linalg.norm(seg + _EPS, axis=-1)
-    ref = (jax.lax.stop_gradient(jnp.mean(L, axis=0, keepdims=True))
-           if ref_bone_len is None else jnp.asarray(ref_bone_len)[None, :])
-    parts.append(jnp.sqrt(2.0 * cfg.w_bone / L.size) * (L - ref).ravel())
+    bones = _np.asarray(cfg.bones, dtype=_np.int64).reshape(-1, 2)
+    if len(bones):  # point clouds (SfM tracks) set bones=() — no skeleton
+        seg = X[:, bones[:, 0], :] - X[:, bones[:, 1], :]
+        L = jnp.linalg.norm(seg + _EPS, axis=-1)
+        ref = (jax.lax.stop_gradient(jnp.mean(L, axis=0, keepdims=True))
+               if ref_bone_len is None
+               else jnp.asarray(ref_bone_len)[None, :])
+        parts.append(jnp.sqrt(2.0 * cfg.w_bone / L.size) * (L - ref).ravel())
 
-    dX = X[1:] - X[:-1]
-    parts.append(jnp.sqrt(2.0 * cfg.w_temporal / dX.size) * dX.ravel())
+    if X.shape[0] >= 2:  # temporal smoothness needs ≥2 frames
+        dX = X[1:] - X[:-1]
+        parts.append(jnp.sqrt(2.0 * cfg.w_temporal / dX.size) * dX.ravel())
     return jnp.concatenate(parts)
 
 

@@ -118,6 +118,9 @@ class TestSfmTracksCLI:
             assert z["points_3d"].shape == (P, 3)
         rep = json.loads((out_root / "vggt_summary.json").read_text())
         assert rep["p01/osmo_1"]["reconstruction"] is True
+        # the LM BA refinement ran and did not regress the cost
+        assert (rep["p01/osmo_1"]["ba_final_cost"]
+                <= rep["p01/osmo_1"]["ba_initial_cost"] + 1e-6)
         sparse = out_root / "p01" / "osmo_1_sparse"
         for f in ("cameras.txt", "images.txt", "points3D.txt"):
             assert (sparse / f).exists()
