@@ -70,15 +70,24 @@ def read_colmap_images_txt(path: str | Path):
     """Parse images.txt back to (quats (N,4) wxyz, ts (N,3), names) — for
     round-trip validation."""
     quats, ts, names = [], [], []
+    # images.txt alternates pose / POINTS2D lines per image; the POINTS2D
+    # line may be EMPTY (zero observations), so blanks must be kept to
+    # preserve the alternation — filtering them would misparse observation
+    # rows (>=10 numeric tokens) as poses.
     lines = [ln for ln in Path(path).read_text().splitlines()
-             if ln and not ln.startswith("#")]
-    for ln in lines[::2] if len(lines) % 2 == 0 else lines:
-        parts = ln.split()
-        if len(parts) < 10:
-            continue
-        quats.append([float(x) for x in parts[1:5]])
-        ts.append([float(x) for x in parts[5:8]])
-        names.append(parts[9])
+             if not ln.startswith("#")]
+    expect_pose = True
+    for ln in lines:
+        if expect_pose:
+            parts = ln.split()
+            if len(parts) < 10:
+                continue  # stray blank before any pose row
+            quats.append([float(x) for x in parts[1:5]])
+            ts.append([float(x) for x in parts[5:8]])
+            names.append(parts[9])
+            expect_pose = False
+        else:
+            expect_pose = True  # skip the observations line (may be blank)
     return np.asarray(quats), np.asarray(ts), names
 
 

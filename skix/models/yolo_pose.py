@@ -4,10 +4,20 @@ Reference capability: prepare_dataset/model/yolov11_pose.py:42 — the
 reference wraps ``ultralytics.YOLO(pose_ckpt)`` to get per-frame person
 boxes + 17 COCO keypoints with confidences (and yolov11_bbox.py /
 yolov11_mask.py for box/mask variants). This module is the TPU-native
-counterpart at real capability: the exact YOLOv8-pose architecture
-family (CSP C2f backbone, SPPF, PAN-FPN neck, decoupled anchor-free
-DFL head + pose head), scalable n/s/m/l/x, so open ultralytics ``.pt``
-pose checkpoints convert 1:1 via :func:`convert_ultralytics_pose`.
+counterpart at real capability: BOTH ultralytics architecture
+generations, selected by ``version``:
+
+- ``version=8``: YOLOv8 (CSP C2f backbone, SPPF, PAN-FPN neck,
+  decoupled anchor-free DFL head + pose head), scalable n/s/m/l/x.
+- ``version=11``: YOLO11 — the reference's actual checkpoints
+  (``yolo11x-pose.pt`` / ``yolo11x-seg.pt`` / ``yolo11x.pt``,
+  configs/prepare_dataset.yaml:9-11): C3k2 blocks (C2f with optional
+  nested C3k bottlenecks), a C2PSA attention stage after SPPF, and the
+  non-legacy depthwise-separable classification branch.
+
+Open ultralytics ``.pt`` checkpoints of either generation convert 1:1
+via :func:`convert_ultralytics_pose` / :func:`convert_ultralytics_seg`
+with the matching ``version``.
 
 TPU-first design decisions (vs the torch original):
 - NHWC everywhere; convs are bias-free + BatchNorm + SiLU so XLA fuses
@@ -34,13 +44,21 @@ import numpy as np
 
 from skix.ops.nms import nms
 
-# depth_mult, width_mult, max_channels (ultralytics scale table)
+# depth_mult, width_mult, max_channels (ultralytics scale tables)
 SCALES = {
     "n": (0.34, 0.25, 1024),
     "s": (0.34, 0.50, 1024),
     "m": (0.67, 0.75, 768),
     "l": (1.00, 1.00, 512),
     "x": (1.00, 1.25, 512),
+}
+# yolo11.yaml scales; for m/l/x every C3k2 forces c3k=True (parse_model)
+SCALES11 = {
+    "n": (0.50, 0.25, 1024),
+    "s": (0.50, 0.50, 1024),
+    "m": (0.50, 1.00, 512),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.50, 512),
 }
 
 
@@ -49,21 +67,26 @@ def _make_divisible(c: float, d: int = 8) -> int:
 
 
 class ConvBNAct(nn.Module):
-    """ultralytics ``Conv``: Conv2d(bias=False) + BN + SiLU."""
+    """ultralytics ``Conv``: Conv2d(bias=False) + BN (+ SiLU unless
+    ``act=False``). ``groups=features`` makes it the ultralytics
+    ``DWConv`` (depthwise)."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    act: bool = True
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
+                    feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(h)
-        return nn.silu(h)
+        return nn.silu(h) if self.act else h
 
 
 class Bottleneck(nn.Module):
@@ -97,6 +120,127 @@ class C2f(nn.Module):
                                     name=f"m_{i}")(parts[-1], train))
         return ConvBNAct(self.features, 1, 1, self.dtype,
                          name="cv2")(jnp.concatenate(parts, -1), train)
+
+
+class C3k(nn.Module):
+    """ultralytics ``C3k``: a C3 block whose bottlenecks use 3×3 convs
+    (k=3, e=1.0). ``features`` = in = out channels; hidden c_ = features/2
+    (C3's e=0.5). forward: cv3(cat(m(cv1(x)), cv2(x)))."""
+
+    features: int
+    n: int = 2
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.features // 2
+        a = ConvBNAct(c_, 1, 1, self.dtype, name="cv1")(x, train)
+        b = ConvBNAct(c_, 1, 1, self.dtype, name="cv2")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.dtype,
+                           name=f"m_{i}")(a, train)
+        return ConvBNAct(self.features, 1, 1, self.dtype,
+                         name="cv3")(jnp.concatenate([a, b], -1), train)
+
+
+class C3k2(nn.Module):
+    """ultralytics ``C3k2`` (YOLO11): a C2f whose per-chunk module is a
+    nested :class:`C3k` when ``c3k`` else a plain Bottleneck; hidden
+    width ``c = int(features · e)`` (e=0.25 for the first two backbone
+    stages, 0.5 elsewhere)."""
+
+    features: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.features * self.e)
+        h = ConvBNAct(2 * c, 1, 1, self.dtype, name="cv1")(x, train)
+        parts = list(jnp.split(h, 2, axis=-1))
+        for i in range(self.n):
+            if self.c3k:
+                blk = C3k(c, 2, self.shortcut, self.dtype, name=f"m_{i}")
+            else:
+                blk = Bottleneck(c, self.shortcut, self.dtype,
+                                 name=f"m_{i}")
+            parts.append(blk(parts[-1], train))
+        return ConvBNAct(self.features, 1, 1, self.dtype,
+                         name="cv2")(jnp.concatenate(parts, -1), train)
+
+
+class PSAAttention(nn.Module):
+    """ultralytics ``Attention`` (inside C2PSA): 1×1 ConvBN qkv → exact
+    per-head softmax attention over the H·W tokens + a depthwise 3×3
+    positional term on v → 1×1 ConvBN projection. head_dim = dim/heads,
+    key_dim = head_dim·attn_ratio."""
+
+    dim: int
+    num_heads: int
+    attn_ratio: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        hd = self.dim // nh
+        kd = int(hd * self.attn_ratio)
+        h = self.dim + 2 * kd * nh
+        qkv = ConvBNAct(h, 1, 1, self.dtype, act=False,
+                        name="qkv")(x, train)
+        qkv = qkv.reshape(B, H * W, nh, 2 * kd + hd)  # head-major channels
+        q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
+        attn = jnp.einsum("binc,bjnc->bnij", q, k) * (kd ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bjnd,bnij->bind", v, attn)
+        out = out.reshape(B, H, W, self.dim)
+        pe = ConvBNAct(self.dim, 3, 1, self.dtype, act=False,
+                       groups=self.dim, name="pe")(
+            v.reshape(B, H, W, self.dim), train)
+        return ConvBNAct(self.dim, 1, 1, self.dtype, act=False,
+                         name="proj")(out + pe, train)
+
+
+class PSABlock(nn.Module):
+    """attention + 2-layer conv FFN, both residual."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + PSAAttention(self.dim, self.num_heads, 0.5, self.dtype,
+                             name="attn")(x, train)
+        h = ConvBNAct(2 * self.dim, 1, 1, self.dtype, name="ffn_0")(x, train)
+        h = ConvBNAct(self.dim, 1, 1, self.dtype, act=False,
+                      name="ffn_1")(h, train)
+        return x + h
+
+
+class C2PSA(nn.Module):
+    """ultralytics ``C2PSA``: 1×1 split → n PSABlocks on one half →
+    1×1 fuse. heads = hidden_c // 64 (ultralytics hard-codes it)."""
+
+    features: int
+    n: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        h = ConvBNAct(2 * c, 1, 1, self.dtype, name="cv1")(x, train)
+        a, b = jnp.split(h, 2, axis=-1)
+        heads = max(1, c // 64)
+        for i in range(self.n):
+            b = PSABlock(c, heads, self.dtype, name=f"m_{i}")(b, train)
+        return ConvBNAct(self.features, 1, 1, self.dtype, name="cv2")(
+            jnp.concatenate([a, b], -1), train)
 
 
 class SPPF(nn.Module):
@@ -158,6 +302,43 @@ def _yolo_trunk(x, train, ch, n3, n6, dt):
     return o3, o4, o5
 
 
+def _yolo11_trunk(x, train, ch, n, c3k_all, dt):
+    """YOLO11 backbone + neck → (o3, o4, o5) at /8 /16 /32.
+
+    Layer names follow the yolo11.yaml numbering (b0..b10, h13..h22) for
+    the converter's name mapping. ``c3k_all``: parse_model forces
+    c3k=True on every C3k2 for the m/l/x scales."""
+    c1, c2, c3, c4, c5 = ch
+
+    h = ConvBNAct(c1, 3, 2, dt, name="b0")(x, train)         # P1/2
+    h = ConvBNAct(c2, 3, 2, dt, name="b1")(h, train)         # P2/4
+    h = C3k2(c3, n, c3k_all, 0.25, True, dt, name="b2")(h, train)
+    h = ConvBNAct(c3, 3, 2, dt, name="b3")(h, train)         # P3/8
+    p3 = C3k2(c4, n, c3k_all, 0.25, True, dt, name="b4")(h, train)
+    h = ConvBNAct(c4, 3, 2, dt, name="b5")(p3, train)        # P4/16
+    p4 = C3k2(c4, n, True, 0.5, True, dt, name="b6")(h, train)
+    h = ConvBNAct(c5, 3, 2, dt, name="b7")(p4, train)        # P5/32
+    h = C3k2(c5, n, True, 0.5, True, dt, name="b8")(h, train)
+    h = SPPF(c5, 5, dt, name="b9")(h, train)
+    p5 = C2PSA(c5, n, dt, name="b10")(h, train)
+
+    def up2(t):
+        B, H, W, C = t.shape
+        return jax.image.resize(t, (B, 2 * H, 2 * W, C), "nearest")
+
+    t4 = C3k2(c4, n, c3k_all, 0.5, True, dt, name="h13")(
+        jnp.concatenate([up2(p5), p4], -1), train)
+    o3 = C3k2(c3, n, c3k_all, 0.5, True, dt, name="h16")(
+        jnp.concatenate([up2(t4), p3], -1), train)
+    d3 = ConvBNAct(c3, 3, 2, dt, name="h17")(o3, train)
+    o4 = C3k2(c4, n, c3k_all, 0.5, True, dt, name="h19")(
+        jnp.concatenate([d3, t4], -1), train)
+    d4 = ConvBNAct(c4, 3, 2, dt, name="h20")(o4, train)
+    o5 = C3k2(c5, n, True, 0.5, True, dt, name="h22")(
+        jnp.concatenate([d4, p5], -1), train)
+    return o3, o4, o5
+
+
 class PoseDetections(NamedTuple):
     boxes_xyxy: jnp.ndarray   # (B, K, 4) pixels
     scores: jnp.ndarray       # (B, K)
@@ -175,33 +356,69 @@ class RawPredictions(NamedTuple):
     strides: jnp.ndarray      # (A,) pixels per grid unit
 
 
-class YoloPose(nn.Module):
-    """YOLOv8-pose: image (B, H, W, 3) in [0, 1] → per-anchor raw heads.
+def _widths(scale: str, version: int):
+    """(channel plan, repeat counts) for one scale/version."""
+    d, w, mc = (SCALES11 if version == 11 else SCALES)[scale]
+    ch = [_make_divisible(min(c * w, mc * w))
+          for c in (64, 128, 256, 512, 1024)]
+    if version == 11:
+        n = max(1, round(2 * d))
+        return ch, n, n
+    return ch, max(1, round(3 * d)), max(1, round(6 * d))
 
-    ``scale`` picks the n/s/m/l/x width/depth family; H, W must be
-    multiples of 32. Use :func:`decode` / :func:`detect` for boxes.
+
+def _trunk(images, train, scale, version, dt):
+    ch, n3, n6 = _widths(scale, version)
+    if version == 11:
+        return _yolo11_trunk(images, train, ch, n3, scale in "mlx", dt)
+    return _yolo_trunk(images, train, ch, n3, n6, dt)
+
+
+def _cls_branch(feat, train, cc, nc, version, li, dt):
+    """ultralytics Detect cv3: plain 2×Conv3x3 (v8/legacy) or the
+    non-legacy depthwise-separable stack (v11):
+    (DWConv3 → Conv1) ×2 → 1×1 Conv2d."""
+    if version == 11:
+        cin = feat.shape[-1]
+        c = ConvBNAct(cin, 3, 1, dt, groups=cin,
+                      name=f"cv3_{li}_0_0")(feat, train)
+        c = ConvBNAct(cc, 1, 1, dt, name=f"cv3_{li}_0_1")(c, train)
+        c = ConvBNAct(cc, 3, 1, dt, groups=cc,
+                      name=f"cv3_{li}_1_0")(c, train)
+        c = ConvBNAct(cc, 1, 1, dt, name=f"cv3_{li}_1_1")(c, train)
+    else:
+        c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_0")(feat, train)
+        c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_1")(c, train)
+    return nn.Conv(nc, (1, 1), name=f"cv3_{li}_2")(c.astype(jnp.float32))
+
+
+class YoloPose(nn.Module):
+    """YOLOv8/YOLO11-pose: image (B, H, W, 3) in [0, 1] → per-anchor raw
+    heads.
+
+    ``scale`` picks the n/s/m/l/x width/depth family; ``version`` the
+    architecture generation (8 = C2f, 11 = C3k2/C2PSA — the reference's
+    yolo11*-pose checkpoints). H, W must be multiples of 32. Use
+    :func:`decode` / :func:`detect` for boxes.
     """
 
     scale: str = "s"
     num_keypoints: int = 17
     num_classes: int = 1
     reg_max: int = 16
+    version: int = 8
     dtype: jnp.dtype = jnp.float32
 
     def widths(self):
-        d, w, mc = SCALES[self.scale]
-        ch = [_make_divisible(min(c * w, mc * w))
-              for c in (64, 128, 256, 512, 1024)]
-        n3 = max(1, round(3 * d))
-        n6 = max(1, round(6 * d))
-        return ch, n3, n6
+        return _widths(self.scale, self.version)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> RawPredictions:
         ch, n3, n6 = self.widths()
         c3, c4, c5 = ch[2:]
         dt = self.dtype
-        o3, o4, o5 = _yolo_trunk(images.astype(dt), train, ch, n3, n6, dt)
+        o3, o4, o5 = _trunk(images.astype(dt), train, self.scale,
+                            self.version, dt)
 
         # decoupled heads (cv2 box / cv3 cls / cv4 pose — ultralytics names)
         nk = self.num_keypoints * 3
@@ -215,10 +432,8 @@ class YoloPose(nn.Module):
             b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_1")(b, train)
             b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{li}_2")(
                 b.astype(jnp.float32))
-            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_0")(feat, train)
-            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_1")(c, train)
-            c = nn.Conv(self.num_classes, (1, 1), name=f"cv3_{li}_2")(
-                c.astype(jnp.float32))
+            c = _cls_branch(feat, train, cc, self.num_classes,
+                            self.version, li, dt)
             k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_0")(feat, train)
             k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_1")(k, train)
             k = nn.Conv(nk, (1, 1), name=f"cv4_{li}_2")(
@@ -358,19 +573,15 @@ class YoloSeg(nn.Module):
     num_classes: int = 1
     nm: int = 32              # mask coefficients per anchor
     reg_max: int = 16
+    version: int = 8
     dtype: jnp.dtype = jnp.float32
 
     def widths(self):
-        d, w, mc = SCALES[self.scale]
-        ch = [_make_divisible(min(c * w, mc * w))
-              for c in (64, 128, 256, 512, 1024)]
-        n3 = max(1, round(3 * d))
-        n6 = max(1, round(6 * d))
-        return ch, n3, n6
+        return _widths(self.scale, self.version)
 
     def proto_channels(self) -> int:
         # parse_model: npr = make_divisible(min(256, max_ch) * width, 8)
-        d, w, mc = SCALES[self.scale]
+        d, w, mc = (SCALES11 if self.version == 11 else SCALES)[self.scale]
         return _make_divisible(min(256 * w, mc * w))
 
     @nn.compact
@@ -378,7 +589,8 @@ class YoloSeg(nn.Module):
         ch, n3, n6 = self.widths()
         c3, c4, c5 = ch[2:]
         dt = self.dtype
-        o3, o4, o5 = _yolo_trunk(images.astype(dt), train, ch, n3, n6, dt)
+        o3, o4, o5 = _trunk(images.astype(dt), train, self.scale,
+                            self.version, dt)
 
         protos = Proto(self.proto_channels(), self.nm, dt,
                        name="proto")(o3, train)
@@ -393,10 +605,8 @@ class YoloSeg(nn.Module):
             b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_1")(b, train)
             b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{li}_2")(
                 b.astype(jnp.float32))
-            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_0")(feat, train)
-            c = ConvBNAct(cc, 3, 1, dt, name=f"cv3_{li}_1")(c, train)
-            c = nn.Conv(self.num_classes, (1, 1), name=f"cv3_{li}_2")(
-                c.astype(jnp.float32))
+            c = _cls_branch(feat, train, cc, self.num_classes,
+                            self.version, li, dt)
             k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_0")(feat, train)
             k = ConvBNAct(ck, 3, 1, dt, name=f"cv4_{li}_1")(k, train)
             k = nn.Conv(self.nm, (1, 1), name=f"cv4_{li}_2")(
@@ -473,6 +683,17 @@ _LAYER_MAP = {
     "h18": 18, "h19": 19, "h21": 21,
 }
 _HEAD_LAYER = 22
+# yolo11.yaml numbering (C2PSA at 10 shifts the head to 13..22, Pose=23)
+_LAYER_MAP11 = {
+    "b0": 0, "b1": 1, "b2": 2, "b3": 3, "b4": 4, "b5": 5, "b6": 6,
+    "b7": 7, "b8": 8, "b9": 9, "b10": 10, "h13": 13, "h16": 16,
+    "h17": 17, "h19": 19, "h20": 20, "h22": 22,
+}
+_HEAD_LAYER11 = 23
+# v11 C3k2 layers that are plain Conv/SPPF/C2PSA vs blocks; c3k flags per
+# layer for the n/s scales (m/l/x force True — parse_model)
+_C3K2_LAYERS11 = {"b2": False, "b4": False, "b6": True, "b8": True,
+                  "h13": False, "h16": False, "h19": False, "h22": True}
 
 
 def _np_of(t):
@@ -507,50 +728,117 @@ def _c2f(sd, pre, n):
     return p, s
 
 
+def _c3k(sd, pre):
+    """C3k (always 2 inner bottlenecks in C3k2's instantiation)."""
+    p, s = {}, {}
+    for sub in ("cv1", "cv2", "cv3"):
+        p[sub], s[sub] = _convbn(sd, f"{pre}.{sub}")
+    for j in range(2):
+        bp, bs = {}, {}
+        for sub in ("cv1", "cv2"):
+            bp[sub], bs[sub] = _convbn(sd, f"{pre}.m.{j}.{sub}")
+        p[f"m_{j}"], s[f"m_{j}"] = bp, bs
+    return p, s
+
+
+def _c3k2(sd, pre, n, c3k):
+    p, s = {}, {}
+    for sub in ("cv1", "cv2"):
+        p[sub], s[sub] = _convbn(sd, f"{pre}.{sub}")
+    for i in range(n):
+        if c3k:
+            p[f"m_{i}"], s[f"m_{i}"] = _c3k(sd, f"{pre}.m.{i}")
+        else:
+            bp, bs = {}, {}
+            for sub in ("cv1", "cv2"):
+                bp[sub], bs[sub] = _convbn(sd, f"{pre}.m.{i}.{sub}")
+            p[f"m_{i}"], s[f"m_{i}"] = bp, bs
+    return p, s
+
+
+def _c2psa(sd, pre, n):
+    p, s = {}, {}
+    for sub in ("cv1", "cv2"):
+        p[sub], s[sub] = _convbn(sd, f"{pre}.{sub}")
+    for i in range(n):
+        bp, bs = {}, {}
+        ap, asn = {}, {}
+        for sub in ("qkv", "proj", "pe"):
+            ap[sub], asn[sub] = _convbn(sd, f"{pre}.m.{i}.attn.{sub}")
+        bp["attn"], bs["attn"] = ap, asn
+        bp["ffn_0"], bs["ffn_0"] = _convbn(sd, f"{pre}.m.{i}.ffn.0")
+        bp["ffn_1"], bs["ffn_1"] = _convbn(sd, f"{pre}.m.{i}.ffn.1")
+        p[f"m_{i}"], s[f"m_{i}"] = bp, bs
+    return p, s
+
+
 def convert_ultralytics_pose(state_dict, scale: str = "s",
                              num_keypoints: int = 17, num_classes: int = 1,
-                             prefix: str = "model.") -> dict:
-    """ultralytics YOLOv8/11-pose ``model.state_dict()`` → flax variables.
+                             prefix: str = "model.",
+                             version: int = 8) -> dict:
+    """ultralytics YOLO-pose ``model.state_dict()`` → flax variables.
 
-    Accepts the torch naming (``model.0.conv.weight`` …,
-    ``model.22.cv4.1.2.bias``); pass ``prefix=""`` for dicts saved without
-    the wrapping ``model.`` scope. Returns ``{"params": …,
-    "batch_stats": …}`` for :class:`YoloPose`. The DFL projection conv is
-    fixed (arange) in both frameworks and is not a parameter here.
+    ``version`` selects the architecture generation: 8 (C2f trunk, head
+    at model.22) or 11 (C3k2/C2PSA trunk, depthwise-separable cls
+    branch, head at model.23 — the reference's ``yolo11{n..x}-pose.pt``
+    layouts). Accepts the torch naming (``model.0.conv.weight`` …); pass
+    ``prefix=""`` for dicts saved without the wrapping ``model.`` scope.
+    Returns ``{"params": …, "batch_stats": …}`` for :class:`YoloPose`.
+    The DFL projection conv is fixed (arange) in both frameworks and is
+    not a parameter here.
     """
     sd = {k[len(prefix):] if prefix and k.startswith(prefix) else k: v
           for k, v in state_dict.items()}
     model = YoloPose(scale=scale, num_keypoints=num_keypoints,
-                     num_classes=num_classes)
+                     num_classes=num_classes, version=version)
     _, n3, n6 = model.widths()
-    params, stats = _convert_trunk_and_heads(sd, n3, n6)
+    params, stats = _convert_trunk_and_heads(sd, n3, n6, version, scale)
     return {"params": params, "batch_stats": stats}
 
 
-def _convert_trunk_and_heads(sd, n3, n6):
-    """Shared between the pose and seg converters: trunk b0..h21 + the
-    three decoupled cv2/cv3/cv4 head branches (pose keypoints and seg
+def _convert_trunk_and_heads(sd, n3, n6, version=8, scale="s"):
+    """Shared between the pose and seg converters: trunk + the three
+    decoupled cv2/cv3/cv4 head branches (pose keypoints and seg
     mask-coefs live in the same ``cv4`` slot on both sides)."""
     params: dict = {}
     stats: dict = {}
-    for name, idx in _LAYER_MAP.items():
-        pre = str(idx)
-        if name in ("b2", "b8", "h12", "h15", "h18", "h21"):
-            params[name], stats[name] = _c2f(sd, pre, n3)
-        elif name in ("b4", "b6"):
-            params[name], stats[name] = _c2f(sd, pre, n6)
-        else:  # plain Conv or SPPF
-            if f"{pre}.cv1.conv.weight" in sd:        # SPPF (b9)
+    if version == 11:
+        for name, idx in _LAYER_MAP11.items():
+            pre = str(idx)
+            if name in _C3K2_LAYERS11:
+                c3k = _C3K2_LAYERS11[name] or scale in "mlx"
+                params[name], stats[name] = _c3k2(sd, pre, n3, c3k)
+            elif name == "b9":                        # SPPF
                 p, s = {}, {}
                 for sub in ("cv1", "cv2"):
                     p[sub], s[sub] = _convbn(sd, f"{pre}.{sub}")
                 params[name], stats[name] = p, s
+            elif name == "b10":                       # C2PSA
+                params[name], stats[name] = _c2psa(sd, pre, n3)
             else:
                 params[name], stats[name] = _convbn(sd, pre)
-    # heads: model.22.{cv2,cv3,cv4}.{level}.{0,1,2}
-    for branch in ("cv2", "cv3", "cv4"):
+        head = _HEAD_LAYER11
+    else:
+        for name, idx in _LAYER_MAP.items():
+            pre = str(idx)
+            if name in ("b2", "b8", "h12", "h15", "h18", "h21"):
+                params[name], stats[name] = _c2f(sd, pre, n3)
+            elif name in ("b4", "b6"):
+                params[name], stats[name] = _c2f(sd, pre, n6)
+            else:  # plain Conv or SPPF
+                if f"{pre}.cv1.conv.weight" in sd:        # SPPF (b9)
+                    p, s = {}, {}
+                    for sub in ("cv1", "cv2"):
+                        p[sub], s[sub] = _convbn(sd, f"{pre}.{sub}")
+                    params[name], stats[name] = p, s
+                else:
+                    params[name], stats[name] = _convbn(sd, pre)
+        head = _HEAD_LAYER
+
+    # box/pose branches: model.N.{cv2,cv4}.{level}.{0,1,2}
+    for branch in ("cv2", "cv4"):
         for li in range(3):
-            pre = f"{_HEAD_LAYER}.{branch}.{li}"
+            pre = f"{head}.{branch}.{li}"
             for j in range(2):
                 p, s = _convbn(sd, f"{pre}.{j}")
                 params[f"{branch}_{li}_{j}"] = p
@@ -558,25 +846,44 @@ def _convert_trunk_and_heads(sd, n3, n6):
             params[f"{branch}_{li}_2"] = {
                 "kernel": _conv_kernel(sd[f"{pre}.2.weight"]),
                 "bias": jnp.asarray(_np_of(sd[f"{pre}.2.bias"]))}
+    # cls branch: plain (v8 legacy) vs DW-separable pairs (v11)
+    for li in range(3):
+        pre = f"{head}.cv3.{li}"
+        if version == 11:
+            for j in range(2):
+                for k in range(2):
+                    p, s = _convbn(sd, f"{pre}.{j}.{k}")
+                    params[f"cv3_{li}_{j}_{k}"] = p
+                    stats[f"cv3_{li}_{j}_{k}"] = s
+        else:
+            for j in range(2):
+                p, s = _convbn(sd, f"{pre}.{j}")
+                params[f"cv3_{li}_{j}"] = p
+                stats[f"cv3_{li}_{j}"] = s
+        params[f"cv3_{li}_2"] = {
+            "kernel": _conv_kernel(sd[f"{pre}.2.weight"]),
+            "bias": jnp.asarray(_np_of(sd[f"{pre}.2.bias"]))}
     return params, stats
 
 
 def convert_ultralytics_seg(state_dict, scale: str = "s",
                             num_classes: int = 1,
-                            prefix: str = "model.") -> dict:
+                            prefix: str = "model.",
+                            version: int = 8) -> dict:
     """ultralytics YOLOv8/11-seg ``model.state_dict()`` → flax variables
     for :class:`YoloSeg`. Same trunk/head mapping as the pose converter
-    (cv4 carries mask coefficients here) plus the ``model.22.proto``
+    (cv4 carries mask coefficients here) plus the ``model.N.proto``
     block. The proto upsample is a torch ``ConvTranspose2d`` whose
     kernel must be SPATIALLY FLIPPED for ``lax.conv_transpose`` (which
     does not mirror — same fix as the SAM decoder converter,
     sam_decoder.py:258)."""
     sd = {k[len(prefix):] if prefix and k.startswith(prefix) else k: v
           for k, v in state_dict.items()}
-    model = YoloSeg(scale=scale, num_classes=num_classes)
+    model = YoloSeg(scale=scale, num_classes=num_classes, version=version)
     _, n3, n6 = model.widths()
-    params, stats = _convert_trunk_and_heads(sd, n3, n6)
-    pre = f"{_HEAD_LAYER}.proto"
+    params, stats = _convert_trunk_and_heads(sd, n3, n6, version, scale)
+    head = _HEAD_LAYER11 if version == 11 else _HEAD_LAYER
+    pre = f"{head}.proto"
     proto_p, proto_s = {}, {}
     for sub in ("cv1", "cv2", "cv3"):
         proto_p[sub], proto_s[sub] = _convbn(sd, f"{pre}.{sub}")
@@ -590,23 +897,25 @@ def convert_ultralytics_seg(state_dict, scale: str = "s",
 
 
 def reference_state_dict_spec(scale: str = "s", num_keypoints: int = 17,
-                              num_classes: int = 1) -> dict:
+                              num_classes: int = 1,
+                              version: int = 8) -> dict:
     """Expected ultralytics state-dict entries → shapes (torch order).
 
     Ground truth for converter tests when ultralytics itself is not
     installed (the reference consumes it as a pip dep — there is no
-    vendored oracle to import): enumerate every tensor a YOLOv8-pose
-    ``model.state_dict()`` contains for this scale, so tests can build a
-    synthetic checkpoint and assert the converter consumes all of it.
+    vendored oracle to import): enumerate every tensor a YOLO-pose
+    ``model.state_dict()`` contains for this scale/version, so tests can
+    build a synthetic checkpoint and assert the converter consumes all
+    of it.
     """
     model = YoloPose(scale=scale, num_keypoints=num_keypoints,
-                     num_classes=num_classes)
+                     num_classes=num_classes, version=version)
     ch, n3, n6 = model.widths()
     c1, c2, c3, c4, c5 = ch
     spec: dict = {}
 
-    def convbn(pre, cin, cout, k):
-        spec[f"{pre}.conv.weight"] = (cout, cin, k, k)
+    def convbn(pre, cin, cout, k, groups=1):
+        spec[f"{pre}.conv.weight"] = (cout, cin // groups, k, k)
         for suf in ("weight", "bias", "running_mean", "running_var"):
             spec[f"{pre}.bn.{suf}"] = (cout,)
 
@@ -618,71 +927,134 @@ def reference_state_dict_spec(scale: str = "s", num_keypoints: int = 17,
             convbn(f"{pre}.m.{i}.cv1", c, c, k)
             convbn(f"{pre}.m.{i}.cv2", c, c, k)
 
-    convbn("model.0", 3, c1, 3)
-    convbn("model.1", c1, c2, 3)
-    c2f("model.2", c2, c2, n3)
-    convbn("model.3", c2, c3, 3)
-    c2f("model.4", c3, c3, n6)
-    convbn("model.5", c3, c4, 3)
-    c2f("model.6", c4, c4, n6)
-    convbn("model.7", c4, c5, 3)
-    c2f("model.8", c5, c5, n3)
-    convbn("model.9.cv1", c5, c5 // 2, 1)
-    convbn("model.9.cv2", 2 * c5, c5, 1)
-    c2f("model.12", c5 + c4, c4, n3)
-    c2f("model.15", c4 + c3, c3, n3)
-    convbn("model.16", c3, c3, 3)
-    c2f("model.18", c3 + c4, c4, n3)
-    convbn("model.19", c4, c4, 3)
-    c2f("model.21", c4 + c5, c5, n3)
+    def c3k2(pre, cin, cout, n, c3k, e):
+        c = int(cout * e)
+        convbn(f"{pre}.cv1", cin, 2 * c, 1)
+        convbn(f"{pre}.cv2", (2 + n) * c, cout, 1)
+        for i in range(n):
+            if c3k:
+                c_ = c // 2
+                convbn(f"{pre}.m.{i}.cv1", c, c_, 1)
+                convbn(f"{pre}.m.{i}.cv2", c, c_, 1)
+                convbn(f"{pre}.m.{i}.cv3", 2 * c_, c, 1)
+                for j in range(2):
+                    convbn(f"{pre}.m.{i}.m.{j}.cv1", c_, c_, 3)
+                    convbn(f"{pre}.m.{i}.m.{j}.cv2", c_, c_, 3)
+            else:
+                convbn(f"{pre}.m.{i}.cv1", c, c, 3)
+                convbn(f"{pre}.m.{i}.cv2", c, c, 3)
+
+    if version == 11:
+        mlx = scale in "mlx"
+        ck3 = {k: (v or mlx) for k, v in _C3K2_LAYERS11.items()}
+        convbn("model.0", 3, c1, 3)
+        convbn("model.1", c1, c2, 3)
+        c3k2("model.2", c2, c3, n3, ck3["b2"], 0.25)
+        convbn("model.3", c3, c3, 3)
+        c3k2("model.4", c3, c4, n3, ck3["b4"], 0.25)
+        convbn("model.5", c4, c4, 3)
+        c3k2("model.6", c4, c4, n3, True, 0.5)
+        convbn("model.7", c4, c5, 3)
+        c3k2("model.8", c5, c5, n3, True, 0.5)
+        convbn("model.9.cv1", c5, c5 // 2, 1)
+        convbn("model.9.cv2", 2 * c5, c5, 1)
+        # C2PSA at model.10
+        c = c5 // 2
+        nh = max(1, c // 64)
+        hd = c // nh
+        kd = int(hd * 0.5)
+        convbn("model.10.cv1", c5, 2 * c, 1)
+        convbn("model.10.cv2", 2 * c, c5, 1)
+        for i in range(n3):
+            convbn(f"model.10.m.{i}.attn.qkv", c, c + 2 * kd * nh, 1)
+            convbn(f"model.10.m.{i}.attn.proj", c, c, 1)
+            convbn(f"model.10.m.{i}.attn.pe", c, c, 3, groups=c)
+            convbn(f"model.10.m.{i}.ffn.0", c, 2 * c, 1)
+            convbn(f"model.10.m.{i}.ffn.1", 2 * c, c, 1)
+        c3k2("model.13", c5 + c4, c4, n3, ck3["h13"], 0.5)
+        c3k2("model.16", c4 + c4, c3, n3, ck3["h16"], 0.5)
+        convbn("model.17", c3, c3, 3)
+        c3k2("model.19", c3 + c4, c4, n3, ck3["h19"], 0.5)
+        convbn("model.20", c4, c4, 3)
+        c3k2("model.22", c4 + c5, c5, n3, True, 0.5)
+        head = _HEAD_LAYER11
+    else:
+        convbn("model.0", 3, c1, 3)
+        convbn("model.1", c1, c2, 3)
+        c2f("model.2", c2, c2, n3)
+        convbn("model.3", c2, c3, 3)
+        c2f("model.4", c3, c3, n6)
+        convbn("model.5", c3, c4, 3)
+        c2f("model.6", c4, c4, n6)
+        convbn("model.7", c4, c5, 3)
+        c2f("model.8", c5, c5, n3)
+        convbn("model.9.cv1", c5, c5 // 2, 1)
+        convbn("model.9.cv2", 2 * c5, c5, 1)
+        c2f("model.12", c5 + c4, c4, n3)
+        c2f("model.15", c4 + c3, c3, n3)
+        convbn("model.16", c3, c3, 3)
+        c2f("model.18", c3 + c4, c4, n3)
+        convbn("model.19", c4, c4, 3)
+        c2f("model.21", c4 + c5, c5, n3)
+        head = _HEAD_LAYER
 
     nk = num_keypoints * 3
     cb = max(16, c3 // 4, 4 * model.reg_max)
     cc = max(c3, min(num_classes, 100))
     ck = max(c3 // 4, nk)
     for li, cin in enumerate((c3, c4, c5)):
-        convbn(f"model.22.cv2.{li}.0", cin, cb, 3)
-        convbn(f"model.22.cv2.{li}.1", cb, cb, 3)
-        spec[f"model.22.cv2.{li}.2.weight"] = (4 * model.reg_max, cb, 1, 1)
-        spec[f"model.22.cv2.{li}.2.bias"] = (4 * model.reg_max,)
-        convbn(f"model.22.cv3.{li}.0", cin, cc, 3)
-        convbn(f"model.22.cv3.{li}.1", cc, cc, 3)
-        spec[f"model.22.cv3.{li}.2.weight"] = (num_classes, cc, 1, 1)
-        spec[f"model.22.cv3.{li}.2.bias"] = (num_classes,)
-        convbn(f"model.22.cv4.{li}.0", cin, ck, 3)
-        convbn(f"model.22.cv4.{li}.1", ck, ck, 3)
-        spec[f"model.22.cv4.{li}.2.weight"] = (nk, ck, 1, 1)
-        spec[f"model.22.cv4.{li}.2.bias"] = (nk,)
+        convbn(f"model.{head}.cv2.{li}.0", cin, cb, 3)
+        convbn(f"model.{head}.cv2.{li}.1", cb, cb, 3)
+        spec[f"model.{head}.cv2.{li}.2.weight"] = \
+            (4 * model.reg_max, cb, 1, 1)
+        spec[f"model.{head}.cv2.{li}.2.bias"] = (4 * model.reg_max,)
+        if version == 11:
+            convbn(f"model.{head}.cv3.{li}.0.0", cin, cin, 3, groups=cin)
+            convbn(f"model.{head}.cv3.{li}.0.1", cin, cc, 1)
+            convbn(f"model.{head}.cv3.{li}.1.0", cc, cc, 3, groups=cc)
+            convbn(f"model.{head}.cv3.{li}.1.1", cc, cc, 1)
+        else:
+            convbn(f"model.{head}.cv3.{li}.0", cin, cc, 3)
+            convbn(f"model.{head}.cv3.{li}.1", cc, cc, 3)
+        spec[f"model.{head}.cv3.{li}.2.weight"] = (num_classes, cc, 1, 1)
+        spec[f"model.{head}.cv3.{li}.2.bias"] = (num_classes,)
+        convbn(f"model.{head}.cv4.{li}.0", cin, ck, 3)
+        convbn(f"model.{head}.cv4.{li}.1", ck, ck, 3)
+        spec[f"model.{head}.cv4.{li}.2.weight"] = (nk, ck, 1, 1)
+        spec[f"model.{head}.cv4.{li}.2.bias"] = (nk,)
     return spec
 
 
 def reference_state_dict_spec_seg(scale: str = "s",
-                                  num_classes: int = 1) -> dict:
-    """Expected ultralytics YOLOv8-seg state-dict entries → shapes.
+                                  num_classes: int = 1,
+                                  version: int = 8) -> dict:
+    """Expected ultralytics YOLOv8/11-seg state-dict entries → shapes.
     Trunk + cv2/cv3 are identical to the pose spec; cv4 regresses
-    ``nm``-dim mask coefficients and ``model.22.proto`` is added."""
-    model = YoloSeg(scale=scale, num_classes=num_classes)
+    ``nm``-dim mask coefficients and ``model.N.proto`` is added."""
+    model = YoloSeg(scale=scale, num_classes=num_classes, version=version)
     ch, _, _ = model.widths()
     c3 = ch[2]
-    spec = reference_state_dict_spec(scale=scale, num_classes=num_classes)
+    spec = reference_state_dict_spec(scale=scale, num_classes=num_classes,
+                                     version=version)
+    head = _HEAD_LAYER11 if version == 11 else _HEAD_LAYER
     # replace the pose cv4 rows with the seg coefficient head
     spec = {k: v for k, v in spec.items() if ".cv4." not in k}
     nm = model.nm
     ck = max(c3 // 4, nm)
     for li, cin in enumerate(ch[2:]):
         for suf in ("weight", "bias", "running_mean", "running_var"):
-            spec[f"model.22.cv4.{li}.0.bn.{suf}"] = (ck,)
-            spec[f"model.22.cv4.{li}.1.bn.{suf}"] = (ck,)
-        spec[f"model.22.cv4.{li}.0.conv.weight"] = (ck, cin, 3, 3)
-        spec[f"model.22.cv4.{li}.1.conv.weight"] = (ck, ck, 3, 3)
-        spec[f"model.22.cv4.{li}.2.weight"] = (nm, ck, 1, 1)
-        spec[f"model.22.cv4.{li}.2.bias"] = (nm,)
+            spec[f"model.{head}.cv4.{li}.0.bn.{suf}"] = (ck,)
+            spec[f"model.{head}.cv4.{li}.1.bn.{suf}"] = (ck,)
+        spec[f"model.{head}.cv4.{li}.0.conv.weight"] = (ck, cin, 3, 3)
+        spec[f"model.{head}.cv4.{li}.1.conv.weight"] = (ck, ck, 3, 3)
+        spec[f"model.{head}.cv4.{li}.2.weight"] = (nm, ck, 1, 1)
+        spec[f"model.{head}.cv4.{li}.2.bias"] = (nm,)
     npr = model.proto_channels()
     for pre, cin, cout, k in (("cv1", c3, npr, 3), ("cv2", npr, npr, 3),
                               ("cv3", npr, nm, 1)):
-        spec[f"model.22.proto.{pre}.conv.weight"] = (cout, cin, k, k)
+        spec[f"model.{head}.proto.{pre}.conv.weight"] = (cout, cin, k, k)
         for suf in ("weight", "bias", "running_mean", "running_var"):
-            spec[f"model.22.proto.{pre}.bn.{suf}"] = (cout,)
-    spec["model.22.proto.upsample.weight"] = (npr, npr, 2, 2)
-    spec["model.22.proto.upsample.bias"] = (npr,)
+            spec[f"model.{head}.proto.{pre}.bn.{suf}"] = (cout,)
+    spec[f"model.{head}.proto.upsample.weight"] = (npr, npr, 2, 2)
+    spec[f"model.{head}.proto.upsample.bias"] = (npr,)
     return spec

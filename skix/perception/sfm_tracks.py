@@ -5,11 +5,14 @@ Capability parity with the reference's VGGSfM tracking dependency
 {track_predict.py, vggsfm_utils.py, vggsfm_tracker.py}) rebuilt
 TPU-first:
 
-- ``shi_tomasi_keypoints`` stands in for the learned ALIKED/SuperPoint
-  extractors (vggsfm_utils.py:188 initialize_feature_extractors — those
-  are external pretrained networks; zero-egress environment): a jit-safe
-  fixed-shape min-eigenvalue corner detector with on-device local-max
-  NMS + top-k, so query extraction runs on the chip next to the tracker.
+- ``initialize_feature_extractors`` mirrors vggsfm_utils.py:189 (a
+  ``+``-joined method string → {name: extractor} dict whose keypoints
+  are UNIONED per query frame, :228 extract_keypoints): ``sp`` is the
+  learned :class:`skix.perception.superpoint.SuperPoint` architecture
+  (lightglue-convertible), ``shi_tomasi`` the classical fallback — a
+  jit-safe fixed-shape min-eigenvalue corner detector with on-device
+  local-max NMS + top-k. (The reference's ALIKED/SIFT slots remain
+  unimplemented; SuperPoint fills the learned-extractor row.)
 - ``rank_frames_by_similarity`` = generate_rank_by_dino semantics
   (vggsfm_utils.py:51-117): feature-similarity matrix → most-connected
   frame → farthest-point sampling. Takes precomputed per-frame features
@@ -110,6 +113,67 @@ def shi_tomasi_keypoints(image, max_pts: int = 512, det_thres: float = 0.005,
     return _shi_tomasi_core(img, max_pts, nms_radius, det_thres)
 
 
+def initialize_feature_extractors(max_query_pts: int = 512,
+                                  det_thres: float = 0.005,
+                                  extractor_method: str = "shi_tomasi",
+                                  superpoint=None) -> dict:
+    """``+``-joined method string → {name: extractor(image) →
+    (xy, score, valid)} (vggsfm_utils.py:189 semantics; per-frame
+    keypoints of every configured extractor are unioned, :228).
+
+    Methods: ``sp``/``superpoint`` (needs ``superpoint=(model,
+    variables)`` — converted lightglue/magicleap weights) and
+    ``shi_tomasi`` (classical, weight-free). Unknown methods warn and
+    are ignored; an empty result falls back to shi_tomasi, mirroring
+    the reference's ALIKED fallback."""
+    import logging
+
+    extractors = {}
+    for method in str(extractor_method).lower().split("+"):
+        method = method.strip()
+        if method in ("sp", "superpoint"):
+            if superpoint is None:
+                logging.getLogger(__name__).warning(
+                    "superpoint extractor requested but no weights "
+                    "provided — ignoring")
+                continue
+            from skix.perception.superpoint import superpoint_keypoints
+
+            sp_model, sp_vars = superpoint
+
+            def sp_extract(image, _m=sp_model, _v=sp_vars):
+                return superpoint_keypoints(_m, _v, image,
+                                            max_pts=max_query_pts,
+                                            det_thres=det_thres)
+
+            extractors["sp"] = sp_extract
+        elif method == "shi_tomasi":
+            extractors["shi_tomasi"] = partial(
+                shi_tomasi_keypoints, max_pts=max_query_pts,
+                det_thres=det_thres)
+        else:
+            logging.getLogger(__name__).warning(
+                "unknown feature extractor %r, ignoring", method)
+    if not extractors:
+        extractors["shi_tomasi"] = partial(
+            shi_tomasi_keypoints, max_pts=max_query_pts,
+            det_thres=det_thres)
+    return extractors
+
+
+def extract_keypoints(image, extractors: dict) -> np.ndarray:
+    """Union the valid keypoints of every extractor on one image
+    (vggsfm_utils.py:228 ``extract_keypoints``, round_keypoints=True:
+    coordinates are rounded). Returns (N, 2) float32, N data-dependent
+    (host side — the query loop is host-driven like the reference's)."""
+    parts = []
+    for fn in extractors.values():
+        xy, _score, valid = fn(image)
+        parts.append(np.round(np.asarray(xy)[np.asarray(valid)]))
+    return (np.concatenate(parts, axis=0).astype(np.float32)
+            if parts else np.zeros((0, 2), np.float32))
+
+
 # ---------------------------------------------------------------------------
 # Query-frame ranking (generate_rank_by_dino semantics)
 # ---------------------------------------------------------------------------
@@ -141,8 +205,10 @@ def rank_frames_by_similarity(feats, query_frame_num: int,
     """
     f = np.asarray(feats, np.float64)
     if spatial_similarity:
-        fn = f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
-        # mean over tokens of token-wise frame similarity
+        # Reference normalizes over dim=1 — the TOKEN axis of (S, P, D)
+        # (vggsfm_utils.py:87 F.normalize(frame_feat, p=2, dim=1)), then
+        # means token-wise frame similarity over tokens.
+        fn = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
         sim = np.einsum("spd,tpd->pst", fn, fn).mean(axis=0)
     else:
         fn = f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
@@ -177,12 +243,13 @@ class SfmTracks(NamedTuple):
 def _tracks_for_query(track_model, variables, images_np, features,
                       query_index, *, max_query_pts, det_thres, chunk,
                       conf=None, points_3d=None, conf_thresh=1.2,
-                      min_conf_keep=512, rng=None):
+                      min_conf_keep=512, rng=None,
+                      extractor_method="shi_tomasi", superpoint=None):
     """One query frame → (tracks (S, Nq, 2), vis, confs, p3d, colors)."""
     S, H, W = images_np.shape[:3]
-    xy, _score, valid = shi_tomasi_keypoints(
-        images_np[query_index], max_pts=max_query_pts, det_thres=det_thres)
-    xy = np.asarray(xy)[np.asarray(valid)]
+    extractors = initialize_feature_extractors(
+        max_query_pts, det_thres, extractor_method, superpoint)
+    xy = extract_keypoints(images_np[query_index], extractors)
     if len(xy) == 0:
         return None
     if rng is not None:
@@ -242,13 +309,19 @@ def predict_tracks(track_model, variables, images, features, *,
                    complete_non_vis: bool = True, min_vis: int = 500,
                    non_vis_thresh: float = 0.1,
                    final_max_pts: int = 2048, seed: int = 0,
-                   frame_rank_feats=None) -> SfmTracks:
+                   frame_rank_feats=None,
+                   extractor_method: str = "shi_tomasi",
+                   superpoint=None) -> SfmTracks:
     """Predict point tracks across a clip (track_predict.py:12 semantics).
 
     ``images`` (S, H, W[, 3]) in [0, 1]; ``features`` (S, gh, gw, C) frame
     feature maps for the track head (e.g. VGGT aggregator tokens).
     ``frame_rank_feats`` optionally overrides the per-frame descriptors used
     for query-frame ranking (default: spatial mean of ``features``).
+    ``extractor_method``/``superpoint`` select the query keypoint
+    extractors (:func:`initialize_feature_extractors`) — pass
+    ``extractor_method="sp"`` with converted SuperPoint weights for the
+    reference's learned-extractor path.
     """
     images_np = np.asarray(images)
     S = images_np.shape[0]
@@ -264,7 +337,8 @@ def predict_tracks(track_model, variables, images, features, *,
 
     kw = dict(max_query_pts=max_query_pts, det_thres=det_thres, chunk=chunk,
               conf=conf, points_3d=points_3d, conf_thresh=conf_thresh,
-              min_conf_keep=min_conf_keep, rng=rng)
+              min_conf_keep=min_conf_keep, rng=rng,
+              extractor_method=extractor_method, superpoint=superpoint)
     tracks_l, vis_l, conf_l, p3d_l, color_l = [], [], [], [], []
     for q in query_frames:
         out = _tracks_for_query(track_model, variables, images_np, features,
@@ -283,6 +357,12 @@ def predict_tracks(track_model, variables, images, features, *,
             base_kw=kw, min_vis=min_vis, non_vis_thresh=non_vis_thresh,
             final_max_pts=final_max_pts)
 
+    if not tracks_l:
+        # No query frame yielded any keypoint (flat/low-texture clip):
+        # return an empty result instead of crashing on np.concatenate.
+        return SfmTracks(np.zeros((S, 0, 2), np.float32),
+                         np.zeros((S, 0), np.float32), None, None,
+                         np.zeros((0, 3), np.uint8))
     tracks = np.concatenate(tracks_l, axis=1)
     vis = np.concatenate(vis_l, axis=1)
     confs = np.concatenate(conf_l, axis=0) if conf_l else None

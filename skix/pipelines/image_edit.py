@@ -14,16 +14,18 @@ load time (skix.models.lora, reference qwen_image_edit.py:79-87
 ``fuse_lora(lora_scale=1.25)``). Structure, prompts, step count and
 outputs mirror the reference.
 
-Text conditioning is REAL by default: prompts flow tokenizer → text
-transformer → MMDiT text stream, mirroring the reference's
-``encode_prompt`` (pipeline_qwenimage_edit_plus.py: the Qwen2.5-VL text
-tower embeds the camera-motion prompt; here the in-repo CLIP BPE
-tokenizer + ``VETextEncoder`` tower, whose resizer projects token memory
-to ``text_dim``). The converter seam for pretrained towers is
-``skix.tracking.clip_text.convert_ve_text_encoder`` via
-``text_encoder_checkpoint``; scale knobs via ``text_encoder:`` kwargs
-(reference CLIP scale = width 1024 / heads 16 / layers 24, see
-configs/image_edit.yaml). The round-2 hash embedding survives only
+Text conditioning is REAL by default and Qwen-shaped: prompts flow
+tokenizer → a :class:`skix.models.qwen_text.QwenTextEncoder` (the
+decoder-only RMSNorm/SwiGLU/GQA architecture of the reference's
+Qwen2.5-VL prompt tower, pipeline_qwenimage_edit_plus.py:194,287) →
+MMDiT text stream. The converter seam for real weights is
+``skix.models.qwen_text.convert_hf_qwen2`` via
+``text_encoder_checkpoint`` (a torch ``.pt/.pth`` Qwen2 state dict
+converts directly); the matching byte-level BPE tokenizer loads public
+``vocab.json``/``merges.txt`` assets via ``qwen_vocab``/``qwen_merges``
+(zero-egress: without them the in-repo CLIP BPE stands in, ids only).
+``text_tower: clip`` keeps the round-3 CLIP/VE option
+(``convert_ve_text_encoder`` seam); the hash embedding survives only
 behind an explicit ``smoke_text: true``.
 """
 
@@ -82,11 +84,14 @@ class CameraEditor:
         # embedding is smoke-only and must be asked for explicitly)
         self.text_len = int(cfg.get("text_len", 16))
         self.text_encoder = None
+        self.text_tower = str(cfg.get("text_tower", "qwen"))
         self._prompt_cache: dict = {}
         if bool(cfg.get("smoke_text", False)):
             log.warning("smoke_text=true: prompts use the deterministic "
                         "HASH embedding, not a text encoder — edits are "
                         "not semantically conditioned")
+        elif self.text_tower == "qwen":
+            self._build_qwen_tower(cfg, jax, jnp)
         else:
             from skix.tracking.clip_text import VETextEncoder
             from skix.tracking.clip_tokenizer import ClipTokenizer
@@ -155,6 +160,64 @@ class CameraEditor:
                                   text_emb, num_steps=num_steps, key=key,
                                   strength=strength)
 
+    def _build_qwen_tower(self, cfg, jax, jnp):
+        """Qwen2-shaped prompt tower (the reference family). Tokenizer:
+        the real byte-level BPE when ``qwen_vocab``/``qwen_merges``
+        assets are configured; the in-repo CLIP BPE stands in otherwise
+        (ids only — the tower architecture is unchanged)."""
+        from skix.models.qwen_text import (QwenBpeTokenizer,
+                                           QwenTextEncoder,
+                                           convert_hf_qwen2)
+
+        vocab = cfg.get("qwen_vocab")
+        merges = cfg.get("qwen_merges")
+        if vocab and merges and Path(vocab).exists() \
+                and Path(merges).exists():
+            self.tokenizer = QwenBpeTokenizer(
+                vocab, merges, context_length=self.text_len)
+            vocab_size = max(self.tokenizer.encoder.values()) + 1
+        else:
+            from skix.tracking.clip_tokenizer import ClipTokenizer
+
+            log.warning("no qwen_vocab/qwen_merges assets — tokenizing "
+                        "with the in-repo CLIP BPE (the tower stays "
+                        "Qwen-shaped; drop in the public vocab.json/"
+                        "merges.txt to match reference ids)")
+            self.tokenizer = ClipTokenizer(context_length=self.text_len)
+            vocab_size = 49408
+        te_kw = dict(cfg.get("text_encoder", {}) or {})
+        te_kw.setdefault("layers", 2)
+        te_kw.setdefault("heads", 4)
+        te_kw.setdefault("kv_heads", 2)
+        te_kw.setdefault("intermediate",
+                         4 * int(cfg.get("text_dim", 64)))
+        enc = QwenTextEncoder(vocab_size=int(te_kw.pop("vocab_size",
+                                                       vocab_size)),
+                              hidden=int(cfg.get("text_dim", 64)),
+                              **te_kw)
+        te_ckpt = cfg.get("text_encoder_checkpoint")
+        if te_ckpt and Path(te_ckpt).exists():
+            if str(te_ckpt).endswith((".pt", ".pth")):
+                import torch
+
+                sd = torch.load(te_ckpt, map_location="cpu",
+                                weights_only=True)
+                te_vars = convert_hf_qwen2(sd)
+                log.info("converted HF Qwen2 tower from %s", te_ckpt)
+            else:
+                from skix.pipelines.videopose3d import load_checkpoint
+
+                te_vars = load_checkpoint(te_ckpt)
+        else:
+            log.warning("no text-encoder checkpoint — random-init "
+                        "Qwen-shaped tower (real tokenization/attention, "
+                        "untrained weights); convert one via "
+                        "convert_hf_qwen2")
+            te_vars = jax.jit(enc.init)(
+                jax.random.PRNGKey(2),
+                jnp.zeros((1, self.text_len), jnp.int32))
+        self.text_encoder = (enc, te_vars)
+
     def embed_prompt(self, prompt: str):
         """Prompt string → (text_len, text_dim) conditioning memory
         (reference encode_prompt: tokenizer → text tower → projection)."""
@@ -168,6 +231,19 @@ class CameraEditor:
 
             emb = embed_prompt_tokens(prompt, length=self.text_len,
                                       dim=int(self.cfg.get("text_dim", 64)))
+        elif self.text_tower == "qwen":
+            from skix.utils.jitapply import apply_model
+
+            enc, te_vars = self.text_encoder
+            toks = self.tokenizer([prompt])
+            if isinstance(toks, tuple):          # QwenBpeTokenizer
+                ids, mask = toks
+                hidden = apply_model(enc, None, te_vars,
+                                     jnp.asarray(ids), jnp.asarray(mask))
+            else:                                # CLIP stand-in ids
+                hidden = apply_model(enc, None, te_vars,
+                                     jnp.asarray(np.asarray(toks)))
+            emb = hidden[0]
         else:
             from skix.utils.jitapply import apply_model
 

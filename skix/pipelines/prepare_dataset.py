@@ -150,7 +150,8 @@ def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
     from skix.models.yolo_pose import YoloPose, detect
     from skix.utils.jitapply import apply_model
 
-    model = YoloPose(scale=str(cfg.get("yolo_scale", "s")))
+    model = YoloPose(scale=str(cfg.get("yolo_scale", "s")),
+                     version=int(cfg.get("yolo_version", 11)))
     _, H, W = frames.shape[:3]
     ph, pw = (-H) % 32, (-W) % 32
     variables = load_vars("yolo_checkpoint", lambda: jax.jit(
@@ -181,7 +182,8 @@ def _detect_clip_seg(cfg, frames: np.ndarray, load_vars):
     from skix.utils.jitapply import apply_model
 
     model = YoloSeg(scale=str(cfg.get("seg_scale",
-                                      cfg.get("yolo_scale", "s"))))
+                                      cfg.get("yolo_scale", "s"))),
+                    version=int(cfg.get("yolo_version", 11)))
     _, H, W = 0, frames.shape[1], frames.shape[2]
     ph, pw = (-H) % 32, (-W) % 32
     variables = load_vars("seg_checkpoint", lambda: jax.jit(

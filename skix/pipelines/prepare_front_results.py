@@ -114,12 +114,11 @@ def _build_sam3(cfg):
         log.warning("SMOKE MODE: no CLIP checkpoint — text prompts use the "
                     "deterministic hash embedding, not the CLIP tower")
 
-    if det_vars is None:
-        # random init through the session's own initializer
-        return VideoPredictor(det, None, tracker=(trk, trk_vars),
-                              masklet_cfg=mcfg, clip=clip)
+    # the config states `clip.checkpoint: null = hash embedding (smoke)` —
+    # that null is the pipeline-level opt-in the session API now requires
     return VideoPredictor(det, det_vars, tracker=(trk, trk_vars),
-                          masklet_cfg=mcfg, clip=clip)
+                          masklet_cfg=mcfg, clip=clip,
+                          smoke_prompts=clip is None)
 
 
 def _build_compact(cfg):

@@ -105,7 +105,8 @@ def main(cfg):
         scale_range=tuple(cfg.get("scale_range", (0.6, 1.4))),
         seed=int(cfg.get("seed", 0)))
     model = YoloPose(scale=str(cfg.get("scale", "s")),
-                     num_classes=int(cfg.get("num_classes", 1)))
+                     num_classes=int(cfg.get("num_classes", 1)),
+                     version=int(cfg.get("version", 8)))
 
     init_ckpt = cfg.get("init_checkpoint")
     if init_ckpt and Path(init_ckpt).exists():
@@ -117,7 +118,8 @@ def main(cfg):
             sd = sd.get("model", sd)
             sd = sd.state_dict() if hasattr(sd, "state_dict") else sd
             variables = convert_ultralytics_pose(
-                sd, scale=str(cfg.get("scale", "s")))
+                sd, scale=str(cfg.get("scale", "s")),
+                version=int(cfg.get("version", 8)))
             log.info("initialized from ultralytics checkpoint %s",
                      init_ckpt)
         else:

@@ -247,7 +247,9 @@ def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
         max_query_pts=int(cfg.get("sfm_max_query_pts", 512)),
         query_frame_num=int(cfg.get("sfm_query_frames", 3)),
         conf_thresh=float(cfg.get("sfm_conf_thresh", 1.2)),
-        min_vis=int(cfg.get("sfm_min_vis", 500)))
+        min_vis=int(cfg.get("sfm_min_vis", 500)),
+        extractor_method=str(cfg.get("sfm_extractor", "sp")),
+        superpoint=_load_superpoint(cfg.get("sfm_superpoint_checkpoint")))
 
     extr = np.concatenate([cams["R"], cams["t"][..., None]], axis=-1)
     masks = tracks.vis_scores > float(cfg.get("sfm_vis_thresh", 0.05))
@@ -305,12 +307,37 @@ def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
                 points_rgb=tracks.colors)
             report["ba_initial_cost"] = float(res.initial_cost)
             report["ba_final_cost"] = float(res.final_cost)
+    # Re-set after the (possible) post-BA rebuild: refined poses can drop a
+    # frame below min_inlier_per_frame and null the reconstruction.
+    report["reconstruction"] = recon is not None
     if recon is not None:
         sparse_dir = write_reconstruction_text(
             recon, out_dir / f"{video_path.stem}_sparse")
         report["sparse_dir"] = str(sparse_dir)
         report["valid_tracks"] = int(np.asarray(valid).sum())
     return report
+
+
+def _load_superpoint(ckpt):
+    """(SuperPoint, variables) from a converted-or-torch checkpoint, or
+    None (→ initialize_feature_extractors warns and falls back to
+    shi_tomasi). Accepts the public magicleap/lightglue ``.pth`` layout
+    or a ``.npz`` with the same key names."""
+    if not ckpt or not Path(ckpt).exists():
+        return None
+    from skix.perception.superpoint import SuperPoint, convert_superpoint
+
+    p = str(ckpt)
+    if p.endswith((".pt", ".pth")):
+        import torch
+
+        sd = torch.load(p, map_location="cpu", weights_only=True)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    else:
+        import numpy as _np
+
+        sd = dict(_np.load(p))
+    return SuperPoint(), convert_superpoint(sd)
 
 
 def load_or_init_track_head(head, token_shape, cfg):

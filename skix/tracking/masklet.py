@@ -28,9 +28,16 @@ Deviations (documented):
     assigns in detection-index order);
   - duplicate-overlap counts increment at most once per frame per slot
     pair (the reference appends once per overlapping detection, so two
-    detections covering the same pair inflate its count within a frame);
-  - forward propagation only (the reference's ``reverse`` flips the
-    hotstart window comparisons).
+    detections covering the same pair inflate its count within a frame).
+
+Reverse propagation (``MaskletConfig.reverse=True``) follows the
+reference's ``reverse`` handling exactly (sam3_video_base.py:1338,1383,
+1424: hotstart_diff flips to ``frame_idx + delay`` with a ``<``
+comparison; :1417 first-appearer of a duplicate pair becomes the
+``max`` over first frames; :1046 the occlusion cmp_op flips gt→lt —
+including the reference's quirk that a never-occluded slot's ``-1``
+sentinel compares as most-recently-occluded under lt) and the frame
+counter decrements.
 """
 
 from __future__ import annotations
@@ -78,6 +85,9 @@ class MaskletConfig:
     # flash-kernel memory attention with exact invalid-slot correction
     # (1.5× the slot scan at 8 obj @512 px on v5e; inference-only)
     dense_memory_attention: bool = True
+    # reverse-time propagation: frame counter decrements and the hotstart /
+    # duplicate / occlusion comparisons flip (reference ``reverse`` arg)
+    reverse: bool = False
 
 
 class MaskletState(NamedTuple):
@@ -102,7 +112,10 @@ class MaskletState(NamedTuple):
     next_id: jnp.ndarray         # () int32
 
 
-def init_masklet_state(cfg: MaskletConfig) -> MaskletState:
+def init_masklet_state(cfg: MaskletConfig,
+                       start_frame: int = 0) -> MaskletState:
+    """``start_frame``: the global index of the first frame this pass
+    visits (reverse passes count DOWN from it)."""
     K = cfg.max_objects
     return MaskletState(
         active=jnp.zeros(K, bool),
@@ -115,7 +128,7 @@ def init_masklet_state(cfg: MaskletConfig) -> MaskletState:
         confirmed=jnp.zeros(K, bool),
         last_occluded=jnp.full(K, _NEVER_OCCLUDED, jnp.int32),
         overlap_count=jnp.zeros((K, K), jnp.int32),
-        frame_idx=jnp.asarray(0, jnp.int32),
+        frame_idx=jnp.asarray(start_frame, jnp.int32),
         next_id=jnp.asarray(0, jnp.int32),
     )
 
@@ -175,13 +188,23 @@ def masklet_update(state: MaskletState, trk_mask_logits, det_mask_logits,
         ~jnp.any(M, axis=1)
 
     # ---- hotstart removal: unmatched-too-long within the window ----
-    within_hotstart = state.first_frame > (frame_idx - cfg.hotstart_delay)
+    # (reverse flips the window: first_frame < frame_idx + delay,
+    # reference sam3_video_base.py:1336-1340,1383-1384)
+    if cfg.reverse:
+        within_hotstart = \
+            state.first_frame < (frame_idx + cfg.hotstart_delay)
+    else:
+        within_hotstart = \
+            state.first_frame > (frame_idx - cfg.hotstart_delay)
     removed_unmatch = active & within_hotstart & \
         (unmatched_count >= cfg.hotstart_unmatch_thresh)
 
     # ---- duplicate bookkeeping: pairs matched to one detection ----
     dup_det = det_valid & (jnp.sum(M, axis=1) >= 2)       # (N,)
-    slot_key = jnp.where(M, state.first_frame[None, :] * K
+    # first-appearer = min first_frame forward, max in reverse
+    # (reference :1414-1419); ties break on slot index either way
+    ff_key = -state.first_frame if cfg.reverse else state.first_frame
+    slot_key = jnp.where(M, ff_key[None, :] * K
                          + jnp.arange(K)[None, :], _BIG)
     earliest = jnp.argmin(slot_key, axis=1)               # (N,) first-appear
     pair_inc = jnp.any(
@@ -211,8 +234,12 @@ def masklet_update(state: MaskletState, trk_mask_logits, det_mask_logits,
             & ~jnp.eye(K, dtype=bool)
         overlapping = (tiou >= cfg.occlusion_suppress_iou) & both
         # x loses to y if x was occluded more recently than y (and y was
-        # ever occluded) — reference :1047-1064
-        loses = overlapping & (locc[:, None] > locc[None, :]) \
+        # ever occluded) — reference :1047-1064; reverse flips the cmp_op
+        # (gt→lt, :1046) INCLUDING the reference's sentinel quirk (a
+        # never-occluded slot's −1 compares as most-recent under lt)
+        recency = (locc[:, None] < locc[None, :]) if cfg.reverse \
+            else (locc[:, None] > locc[None, :])
+        loses = overlapping & recency \
             & (locc[None, :] > _NEVER_OCCLUDED)
         occ_suppressed = jnp.any(loses, axis=1) & alive
     is_occluded = active & ~trk_nonempty
@@ -292,7 +319,8 @@ def masklet_update(state: MaskletState, trk_mask_logits, det_mask_logits,
         first_frame=first_frame, keep_alive=ka,
         unmatched_count=unmatched_count, consec_det=consec,
         confirmed=confirmed, last_occluded=last_occluded,
-        overlap_count=overlap_count, frame_idx=frame_idx + 1,
+        overlap_count=overlap_count,
+        frame_idx=frame_idx + (-1 if cfg.reverse else 1),
         next_id=state.next_id + jnp.sum(spawn.astype(jnp.int32)))
     out = {
         "active": active_new, "obj_id": obj_id, "confirmed": confirmed,
@@ -579,7 +607,7 @@ class MaskletVideoModel:
                              or getattr(tracker, "img_size", None)
                              or detector.img_size)
 
-    def init_state(self, trk_img_hw):
+    def init_state(self, trk_img_hw, start_frame: int = 0):
         """(state, banks) for a video at the tracker input resolution."""
         import numpy as _np
 
@@ -599,7 +627,7 @@ class MaskletVideoModel:
             lambda x: jnp.broadcast_to(
                 x[None], (self.cfg.max_objects, *_np.shape(x))).copy(),
             bank0)
-        return init_masklet_state(self.cfg), banks
+        return init_masklet_state(self.cfg, start_frame), banks
 
     def step(self, frame, prompt_tokens, state, banks, geometry=None):
         """One frame: ``frame (H, W, 3)`` uint8/float, ``prompt_tokens
@@ -629,7 +657,8 @@ class MaskletVideoModel:
 
     def propagate(self, frames, prompt_tokens, yield_masks_at=None,
                   upload_chunk: int = 32, geometry_by_frame=None,
-                  include_lowres_logits: bool = True):
+                  include_lowres_logits: bool = True,
+                  start_frame: int = 0):
         """Stream per-frame outputs over ``frames (T, H, W, 3)``.
 
         Yields ``{frame_index, outputs}`` where outputs carry per-slot
@@ -646,10 +675,17 @@ class MaskletVideoModel:
 
         ``include_lowres_logits=False`` skips the per-frame f32 logits
         download (~0.5 MB/frame through the relay) for callers that only
-        consume the packed masks (the session predictor)."""
+        consume the packed masks (the session predictor).
+
+        ``start_frame``: global index of ``frames[0]`` — the lifecycle's
+        frame counter starts there (and counts DOWN under
+        ``cfg.reverse``), keeping first-frame/hotstart bookkeeping in
+        global terms like the reference. All lifecycle comparisons are
+        shift-invariant, so this does not change which masks come out."""
         T, H, W = frames.shape[:3]
         out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
-        state, banks = self.init_state((self.trk_img_size,) * 2)
+        state, banks = self.init_state((self.trk_img_size,) * 2,
+                                       start_frame=start_frame)
         chunk_dev = None
 
         def drain(pend):
@@ -689,7 +725,8 @@ class MaskletVideoModel:
             yield from drain(pending)
 
     def propagate_clip(self, frames, prompt_tokens, yield_masks_at=None,
-                       chunk: int = 8, include_lowres_logits: bool = True):
+                       chunk: int = 8, include_lowres_logits: bool = True,
+                       start_frame: int = 0):
         """Chunk-scanned propagation: ``chunk`` frames per dispatch.
 
         Same per-frame output dicts as :meth:`propagate`, but the frame
@@ -699,10 +736,12 @@ class MaskletVideoModel:
         round-trip per frame through the relay. The last chunk pads with
         repeated frames and masks them to no-ops (single compiled
         program regardless of T). Geometry prompts are not supported on
-        this path — use :meth:`propagate`."""
+        this path — use :meth:`propagate`. ``start_frame`` as in
+        :meth:`propagate`."""
         T, H, W = frames.shape[:3]
         out_hw = (H, W) if yield_masks_at is None else tuple(yield_masks_at)
-        state, banks = self.init_state((self.trk_img_size,) * 2)
+        state, banks = self.init_state((self.trk_img_size,) * 2,
+                                       start_frame=start_frame)
         is_u8 = frames.dtype == np.uint8
 
         def drain(pend):

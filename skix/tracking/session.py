@@ -43,7 +43,8 @@ class VideoPredictor:
                  variables=None, tracker_cfg: Optional[TrackerConfig] = None,
                  rng_seed: int = 0, batch_size: int = 4,
                  text_encoder=None, clip=None,
-                 tracker=None, masklet_cfg=None, scan_chunk: int = 8):
+                 tracker=None, masklet_cfg=None, scan_chunk: int = 8,
+                 smoke_prompts: bool = False):
         """``detector``: a compact :class:`DetrDetector` (default) or a
         full-capability :class:`skix.tracking.sam3_detector.Sam3Detector`.
 
@@ -62,7 +63,13 @@ class VideoPredictor:
         MaskletConfig` for that path. ``scan_chunk``: frames per fused
         scan dispatch on the no-geometry masklet path — outputs arrive
         in bursts of this size (first result after one chunk, not one
-        frame); set 1 for lowest-latency interactive streaming."""
+        frame); set 1 for lowest-latency interactive streaming.
+
+        ``smoke_prompts``: explicit opt-in for the deterministic hash
+        prompt embeddings on the Sam3Detector path when no ``clip`` tower
+        is configured (tests/smoke only). Without it, a sam3-path
+        ``add_prompt(text=...)`` with no CLIP raises — a production-shaped
+        API must not silently embed prompts with a hash."""
         from skix.tracking.sam3_detector import Sam3Detector
 
         self.detector = detector or DetrDetector()
@@ -72,6 +79,7 @@ class VideoPredictor:
         self.tracker = tracker
         self.masklet_cfg = masklet_cfg
         self.scan_chunk = int(scan_chunk)
+        self.smoke_prompts = bool(smoke_prompts)
         if tracker is not None and not self.is_sam3:
             raise ValueError("masklet propagation (tracker=...) needs the "
                              "Sam3Detector path (mask-producing detector)")
@@ -246,7 +254,13 @@ class VideoPredictor:
             _, resized, _ = encoder.apply(variables, tokens)
             s.prompts[text] = np.asarray(resized[0])       # (L, d_model)
         elif self.is_sam3:
-            # deterministic hash prompt memory (smoke mode, no CLIP)
+            if not self.smoke_prompts:
+                raise ValueError(
+                    "Sam3Detector text prompting needs a CLIP tower "
+                    "(clip=(tokenizer, encoder, variables)); pass "
+                    "smoke_prompts=True to opt into deterministic hash "
+                    "embeddings for tests/smoke runs")
+            # deterministic hash prompt memory (explicit smoke mode)
             vec = embed_text_prompt(text, self.detector.d_model)
             s.prompts[text] = np.tile(np.asarray(vec)[None], (4, 1))
         elif self.text_encoder is not None:
@@ -297,9 +311,15 @@ class VideoPredictor:
         from skix.tracking.masklet import MaskletConfig, MaskletVideoModel
 
         trk_model, trk_vars = self.tracker
+        cfg = self.masklet_cfg or MaskletConfig()
+        # a descending segment is the protocol's backward pass: flip the
+        # lifecycle's hotstart/duplicate/occlusion comparisons (reference
+        # sam3_video_base.py reverse handling)
+        reverse = len(idx_map) > 1 and idx_map[1] < idx_map[0]
+        if cfg.reverse != reverse:
+            cfg = dataclasses.replace(cfg, reverse=reverse)
         mdl = MaskletVideoModel(self.detector, self.variables, trk_model,
-                                trk_vars,
-                                self.masklet_cfg or MaskletConfig())
+                                trk_vars, cfg)
         frames = np.ascontiguousarray(s.frames[np.asarray(idx_map)])
         geometry_by_frame = {
             local_t: {
@@ -319,11 +339,13 @@ class VideoPredictor:
             # Results arrive in scan_chunk-sized bursts — see __init__.
             stream = mdl.propagate_clip(frames, jnp.asarray(prompt),
                                         chunk=self.scan_chunk,
-                                        include_lowres_logits=False)
+                                        include_lowres_logits=False,
+                                        start_frame=int(idx_map[0]))
         else:
             stream = mdl.propagate(frames, jnp.asarray(prompt),
                                    geometry_by_frame=geometry_by_frame,
-                                   include_lowres_logits=False)
+                                   include_lowres_logits=False,
+                                   start_frame=int(idx_map[0]))
         for item in stream:
             out = item["outputs"]
             out_np = {

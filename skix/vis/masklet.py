@@ -82,9 +82,9 @@ def render_masklet_frame(img: np.ndarray, outputs: dict,
 
     img = np.asarray(img)
     if img.dtype != np.uint8:
+        # Only float inputs get the [0,1]→[0,255] rescale; a legitimately
+        # near-black uint8 frame must pass through unchanged.
         img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
-    elif img.max() <= 1:
-        img = (img * 255).astype(np.uint8)
     img = img[..., :3] if img.ndim == 3 else np.repeat(img[..., None], 3, -1)
     height, width = img.shape[:2]
     overlay = img.copy()

@@ -227,6 +227,94 @@ class TestMaskletUpdate:
         kept = np.asarray(out["spawn_score"])[np.asarray(st.active)]
         assert sorted(np.round(kept, 3)) == [0.8, 0.9]
 
+    def test_reverse_hotstart_window(self):
+        """Reverse propagation flips the hotstart window to
+        ``first_frame < frame_idx + delay`` (reference
+        sam3_video_base.py:1336-1340,1383): walking DOWN from frame 10,
+        an object spawned at 10 stays removable while the (decreasing)
+        frame index is within ``delay`` below its first frame — and
+        becomes immortal once the window expires. The forward
+        comparison (`first_frame > frame_idx − delay`) with a
+        decreasing counter would never expire."""
+        nodet = dets(n=4)
+        dm, ds, dv = dets(sq(2, 2))
+
+        # delay=8: removal fires at fidx=8 (10 < 8+8) after 2 unmatched
+        cfg = MaskletConfig(max_objects=4, reverse=True, hotstart_delay=8,
+                            hotstart_unmatch_thresh=2)
+        st = init_masklet_state(cfg, start_frame=10)
+        st, _ = masklet_update(st, empty_trk(), dm, ds, dv, cfg)  # f10
+        assert int(st.frame_idx) == 9          # counter decrements
+        k = int(np.argmax(np.asarray(st.active)))
+        assert int(st.first_frame[k]) == 10
+        trk = empty_trk().at[k].set(jnp.asarray(sq(2, 2)))
+        st, _ = masklet_update(st, trk, *nodet, cfg)              # f9
+        assert bool(st.active[k])
+        st, out = masklet_update(st, trk, *nodet, cfg)            # f8
+        assert bool(out["removed"][k])
+
+        # delay=1: window already expired at fidx=9 (10 < 10 is False)
+        cfg = MaskletConfig(max_objects=4, reverse=True, hotstart_delay=1,
+                            hotstart_unmatch_thresh=2)
+        st = init_masklet_state(cfg, start_frame=10)
+        st, _ = masklet_update(st, empty_trk(), dm, ds, dv, cfg)
+        k = int(np.argmax(np.asarray(st.active)))
+        trk = empty_trk().at[k].set(jnp.asarray(sq(2, 2)))
+        for _ in range(4):
+            st, out = masklet_update(st, trk, *nodet, cfg)
+        assert not bool(out["removed"][k])
+        assert bool(st.active[k])
+
+    def test_reverse_duplicate_keeps_first_in_walk(self):
+        """Reverse duplicate removal keeps the MAX-first-frame track
+        (reference :1414-1419) — the one that appeared first in the
+        backward walk. The forward min-key would remove it instead."""
+        cfg = MaskletConfig(max_objects=4, reverse=True, hotstart_delay=20,
+                            hotstart_dup_thresh=2)
+        st = init_masklet_state(cfg, start_frame=10)
+        dm, ds, dv = dets(sq(2, 2))
+        st, _ = masklet_update(st, empty_trk(), dm, ds, dv, cfg)  # f10: A
+        k0 = int(np.argmax(np.asarray(st.active)))
+        dm2, ds2, dv2 = dets(sq(2, 2), sq(14, 14))
+        trk = empty_trk().at[k0].set(jnp.asarray(sq(2, 2)))
+        st, _ = masklet_update(st, trk, dm2, ds2, dv2, cfg)       # f9: B
+        k1 = [k for k in range(4) if bool(st.active[k]) and k != k0][0]
+        assert int(st.first_frame[k0]) == 10
+        assert int(st.first_frame[k1]) == 9
+        trk_dup = (empty_trk().at[k0].set(jnp.asarray(sq(2, 2)))
+                   .at[k1].set(jnp.asarray(sq(3, 3))))
+        st, out = masklet_update(st, trk_dup, dm, ds, dv, cfg)    # f8
+        assert bool(st.active[k1])
+        st, out = masklet_update(st, trk_dup, dm, ds, dv, cfg)    # f7
+        # A (first_frame 10 = max = first-appearer in the walk) survives
+        assert bool(out["removed"][k1])
+        assert bool(st.active[k0])
+
+    def test_reverse_occlusion_cmp_flips(self):
+        """Reverse occlusion suppression uses lt (reference :1046) —
+        including the sentinel quirk: a never-occluded slot (−1)
+        compares as most-recently-occluded and loses to a previously
+        occluded overlapper."""
+        cfg = MaskletConfig(max_objects=4, occlusion_suppress_iou=0.5,
+                            reverse=True)
+        st = init_masklet_state(cfg, start_frame=10)
+        dm, ds, dv = dets(sq(2, 2), sq(12, 12))
+        st, _ = masklet_update(st, empty_trk(), dm, ds, dv, cfg)   # f10
+        ka, kb = np.where(np.asarray(st.active))[0][:2]
+        nodet = dets(n=4)
+        # f9: B's mask goes empty → last_occluded[B] = 9
+        trk = empty_trk().at[ka].set(jnp.asarray(sq(2, 2)))
+        st, _ = masklet_update(st, trk, *nodet, cfg)
+        assert int(st.last_occluded[kb]) == 9
+        assert int(st.last_occluded[ka]) == -1
+        # f8: both propagate onto overlapping masks. Under lt, A
+        # (−1 sentinel) < B (9) and B was occluded (>−1) → A loses.
+        trk2 = (empty_trk().at[ka].set(jnp.asarray(sq(2, 2)))
+                .at[kb].set(jnp.asarray(sq(3, 3))))
+        st, out = masklet_update(st, trk2, *nodet, cfg)
+        assert bool(out["occ_suppressed"][ka])
+        assert not bool(out["occ_suppressed"][kb])
+
 
 class TestTrackMasklets:
     def test_identity_through_occlusion(self):
@@ -394,7 +482,7 @@ class TestMaskletVideoModel:
         mdl, prompt = model
         pred = VideoPredictor(mdl.detector, mdl.det_variables,
                               tracker=(mdl.tracker, mdl.trk_variables),
-                              masklet_cfg=mdl.cfg)
+                              masklet_cfg=mdl.cfg, smoke_prompts=True)
         rng = np.random.default_rng(2)
         frames = rng.integers(0, 255, (2, 40, 56, 3), np.uint8)
         sid = pred.start_session(frames)
@@ -425,7 +513,7 @@ class TestMaskletVideoModel:
         mdl, prompt = model
         pred = VideoPredictor(mdl.detector, mdl.det_variables,
                               tracker=(mdl.tracker, mdl.trk_variables),
-                              masklet_cfg=mdl.cfg)
+                              masklet_cfg=mdl.cfg, smoke_prompts=True)
         rng = np.random.default_rng(5)
         frames = rng.integers(0, 255, (2, 40, 56, 3), np.uint8)
 
@@ -515,7 +603,8 @@ class TestMaskletVideoModel:
         mdl, prompt = model
         pred = VideoPredictor(mdl.detector, mdl.det_variables,
                               tracker=(mdl.tracker, mdl.trk_variables),
-                              masklet_cfg=mdl.cfg, scan_chunk=2)
+                              masklet_cfg=mdl.cfg, scan_chunk=2,
+                              smoke_prompts=True)
         rng = np.random.default_rng(13)
         frames = rng.integers(0, 255, (4, 40, 56, 3), np.uint8)
         sid = pred.start_session(frames)

