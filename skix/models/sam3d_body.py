@@ -201,6 +201,53 @@ class PromptEncoder(nn.Module):
         return jnp.where(prompt_valid[..., None], h, 0.0), prompt_valid
 
 
+class MaskDownscaler(nn.Module):
+    """SAM-style mask downscaling stack (reference
+    decoders/prompt_encoder.py:50-58 ``mask_downscaling``, the SAM2
+    ``mask_embed_type='v1'`` layout): Conv(1→4, k4 s4) → LayerNorm(C) →
+    GELU → Conv(4→16, k4 s4) → LayerNorm(C) → GELU → Conv(16→embed, k1).
+    16× total downsample — a ``crop_size`` mask lands exactly on the
+    patch grid. NHWC; LayerNorm over channels = the reference's
+    LayerNorm2d (eps 1e-6)."""
+
+    embed_dim: int = 384
+    mask_in_chans: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mask):
+        h = mask.astype(self.dtype)
+        h = nn.Conv(self.mask_in_chans // 4, (4, 4), strides=(4, 4),
+                    padding="VALID", name="conv0")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="ln0")(h.astype(jnp.float32))
+        # exact (erf) GELU — torch nn.GELU default, needed for converter
+        # parity (flax's default is the tanh approximation)
+        h = nn.gelu(h, approximate=False).astype(self.dtype)
+        h = nn.Conv(self.mask_in_chans, (4, 4), strides=(4, 4),
+                    padding="VALID", name="conv1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="ln1")(h.astype(jnp.float32))
+        h = nn.gelu(h, approximate=False).astype(self.dtype)
+        return nn.Conv(self.embed_dim, (1, 1), name="conv2")(h)
+
+
+def convert_mask_downscaling(sd, prefix: str = "mask_downscaling."):
+    """Torch ``mask_downscaling`` Sequential state dict → flax params for
+    :class:`MaskDownscaler` (Conv2d OIHW → HWIO; LayerNorm2d scale/bias
+    1:1). ``sd``: numpy-valued dict (``{k: v.numpy()}`` a torch state
+    dict)."""
+    def conv(i):
+        w = np.asarray(sd[f"{prefix}{i}.weight"])
+        return {"kernel": np.transpose(w, (2, 3, 1, 0)),
+                "bias": np.asarray(sd[f"{prefix}{i}.bias"])}
+
+    def ln(i):
+        return {"scale": np.asarray(sd[f"{prefix}{i}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}{i}.bias"])}
+
+    return {"conv0": conv(0), "ln0": ln(1), "conv1": conv(3),
+            "ln1": ln(4), "conv2": conv(6)}
+
+
 class CrossAttnBlock(nn.Module):
     num_heads: int = 8
     dtype: jnp.dtype = jnp.float32
@@ -245,13 +292,24 @@ class SAM3DBody(nn.Module):
 
     @nn.compact
     def __call__(self, crops, prompts=None, prompt_valid=None,
-                 decoder_type: str = "body", hand_override=None):
+                 decoder_type: str = "body", hand_override=None,
+                 mask=None, mask_score=None):
         """``crops (B, S, S, 3)`` in [0,1] → SAM3DBodyOutputs.
 
         ``decoder_type='hand'`` runs the hand-decoder queries — same
         backbone, separate init tokens — whose MHR forward is used only
         for its hand PCA params + wrist rotations (reference
-        forward_step(decoder_type=...) :1189)."""
+        forward_step(decoder_type=...) :1189).
+
+        ``mask (B, S, S, 1)``: crop-aligned person mask,
+        ``mask_score (B,)``: its confidence. Reference mask-prompt
+        conditioning (sam3d_body.py:766 ``_get_mask_prompt`` + :1107
+        'v1: non-iterative'): the downscaled mask embedding — gated
+        ``where(score > 0, score·emb, no_mask_embed)`` — is ADDED to the
+        image embeddings before the decoder. ``mask=None`` behaves like
+        the reference's default batch (zero mask, score 0 →
+        ``no_mask_embed``); the encoder params always exist so
+        checkpoints are stable across both call styles."""
         B = crops.shape[0]
         x = (crops - 0.5) / 0.5
         tokens = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
@@ -264,6 +322,26 @@ class SAM3DBody(nn.Module):
             tokens = Block(self.num_heads, 4.0, dtype=self.dtype,
                            name=f"block_{i}")(tokens)
         tokens = nn.LayerNorm(dtype=self.dtype, name="backbone_norm")(tokens)
+
+        # mask-prompt conditioning (reference _get_mask_prompt :766-789 +
+        # image_embeddings += mask_embeddings :1109). Params are created
+        # unconditionally; a None mask takes the no_mask_embed path.
+        if mask is None:
+            mask = jnp.zeros((B, self.crop_size, self.crop_size, 1),
+                             jnp.float32)
+        if mask_score is None:
+            mask_score = jnp.zeros((B,), jnp.float32)
+        memb = MaskDownscaler(self.embed_dim, dtype=self.dtype,
+                              name="mask_prompt")(mask)
+        memb = memb.reshape(B, -1, self.embed_dim)           # (B, P, E)
+        no_mask = self.param("no_mask_embed",
+                             nn.initializers.normal(0.02),
+                             (self.embed_dim,))
+        score = mask_score.astype(jnp.float32)[:, None, None]
+        gated = jnp.where(score > 0, score * memb.astype(jnp.float32),
+                          no_mask[None, None, :])
+        tokens = tokens + gated.astype(tokens.dtype)
+
         kv = nn.Dense(self.decoder_dim, name="kv_proj")(
             tokens.astype(jnp.float32))
 
@@ -374,10 +452,11 @@ class SAM3DBodyEstimator:
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, self.model.crop_size, self.model.crop_size,
                            3)))
-        # graft the hand-decoder branch when absent — checkpoint-loaded
-        # variables from a body-only training run must still support
-        # inference_type='full'
-        if "hand_init_tokens" not in variables.get("params", {}):
+        # graft missing branches (hand decoder, mask-prompt encoder) —
+        # checkpoint-loaded variables from an older/body-only run must
+        # still support inference_type='full' and mask conditioning
+        if any(key not in variables.get("params", {})
+               for key in ("hand_init_tokens", "mask_prompt")):
             hand_vars = jax.jit(
                 lambda k: self.model.init(k, jnp.zeros(
                     (1, self.model.crop_size, self.model.crop_size, 3)),
@@ -390,11 +469,20 @@ class SAM3DBodyEstimator:
         self._fwd = jax.jit(self._forward_batch, static_argnums=(4,))
 
     def _forward_batch(self, variables, frames, centers, scales,
-                       full: bool):
+                       full: bool, masks=None, mask_scores=None):
         size = self.model.crop_size
         crops = jax.vmap(crop_resize, in_axes=(0, 0, 0, None))(
             frames, centers, scales, size)
-        out = self.model.apply(variables, crops)
+        mask_crops = None
+        if masks is not None:
+            # crop the person mask with the SAME affine as the image
+            # (reference: the transform pipeline warps data_info["mask"]
+            # alongside img); conditioning applies to the body pass —
+            # the hand branch crops run unconditioned
+            mask_crops = jax.vmap(crop_resize, in_axes=(0, 0, 0, None))(
+                masks, centers, scales, size)
+        out = self.model.apply(variables, crops, mask=mask_crops,
+                               mask_score=mask_scores)
         if full:
             # hand branch on wrist-centered crops (left/right), cut from
             # the ORIGINAL frames at native resolution; the box-size gate
@@ -430,7 +518,9 @@ class SAM3DBodyEstimator:
                 [lout.mhr.hand[:, :nh], rout.mhr.hand[:, nh:]], axis=-1)
             hand = refine_hands_params(out.mhr.hand, branch_hand, ok_l,
                                        ok_r)
-            out = self.model.apply(variables, crops, hand_override=hand)
+            out = self.model.apply(variables, crops, hand_override=hand,
+                                   mask=mask_crops,
+                                   mask_score=mask_scores)
         # crop 2D → original-image pixels
         k2 = jax.vmap(crop_to_image_coords, in_axes=(0, 0, 0, None))(
             out.joints_2d_crop, centers, scales, size)
@@ -439,7 +529,8 @@ class SAM3DBodyEstimator:
     def process_clip(self, frames_u8: np.ndarray, bboxes_xyxy: np.ndarray,
                      batch_size: int = 8,
                      image_focal=None,
-                     inference_type: str = "body"):
+                     inference_type: str = "body",
+                     masks=None, mask_scores=None):
         """``frames (T, H, W, 3) uint8``, ``bboxes (T, 4)`` → list of per-
         frame output dicts (npz schema parity incl. mesh vertices).
 
@@ -447,8 +538,28 @@ class SAM3DBodyEstimator:
         per-frame ``(T,)`` array — the reference runs its MoGe FOV estimator
         per image and overrides ``batch["cam_int"]``
         (sam_3d_body_estimator.py:169-175); the per-frame form mirrors that.
+
+        ``masks``: optional per-frame person masks ``(T, H, W)`` /
+        ``(T, 1, H, W)`` / ``(T, H, W, 1)`` (bool/uint8/float) —
+        mask-conditioned inference (reference
+        sam_3d_body_estimator.py:137-150: externally provided masks get
+        ``mask_score=1``; the pt contract's YOLO-seg mask is the natural
+        source). ``mask_scores (T,)`` overrides the per-frame confidence.
         """
         T = frames_u8.shape[0]
+        masks_f = None
+        scores_f = None
+        if masks is not None:
+            m = np.asarray(masks)
+            if m.ndim == 4 and m.shape[1] == 1:      # (T,1,H,W) contract
+                m = m[:, 0]
+            if m.ndim == 4:                           # (T,H,W,1)
+                m = m[..., 0]
+            masks_f = (m > 0).astype(np.float32)[..., None]  # (T,H,W,1)
+            scores_f = (np.ones((T,), np.float32) if mask_scores is None
+                        else np.broadcast_to(
+                            np.asarray(mask_scores, np.float32).reshape(-1),
+                            (T,)).astype(np.float32))
         focal_arr = None
         if image_focal is not None:
             focal_arr = np.broadcast_to(
@@ -463,11 +574,18 @@ class SAM3DBodyEstimator:
             pad = batch_size - (e - s)
             c = centers[s:e]
             sc = scales[s:e]
+            mk = sf = None
+            if masks_f is not None:
+                mk = jnp.asarray(masks_f[s:e])
+                sf = jnp.asarray(scores_f[s:e])
             if pad:
                 fr = jnp.pad(fr, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 c = jnp.pad(c, ((0, pad), (0, 0)))
                 sc = jnp.pad(sc, ((0, pad), (0, 0)), constant_values=1.0)
-            out, k2 = self._fwd(self.variables, fr, c, sc, full)
+                if mk is not None:
+                    mk = jnp.pad(mk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                    sf = jnp.pad(sf, ((0, pad),))
+            out, k2 = self._fwd(self.variables, fr, c, sc, full, mk, sf)
             n = e - s
             # focal in original-image pixels (crop focal × scale ratio)
             f_img = (np.asarray(sc)[:n, 0] / self.model.crop_size

@@ -104,11 +104,22 @@ def process_one_video(estimator, record_path: Path, out_dir: Path, cfg,
         Ks = fov_estimator.intrinsics_for_clip(info.frames[::stride])
         image_focal = np.repeat(Ks[:, 1, 1],
                                 stride)[: info.frames.shape[0]]
+    masks = None
+    if bool(cfg.get("use_mask", False)):
+        # mask-conditioned inference (reference process_one_image
+        # masks=...: externally provided masks, score 1): the pt
+        # contract's YOLO-seg person mask is the precomputed source
+        if info.yolo_mask is not None:
+            masks = np.asarray(info.yolo_mask)
+        else:
+            log.warning("use_mask=true but %s has no yolo_mask — "
+                        "running unconditioned", record_path.name)
     outputs = estimator.process_clip(
         info.frames, np.asarray(bboxes, np.float32),
         batch_size=int(cfg.get("batch_size", 8)),
         image_focal=image_focal,
-        inference_type=str(cfg.get("inference_type", "body")))
+        inference_type=str(cfg.get("inference_type", "body")),
+        masks=masks)
     out_dir.mkdir(parents=True, exist_ok=True)
     for t, out in enumerate(outputs):
         np.savez(out_dir / f"frame_{t:06d}_sam_3d_body_outputs.npz", **out)

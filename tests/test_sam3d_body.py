@@ -320,3 +320,96 @@ fov_num_heads: 2
         got = np.array([float(np.load(f)["focal_length"]) for f in files])
         np.testing.assert_allclose(got, want, rtol=1e-5)
         assert np.all(got > 0)
+
+
+class TestMaskConditioning:
+    """Reference mask-prompt conditioning (_get_mask_prompt,
+    sam3d_body.py:766-789 + :1107 'v1: non-iterative'): downscaled mask
+    embeddings, gated by mask_score, added to the image embeddings."""
+
+    def _tiny(self):
+        return SAM3DBody(crop_size=64, patch_size=16, embed_dim=32, depth=2,
+                         num_heads=2, decoder_depth=1, decoder_dim=32)
+
+    def test_mask_downscaler_torch_parity(self):
+        """convert_mask_downscaling maps the reference's SAM-style
+        Conv/LayerNorm2d Sequential (prompt_encoder.py:50-58) 1:1."""
+        torch = pytest.importorskip("torch")
+        from skix.models.sam3d_body import (MaskDownscaler,
+                                            convert_mask_downscaling)
+
+        class LayerNorm2d(torch.nn.Module):
+            def __init__(self, c, eps=1e-6):
+                super().__init__()
+                self.weight = torch.nn.Parameter(torch.ones(c))
+                self.bias = torch.nn.Parameter(torch.zeros(c))
+                self.eps = eps
+
+            def forward(self, x):
+                u = x.mean(1, keepdim=True)
+                s = (x - u).pow(2).mean(1, keepdim=True)
+                x = (x - u) / torch.sqrt(s + self.eps)
+                return x * self.weight[:, None, None] + \
+                    self.bias[:, None, None]
+
+        torch.manual_seed(3)
+        seq = torch.nn.Sequential(
+            torch.nn.Conv2d(1, 4, kernel_size=4, stride=4),
+            LayerNorm2d(4), torch.nn.GELU(),
+            torch.nn.Conv2d(4, 16, kernel_size=4, stride=4),
+            LayerNorm2d(16), torch.nn.GELU(),
+            torch.nn.Conv2d(16, 24, kernel_size=1))
+        for p in seq.parameters():
+            torch.nn.init.normal_(p, std=0.3)
+        mask = rng.random((2, 64, 64, 1)).astype(np.float32)
+        with torch.no_grad():
+            want = seq(torch.from_numpy(
+                mask.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        sd = {f"mask_downscaling.{k}": v.detach().numpy()
+              for k, v in seq.state_dict().items()}
+        params = convert_mask_downscaling(sd)
+        got = MaskDownscaler(embed_dim=24).apply({"params": params},
+                                                 jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_score_gate_semantics(self):
+        """score=0 + any mask == mask=None (no_mask_embed path);
+        score=1 + a real mask conditions the output (reference
+        torch.where(mask_score > 0, ...) :784-788)."""
+        model = self._tiny()
+        crops = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), crops)
+        mask = jnp.ones((1, 64, 64, 1), jnp.float32)
+        out_none = model.apply(v, crops)
+        out_zero = model.apply(v, crops, mask=mask,
+                               mask_score=jnp.zeros((1,)))
+        np.testing.assert_allclose(np.asarray(out_zero.joints_3d),
+                                   np.asarray(out_none.joints_3d),
+                                   atol=1e-6)
+        out_one = model.apply(v, crops, mask=mask,
+                              mask_score=jnp.ones((1,)))
+        assert not np.allclose(np.asarray(out_one.joints_3d),
+                               np.asarray(out_none.joints_3d))
+
+    def test_estimator_mask_conditioning_and_graft(self):
+        model = self._tiny()
+        est = SAM3DBodyEstimator(model)
+        frames = rng.integers(0, 255, (3, 80, 96, 3)).astype(np.uint8)
+        bboxes = np.tile(np.array([20.0, 10, 70, 75], np.float32), (3, 1))
+        masks = np.zeros((3, 1, 80, 96), np.uint8)  # pt-contract layout
+        masks[:, 0, 15:70, 25:65] = 1
+        base = est.process_clip(frames, bboxes, batch_size=2)
+        cond = est.process_clip(frames, bboxes, batch_size=2, masks=masks)
+        assert len(cond) == 3
+        assert cond[0]["pred_keypoints_3d"].shape == (70, 3)
+        assert np.all(np.isfinite(cond[0]["pred_keypoints_3d"]))
+        assert not np.allclose(cond[0]["pred_keypoints_3d"],
+                               base[0]["pred_keypoints_3d"])
+        # graft: variables from a run predating the mask encoder still
+        # work (and accept masks) through the estimator's merge
+        old = {"params": {k: val for k, val in est.variables["params"]
+                          .items()
+                          if k not in ("mask_prompt", "no_mask_embed")}}
+        est2 = SAM3DBodyEstimator(model, old)
+        outs = est2.process_clip(frames, bboxes, batch_size=2, masks=masks)
+        assert np.all(np.isfinite(outs[0]["pred_keypoints_3d"]))
