@@ -64,6 +64,30 @@ def _rotate_half(x):
     return jnp.concatenate([-x[..., d:], x[..., :d]], axis=-1)
 
 
+def _mrope_tables(position_ids, dim: int, theta: float, mrope_section):
+    """(3, B, L) position ids → per-sequence (B, L, dim) cos/sin with the
+    t/h/w channel sections interleaved (Qwen2.5-VL
+    ``apply_multimodal_rotary_pos_emb``: ``split(mrope_section * 2)`` over
+    the head dim, section i takes component i % 3)."""
+    if mrope_section is None:
+        raise ValueError("position_ids (3, B, L) requires mrope_section")
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    pos = jnp.asarray(position_ids, jnp.float32)          # (3, B, L)
+    freqs = pos[..., None] * inv[None, None, None]        # (3, B, L, d/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)        # (3, B, L, d)
+    cos = jnp.cos(emb)
+    sin = jnp.sin(emb)
+    sections = list(mrope_section) * 2
+    out_c, out_s = [], []
+    start = 0
+    for i, sec in enumerate(sections):
+        out_c.append(cos[i % 3, :, :, start:start + sec])
+        out_s.append(sin[i % 3, :, :, start:start + sec])
+        start += sec
+    return (jnp.concatenate(out_c, axis=-1),
+            jnp.concatenate(out_s, axis=-1))              # (B, L, dim)
+
+
 class QwenBlock(nn.Module):
     hidden: int
     heads: int
@@ -74,6 +98,8 @@ class QwenBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, mask):
+        """``cos``/``sin``: (L, hd) shared across the batch, or (B, L, hd)
+        per-sequence (the M-RoPE path)."""
         B, L, _ = x.shape
         nh, nkv = self.heads, self.kv_heads
         hd = self.hidden // nh
@@ -86,10 +112,11 @@ class QwenBlock(nn.Module):
         q = q.reshape(B, L, nh, hd)
         k = k.reshape(B, L, nkv, hd)
         v = v.reshape(B, L, nkv, hd)
-        q = q * cos[None, :, None, :] + _rotate_half(q) * sin[None, :,
-                                                              None, :]
-        k = k * cos[None, :, None, :] + _rotate_half(k) * sin[None, :,
-                                                              None, :]
+        if cos.ndim == 2:
+            cos = cos[None]
+            sin = sin[None]
+        q = q * cos[:, :, None, :] + _rotate_half(q) * sin[:, :, None, :]
+        k = k * cos[:, :, None, :] + _rotate_half(k) * sin[:, :, None, :]
         # GQA without repeat_kv: group the query heads over each kv head
         g = nh // nkv
         q = q.reshape(B, L, nkv, g, hd)
@@ -128,12 +155,33 @@ class QwenTextEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens, attention_mask=None):
-        B, L = tokens.shape
-        emb = nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype,
-                       name="embed_tokens")(tokens)
-        cos, sin = _rope_tables(L, self.hidden // self.heads,
-                                self.rope_theta)
+    def __call__(self, tokens=None, attention_mask=None,
+                 inputs_embeds=None, position_ids=None,
+                 mrope_section=None):
+        """``position_ids (3, B, L)`` + ``mrope_section`` switch on
+        multimodal 3D rope (Qwen2.5-VL `apply_multimodal_rotary_pos_emb`:
+        the head-dim rope channels split into t/h/w sections, each
+        rotated by its own position component; pure-text rows have all
+        three components equal, reducing to 1D rope exactly).
+        ``inputs_embeds (B, L, hidden)`` bypasses the embedding table —
+        the VL path splices vision embeddings in before calling."""
+        if inputs_embeds is None:
+            B, L = tokens.shape
+            emb = nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype,
+                           name="embed_tokens")(tokens)
+        else:
+            # materialize the table so params are stable across call
+            # styles (the converter always provides it)
+            nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype,
+                     name="embed_tokens")(jnp.zeros((1, 1), jnp.int32))
+            emb = inputs_embeds
+            B, L = emb.shape[:2]
+        hd = self.hidden // self.heads
+        if position_ids is None:
+            cos, sin = _rope_tables(L, hd, self.rope_theta)
+        else:
+            cos, sin = _mrope_tables(position_ids, hd, self.rope_theta,
+                                     mrope_section)
         causal = jnp.tril(jnp.ones((L, L), bool))[None]       # (1, L, L)
         if attention_mask is not None:
             # padded keys masked out (HF attention_mask semantics)

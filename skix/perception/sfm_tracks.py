@@ -113,6 +113,32 @@ def shi_tomasi_keypoints(image, max_pts: int = 512, det_thres: float = 0.005,
     return _shi_tomasi_core(img, max_pts, nms_radius, det_thres)
 
 
+def sift_keypoints(image, max_pts: int = 512):
+    """Classical SIFT keypoints (the reference's ``sift`` extractor,
+    vggsfm_utils.py:212 — lightglue's SIFT wraps the same OpenCV
+    detector; ``max_num_keypoints`` caps by response). Host-side cv2,
+    fixed-``max_pts`` slot convention matching the other extractors:
+    returns (xy (max_pts, 2) f32, score (max_pts,) f32, valid bool)."""
+    import cv2
+
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img @ np.array([0.299, 0.587, 0.114], img.dtype)
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0 if img.max() <= 1.0 + 1e-6 else img,
+                      0, 255).astype(np.uint8)
+    kps = cv2.SIFT_create(nfeatures=int(max_pts)).detect(img, None)
+    kps = sorted(kps, key=lambda k: -k.response)[:max_pts]
+    xy = np.zeros((max_pts, 2), np.float32)
+    score = np.zeros((max_pts,), np.float32)
+    valid = np.zeros((max_pts,), bool)
+    for i, kp in enumerate(kps):
+        xy[i] = kp.pt
+        score[i] = kp.response
+        valid[i] = True
+    return xy, score, valid
+
+
 def initialize_feature_extractors(max_query_pts: int = 512,
                                   det_thres: float = 0.005,
                                   extractor_method: str = "shi_tomasi",
@@ -122,10 +148,13 @@ def initialize_feature_extractors(max_query_pts: int = 512,
     keypoints of every configured extractor are unioned, :228).
 
     Methods: ``sp``/``superpoint`` (needs ``superpoint=(model,
-    variables)`` — converted lightglue/magicleap weights) and
+    variables)`` — converted lightglue/magicleap weights), ``sift``
+    (the reference's classical member, cv2 backend, weight-free) and
     ``shi_tomasi`` (classical, weight-free). Unknown methods warn and
     are ignored; an empty result falls back to shi_tomasi, mirroring
-    the reference's ALIKED fallback."""
+    the reference's ALIKED fallback. (ALIKED itself stays a documented
+    omission: its source/weights are unreachable in this environment, so
+    a converter would target a guessed layout.)"""
     import logging
 
     extractors = {}
@@ -147,6 +176,9 @@ def initialize_feature_extractors(max_query_pts: int = 512,
                                             det_thres=det_thres)
 
             extractors["sp"] = sp_extract
+        elif method == "sift":
+            extractors["sift"] = partial(
+                sift_keypoints, max_pts=max_query_pts)
         elif method == "shi_tomasi":
             extractors["shi_tomasi"] = partial(
                 shi_tomasi_keypoints, max_pts=max_query_pts,

@@ -90,6 +90,8 @@ class CameraEditor:
             log.warning("smoke_text=true: prompts use the deterministic "
                         "HASH embedding, not a text encoder — edits are "
                         "not semantically conditioned")
+        elif self.text_tower == "qwen_vl":
+            self._build_qwen_vl_tower(cfg, jax, jnp)
         elif self.text_tower == "qwen":
             self._build_qwen_tower(cfg, jax, jnp)
         else:
@@ -218,6 +220,127 @@ class CameraEditor:
                 jnp.zeros((1, self.text_len), jnp.int32))
         self.text_encoder = (enc, te_vars)
 
+    def _build_qwen_vl_tower(self, cfg, jax, jnp):
+        """Qwen2.5-VL-shaped MULTIMODAL prompt tower — the reference's
+        actual conditioning (pipeline_qwenimage_edit_plus.py:230
+        ``_get_qwen_prompt_embeds``: the input image's vision tokens are
+        spliced into the prompt and the LM runs with 3D rope). Converter
+        seam: ``convert_hf_qwen2_5_vl`` via ``text_encoder_checkpoint``.
+        Tokenizer as in the qwen path; the three vision special ids are
+        the real Qwen ids when the real vocab is loaded, else the top of
+        the stand-in vocab."""
+        from skix.models.qwen_text import QwenTextEncoder
+        from skix.models.qwen_vl import (QwenVisionTower, QwenVLEncoder,
+                                         convert_hf_qwen2_5_vl)
+
+        vocab = cfg.get("qwen_vocab")
+        merges = cfg.get("qwen_merges")
+        if vocab and merges and Path(vocab).exists() \
+                and Path(merges).exists():
+            from skix.models.qwen_text import QwenBpeTokenizer
+
+            self.tokenizer = QwenBpeTokenizer(
+                vocab, merges, context_length=self.text_len)
+            vocab_size = max(max(self.tokenizer.encoder.values()) + 1,
+                             151656)
+            vs_id, ve_id, pad_id = 151652, 151653, 151655
+        else:
+            from skix.tracking.clip_tokenizer import ClipTokenizer
+
+            log.warning("no qwen_vocab/qwen_merges assets — CLIP BPE "
+                        "stands in; vision specials at the vocab top")
+            self.tokenizer = ClipTokenizer(context_length=self.text_len)
+            vocab_size = 49408 + 3
+            vs_id, ve_id, pad_id = 49408, 49409, 49410
+        dim = int(cfg.get("text_dim", 64))
+        te_kw = dict(cfg.get("text_encoder", {}) or {})
+        te_kw.setdefault("layers", 2)
+        te_kw.setdefault("heads", 4)
+        te_kw.setdefault("kv_heads", 2)
+        te_kw.setdefault("intermediate", 4 * dim)
+        text = QwenTextEncoder(vocab_size=int(te_kw.pop("vocab_size",
+                                                        vocab_size)),
+                               hidden=dim, **te_kw)
+        vi_kw = dict(cfg.get("vision_encoder", {}) or {})
+        vi_kw.setdefault("depth", 2)
+        vi_kw.setdefault("hidden", 32)
+        vi_kw.setdefault("heads", 2)
+        vi_kw.setdefault("intermediate", 64)
+        vi_kw.setdefault("fullatt_block_indexes",
+                         (int(vi_kw["depth"]) - 1,))
+        vision = QwenVisionTower(out_hidden=dim, **vi_kw)
+        hd = dim // text.heads
+        half = hd // 2
+        sec = cfg.get("mrope_section")
+        if sec is None:
+            # HF 7B ratio [16, 24, 24] of half=64 → (1/4, 3/8, 3/8)
+            t = half // 4
+            h = (half - t) // 2
+            sec = (t, h, half - t - h)
+        self._vl_image_tokens = int(cfg.get("image_tokens", 16))
+        self._vl_patch = int(vi_kw.get("patch_size", 14))
+
+        te_ckpt = cfg.get("text_encoder_checkpoint")
+        if te_ckpt and Path(te_ckpt).exists() \
+                and str(te_ckpt).endswith((".pt", ".pth")):
+            import torch
+
+            sd = torch.load(te_ckpt, map_location="cpu",
+                            weights_only=True)
+            variables = convert_hf_qwen2_5_vl(sd)
+            log.info("converted HF Qwen2.5-VL tower from %s", te_ckpt)
+        else:
+            log.warning("no VL checkpoint — random-init Qwen2.5-VL-"
+                        "shaped tower (real tokenization/attention/"
+                        "vision splice, untrained weights); convert one "
+                        "via convert_hf_qwen2_5_vl")
+            from skix.models.qwen_vl import preprocess_image_qwen
+
+            patches, grid = preprocess_image_qwen(
+                np.zeros((self._vl_patch * 2 * 4,) * 2 + (3,),
+                         np.float32),
+                patch_size=self._vl_patch,
+                target_tokens=self._vl_image_tokens)
+            variables = {
+                "vision": jax.jit(
+                    lambda r: vision.init(r, jnp.asarray(patches),
+                                          (grid,)))(
+                    jax.random.PRNGKey(3)),
+                "text": jax.jit(text.init)(
+                    jax.random.PRNGKey(2),
+                    jnp.zeros((1, self.text_len), jnp.int32)),
+            }
+        self.text_encoder = QwenVLEncoder(
+            vision, text, variables, mrope_section=sec,
+            image_token_id=pad_id, vision_start_token_id=vs_id)
+        self._vl_vision_end = ve_id
+
+    def _embed_prompt_vl(self, prompt: str, image=None):
+        """Multimodal encode: ``[vision_start, pad×N, vision_end] +
+        text_ids`` with the image's vision tokens spliced at the pads;
+        conditioning = the hidden states at the TEXT positions (the
+        reference drops the template prefix the same way,
+        :287 ``split_hidden_states = [e[drop_idx:] ...]``)."""
+        from skix.models.qwen_vl import preprocess_image_qwen
+
+        enc = self.text_encoder
+        toks = self.tokenizer([prompt])
+        ids = np.asarray(toks[0] if isinstance(toks, tuple) else toks)
+        text_ids = ids[0][:self.text_len]
+        if image is not None:
+            n = self._vl_image_tokens
+            patches, grid = preprocess_image_qwen(
+                image, patch_size=self._vl_patch, target_tokens=n)
+            n_real = (grid[1] // 2) * (grid[2] // 2)
+            full = np.concatenate([
+                [enc.vision_start_token_id],
+                np.full(n_real, enc.image_token_id, np.int64),
+                [self._vl_vision_end], text_ids]).astype(np.int64)
+            hidden = enc.encode(full[None], patches, (grid,))
+        else:
+            hidden = enc.encode(text_ids[None].astype(np.int64))
+        return np.asarray(hidden[0, -self.text_len:])
+
     def embed_prompt(self, prompt: str):
         """Prompt string → (text_len, text_dim) conditioning memory
         (reference encode_prompt: tokenizer → text tower → projection)."""
@@ -231,6 +354,8 @@ class CameraEditor:
 
             emb = embed_prompt_tokens(prompt, length=self.text_len,
                                       dim=int(self.cfg.get("text_dim", 64)))
+        elif self.text_tower == "qwen_vl":
+            emb = self._embed_prompt_vl(prompt)
         elif self.text_tower == "qwen":
             from skix.utils.jitapply import apply_model
 
@@ -265,7 +390,14 @@ class CameraEditor:
 
         prompt = build_camera_prompt(rotate_deg, move_forward, vertical_tilt,
                                      wideangle)
-        text = jnp.asarray(self.embed_prompt(prompt))
+        if (self.text_tower == "qwen_vl" and self.text_encoder is not None
+                and bool(self.cfg.get("condition_on_image", True))):
+            # the reference conditions on the INPUT IMAGE too
+            # (encode_prompt(prompt, image) — vision tokens spliced into
+            # the prompt); per-frame, so no prompt cache
+            text = jnp.asarray(self._embed_prompt_vl(prompt, frame_u8))
+        else:
+            text = jnp.asarray(self.embed_prompt(prompt))
         img = jnp.asarray(frame_u8, jnp.float32) / 127.5 - 1.0
         if img.shape[:2] != (self.size, self.size):
             img = jax.image.resize(img, (self.size, self.size, 3),

@@ -225,3 +225,33 @@ class TestKeypointExtraction:
                              extractor_method="sp", superpoint=sp)
         assert res.tracks.shape[0] == 3
         assert res.tracks.shape[1] > 0
+
+    def test_sift_extractor(self):
+        """The reference's classical `sift` member (vggsfm_utils.py:212)
+        joins the union: cv2-backed, fixed-slot protocol, responses
+        sorted descending, coordinates inside the image."""
+        rng = np.random.default_rng(11)
+        # structured image so SIFT finds real blobs
+        img = np.zeros((64, 64), np.float32)
+        for (y, x) in rng.integers(8, 56, (12, 2)):
+            img[y - 3:y + 3, x - 3:x + 3] = rng.uniform(0.5, 1.0)
+        ext = initialize_feature_extractors(32, 0.0, "sift")
+        assert list(ext) == ["sift"]
+        xy, score, valid = ext["sift"](img)
+        assert xy.shape == (32, 2) and valid.dtype == bool
+        n = int(valid.sum())
+        assert n > 0
+        pts = xy[valid]
+        assert (pts >= 0).all() and (pts[:, 0] < 64).all() \
+            and (pts[:, 1] < 64).all()
+        sc = score[valid]
+        assert (np.diff(sc) <= 1e-6).all()
+        # rgb input path
+        xy3, _, v3 = ext["sift"](np.stack([img] * 3, -1))
+        assert int(v3.sum()) == n
+        # union with shi_tomasi concatenates
+        both = initialize_feature_extractors(32, 0.0, "sift+shi_tomasi")
+        n_union = len(extract_keypoints(img, both))
+        n_st = len(extract_keypoints(
+            img, initialize_feature_extractors(32, 0.0, "shi_tomasi")))
+        assert n_union == n + n_st

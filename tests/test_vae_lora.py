@@ -339,3 +339,72 @@ num_inference_steps: 2
         assert isinstance(editor.tokenizer, QwenBpeTokenizer)
         emb = editor.embed_prompt("rotate")
         assert emb.shape == (8, 16)
+
+
+class TestMultimodalConditioning:
+    """text_tower: qwen_vl — the reference's full encode_prompt: the
+    input image's vision tokens join the prompt through the Qwen2.5-VL
+    tower (pipeline_qwenimage_edit_plus.py:230)."""
+
+    def _cfg(self, tmp_path, extra=""):
+        from skix.config import load_config
+
+        cdir = tmp_path / "configs"
+        cdir.mkdir(exist_ok=True)
+        (cdir / "image_edit.yaml").write_text(f"""
+paths:
+  video_root: {tmp_path}
+  out_root: {tmp_path / 'out'}
+image_size: 32
+dim: 32
+depth: 1
+num_heads: 2
+text_dim: 16
+text_len: 8
+text_tower: qwen_vl
+text_encoder: {{layers: 1, heads: 2, kv_heads: 1}}
+vision_encoder: {{depth: 2, hidden: 16, heads: 2, intermediate: 32, patch_size: 4}}
+image_tokens: 16
+axes_dim: [4, 6, 6]
+num_inference_steps: 2
+{extra}
+""")
+        return load_config("image_edit", config_dir=cdir)
+
+    def test_image_conditions_the_embedding(self, tmp_path):
+        from skix.models.qwen_vl import QwenVLEncoder
+        from skix.pipelines.image_edit import CameraEditor
+
+        rng = np.random.default_rng(31)
+        editor = CameraEditor(self._cfg(tmp_path))
+        assert isinstance(editor.text_encoder, QwenVLEncoder)
+        img_a = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+        img_b = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+        p = "rotate the camera 30 degrees left"
+        e_text = editor.embed_prompt(p)
+        e_a = editor._embed_prompt_vl(p, img_a)
+        e_b = editor._embed_prompt_vl(p, img_b)
+        assert e_text.shape == (8, 16) and e_a.shape == (8, 16)
+        # the image changes the conditioning; different images differ
+        assert not np.allclose(e_a, e_text)
+        assert not np.allclose(e_a, e_b)
+        # text sensitivity survives the splice
+        e_a2 = editor._embed_prompt_vl("move the camera far forward",
+                                       img_a)
+        assert not np.allclose(e_a, e_a2)
+
+    def test_edit_runs_image_conditioned(self, tmp_path):
+        from skix.pipelines.image_edit import CameraEditor
+
+        rng = np.random.default_rng(32)
+        editor = CameraEditor(self._cfg(tmp_path))
+        frame = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        out, prompt = editor.infer_camera_edit(frame, rotate_deg=45.0,
+                                               seed=1)
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+        # condition_on_image: false reverts to the cached text path
+        editor2 = CameraEditor(self._cfg(tmp_path,
+                                         "condition_on_image: false"))
+        out2, _ = editor2.infer_camera_edit(frame, rotate_deg=45.0,
+                                            seed=1)
+        assert out2.shape == (32, 32, 3)
