@@ -11,13 +11,16 @@ scan) is worth building.
 Run: PYTHONPATH=/root/.axon_site:/root/repo python -u scripts/bench_detector_batch.py
 """
 
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench_window_flash_ab import build_detector
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_window_flash_ab import build_detector  # noqa: E402
 
 
 def main():
@@ -50,7 +53,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import sys
-
-    sys.path.insert(0, "scripts")
     main()

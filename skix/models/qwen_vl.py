@@ -296,6 +296,32 @@ def get_rope_index_images(input_ids, image_grid_thw, *,
 # combined encoder
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _encode_core_mm(vision, text, mrope_section, grid_thw, variables,
+                    ids, patches, flat_pos, pos, attention_mask):
+    """Module-level jitted multimodal encode (one cache entry per
+    (modules, mrope, grid, shapes) — NOT rebuilt per call; eager
+    dispatch through the axon relay is ~0.5 s/op)."""
+    emb_table = variables["text"]["params"]["embed_tokens"]["embedding"]
+    emb = emb_table[ids]
+    vis = vision.apply(variables["vision"], patches, grid_thw)
+    B, L = ids.shape
+    emb = emb.reshape(B * L, -1) \
+        .at[flat_pos].set(vis.astype(emb.dtype)).reshape(B, L, -1)
+    return text.apply(variables["text"], attention_mask=attention_mask,
+                      inputs_embeds=emb, position_ids=pos,
+                      mrope_section=mrope_section)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _encode_core_text(text, mrope_section, variables, ids, pos,
+                      attention_mask):
+    emb_table = variables["text"]["params"]["embed_tokens"]["embedding"]
+    return text.apply(variables["text"], attention_mask=attention_mask,
+                      inputs_embeds=emb_table[ids], position_ids=pos,
+                      mrope_section=mrope_section)
+
+
 class QwenVLEncoder:
     """Vision tower + text LM glued the reference way: vision tokens
     replace ``<|image_pad|>`` positions, the LM runs with 3D rope, last
@@ -319,32 +345,29 @@ class QwenVLEncoder:
         """``input_ids (B, L)`` (numpy/jnp), optional ``patches
         (N, C·tps·ps²)`` + ``grid_thw`` (static) → (B, L, hidden)."""
         ids = np.asarray(input_ids)
-        emb_table = self.variables["text"]["params"]["embed_tokens"][
-            "embedding"]
-        emb = jnp.asarray(emb_table)[jnp.asarray(ids)]
         if patches is not None:
-            vis = self.vision.apply(self.variables["vision"],
-                                    jnp.asarray(patches), grid_thw)
+            grid_thw = tuple(tuple(int(v) for v in g) for g in grid_thw)
+            # tower outputs L/merge² merged tokens (merge=2 throughout)
+            n_vis = sum(t * h * w for t, h, w in grid_thw) // 4
             flat_pos = np.flatnonzero(
                 ids.reshape(-1) == self.image_token_id)
-            if len(flat_pos) != vis.shape[0]:
+            if len(flat_pos) != n_vis:
                 raise ValueError(
                     f"{len(flat_pos)} <|image_pad|> tokens vs "
-                    f"{vis.shape[0]} vision tokens")
-            B, L = ids.shape
-            emb = emb.reshape(B * L, -1) \
-                .at[jnp.asarray(flat_pos)].set(vis.astype(emb.dtype)) \
-                .reshape(B, L, -1)
+                    f"{n_vis} vision tokens")
             pos = get_rope_index_images(
                 ids, grid_thw, image_token_id=self.image_token_id,
                 vision_start_token_id=self.vision_start_token_id)
-        else:
-            B, L = ids.shape
-            pos = np.broadcast_to(np.arange(L), (3, B, L))
-        return self.text.apply(
-            self.variables["text"], attention_mask=attention_mask,
-            inputs_embeds=emb, position_ids=jnp.asarray(pos),
-            mrope_section=self.mrope_section)
+            return _encode_core_mm(
+                self.vision, self.text, self.mrope_section, grid_thw,
+                self.variables, jnp.asarray(ids), jnp.asarray(patches),
+                jnp.asarray(flat_pos), jnp.asarray(pos), attention_mask)
+        B, L = ids.shape
+        pos = np.broadcast_to(np.arange(L), (3, B, L))
+        return _encode_core_text(
+            self.text, self.mrope_section,
+            {"text": self.variables["text"]}, jnp.asarray(ids),
+            jnp.asarray(pos), attention_mask)
 
 
 # ---------------------------------------------------------------------------

@@ -90,13 +90,20 @@ class ConvBNAct(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """ultralytics ``Bottleneck``: cv1 3×3 to ``hidden`` channels, cv2
+    3×3 back to ``features``. C2f/C3k call it with e=1.0 (hidden =
+    features); C3k2's plain-bottleneck path uses the ultralytics DEFAULT
+    e=0.5 (hidden = features // 2) — ``hidden=None`` means full width."""
+
     features: int
     shortcut: bool = True
     dtype: jnp.dtype = jnp.float32
+    hidden: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = ConvBNAct(self.features, 3, 1, self.dtype, name="cv1")(x, train)
+        c_ = self.features if self.hidden is None else self.hidden
+        h = ConvBNAct(c_, 3, 1, self.dtype, name="cv1")(x, train)
         h = ConvBNAct(self.features, 3, 1, self.dtype, name="cv2")(h, train)
         return x + h if self.shortcut else h
 
@@ -166,8 +173,11 @@ class C3k2(nn.Module):
             if self.c3k:
                 blk = C3k(c, 2, self.shortcut, self.dtype, name=f"m_{i}")
             else:
+                # ultralytics Bottleneck(self.c, self.c, shortcut, g)
+                # keeps the default e=0.5 → half-width cv1 (unlike C2f,
+                # which passes e=1.0 explicitly).
                 blk = Bottleneck(c, self.shortcut, self.dtype,
-                                 name=f"m_{i}")
+                                 hidden=c // 2, name=f"m_{i}")
             parts.append(blk(parts[-1], train))
         return ConvBNAct(self.features, 1, 1, self.dtype,
                          name="cv2")(jnp.concatenate(parts, -1), train)
@@ -941,8 +951,9 @@ def reference_state_dict_spec(scale: str = "s", num_keypoints: int = 17,
                     convbn(f"{pre}.m.{i}.m.{j}.cv1", c_, c_, 3)
                     convbn(f"{pre}.m.{i}.m.{j}.cv2", c_, c_, 3)
             else:
-                convbn(f"{pre}.m.{i}.cv1", c, c, 3)
-                convbn(f"{pre}.m.{i}.cv2", c, c, 3)
+                # plain Bottleneck with the ultralytics default e=0.5
+                convbn(f"{pre}.m.{i}.cv1", c, c // 2, 3)
+                convbn(f"{pre}.m.{i}.cv2", c // 2, c, 3)
 
     if version == 11:
         mlx = scale in "mlx"

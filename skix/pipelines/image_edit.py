@@ -162,41 +162,52 @@ class CameraEditor:
                                   text_emb, num_steps=num_steps, key=key,
                                   strength=strength)
 
-    def _build_qwen_tower(self, cfg, jax, jnp):
-        """Qwen2-shaped prompt tower (the reference family). Tokenizer:
+    def _resolve_qwen_tokenizer(self, cfg, vl: bool):
+        """Shared tokenizer-asset resolution for the qwen/qwen_vl paths:
         the real byte-level BPE when ``qwen_vocab``/``qwen_merges``
         assets are configured; the in-repo CLIP BPE stands in otherwise
-        (ids only — the tower architecture is unchanged)."""
-        from skix.models.qwen_text import (QwenBpeTokenizer,
-                                           QwenTextEncoder,
-                                           convert_hf_qwen2)
-
+        (ids only — the tower architecture is unchanged). Returns
+        (vocab_size, (vision_start, vision_end, image_pad) ids)."""
         vocab = cfg.get("qwen_vocab")
         merges = cfg.get("qwen_merges")
         if vocab and merges and Path(vocab).exists() \
                 and Path(merges).exists():
+            from skix.models.qwen_text import QwenBpeTokenizer
+
             self.tokenizer = QwenBpeTokenizer(
                 vocab, merges, context_length=self.text_len)
             vocab_size = max(self.tokenizer.encoder.values()) + 1
-        else:
-            from skix.tracking.clip_tokenizer import ClipTokenizer
+            if vl:
+                # real Qwen vision special ids live above the BPE table
+                vocab_size = max(vocab_size, 151656)
+            return vocab_size, (151652, 151653, 151655)
+        from skix.tracking.clip_tokenizer import ClipTokenizer
 
-            log.warning("no qwen_vocab/qwen_merges assets — tokenizing "
-                        "with the in-repo CLIP BPE (the tower stays "
-                        "Qwen-shaped; drop in the public vocab.json/"
-                        "merges.txt to match reference ids)")
-            self.tokenizer = ClipTokenizer(context_length=self.text_len)
-            vocab_size = 49408
+        log.warning("no qwen_vocab/qwen_merges assets — tokenizing "
+                    "with the in-repo CLIP BPE (the tower stays "
+                    "Qwen-shaped; drop in the public vocab.json/"
+                    "merges.txt to match reference ids)")
+        self.tokenizer = ClipTokenizer(context_length=self.text_len)
+        return (49408 + 3 if vl else 49408), (49408, 49409, 49410)
+
+    def _qwen_text_kwargs(self, cfg, vocab_size):
+        """Shared QwenTextEncoder kwarg fill for the qwen/qwen_vl paths."""
         te_kw = dict(cfg.get("text_encoder", {}) or {})
         te_kw.setdefault("layers", 2)
         te_kw.setdefault("heads", 4)
         te_kw.setdefault("kv_heads", 2)
-        te_kw.setdefault("intermediate",
-                         4 * int(cfg.get("text_dim", 64)))
-        enc = QwenTextEncoder(vocab_size=int(te_kw.pop("vocab_size",
-                                                       vocab_size)),
-                              hidden=int(cfg.get("text_dim", 64)),
-                              **te_kw)
+        te_kw.setdefault("intermediate", 4 * int(cfg.get("text_dim", 64)))
+        te_kw.setdefault("vocab_size", vocab_size)
+        te_kw["vocab_size"] = int(te_kw["vocab_size"])
+        te_kw["hidden"] = int(cfg.get("text_dim", 64))
+        return te_kw
+
+    def _build_qwen_tower(self, cfg, jax, jnp):
+        """Qwen2-shaped prompt tower (the reference family)."""
+        from skix.models.qwen_text import QwenTextEncoder, convert_hf_qwen2
+
+        vocab_size, _ = self._resolve_qwen_tokenizer(cfg, vl=False)
+        enc = QwenTextEncoder(**self._qwen_text_kwargs(cfg, vocab_size))
         te_ckpt = cfg.get("text_encoder_checkpoint")
         if te_ckpt and Path(te_ckpt).exists():
             if str(te_ckpt).endswith((".pt", ".pth")):
@@ -233,34 +244,10 @@ class CameraEditor:
         from skix.models.qwen_vl import (QwenVisionTower, QwenVLEncoder,
                                          convert_hf_qwen2_5_vl)
 
-        vocab = cfg.get("qwen_vocab")
-        merges = cfg.get("qwen_merges")
-        if vocab and merges and Path(vocab).exists() \
-                and Path(merges).exists():
-            from skix.models.qwen_text import QwenBpeTokenizer
-
-            self.tokenizer = QwenBpeTokenizer(
-                vocab, merges, context_length=self.text_len)
-            vocab_size = max(max(self.tokenizer.encoder.values()) + 1,
-                             151656)
-            vs_id, ve_id, pad_id = 151652, 151653, 151655
-        else:
-            from skix.tracking.clip_tokenizer import ClipTokenizer
-
-            log.warning("no qwen_vocab/qwen_merges assets — CLIP BPE "
-                        "stands in; vision specials at the vocab top")
-            self.tokenizer = ClipTokenizer(context_length=self.text_len)
-            vocab_size = 49408 + 3
-            vs_id, ve_id, pad_id = 49408, 49409, 49410
+        vocab_size, (vs_id, ve_id, pad_id) = \
+            self._resolve_qwen_tokenizer(cfg, vl=True)
         dim = int(cfg.get("text_dim", 64))
-        te_kw = dict(cfg.get("text_encoder", {}) or {})
-        te_kw.setdefault("layers", 2)
-        te_kw.setdefault("heads", 4)
-        te_kw.setdefault("kv_heads", 2)
-        te_kw.setdefault("intermediate", 4 * dim)
-        text = QwenTextEncoder(vocab_size=int(te_kw.pop("vocab_size",
-                                                        vocab_size)),
-                               hidden=dim, **te_kw)
+        text = QwenTextEncoder(**self._qwen_text_kwargs(cfg, vocab_size))
         vi_kw = dict(cfg.get("vision_encoder", {}) or {})
         vi_kw.setdefault("depth", 2)
         vi_kw.setdefault("hidden", 32)
@@ -281,14 +268,23 @@ class CameraEditor:
         self._vl_patch = int(vi_kw.get("patch_size", 14))
 
         te_ckpt = cfg.get("text_encoder_checkpoint")
-        if te_ckpt and Path(te_ckpt).exists() \
-                and str(te_ckpt).endswith((".pt", ".pth")):
-            import torch
+        if te_ckpt and Path(te_ckpt).exists():
+            if str(te_ckpt).endswith((".pt", ".pth")):
+                import torch
 
-            sd = torch.load(te_ckpt, map_location="cpu",
-                            weights_only=True)
-            variables = convert_hf_qwen2_5_vl(sd)
-            log.info("converted HF Qwen2.5-VL tower from %s", te_ckpt)
+                sd = torch.load(te_ckpt, map_location="cpu",
+                                weights_only=True)
+                variables = convert_hf_qwen2_5_vl(sd)
+                log.info("converted HF Qwen2.5-VL tower from %s", te_ckpt)
+            else:
+                from skix.pipelines.videopose3d import load_checkpoint
+
+                variables = load_checkpoint(te_ckpt)
+                if not {"vision", "text"} <= set(variables):
+                    raise ValueError(
+                        f"VL checkpoint {te_ckpt} must hold a "
+                        "{'vision': ..., 'text': ...} pytree")
+                log.info("loaded Qwen2.5-VL tower from %s", te_ckpt)
         else:
             log.warning("no VL checkpoint — random-init Qwen2.5-VL-"
                         "shaped tower (real tokenization/attention/"
@@ -325,7 +321,11 @@ class CameraEditor:
 
         enc = self.text_encoder
         toks = self.tokenizer([prompt])
-        ids = np.asarray(toks[0] if isinstance(toks, tuple) else toks)
+        if isinstance(toks, tuple):            # QwenBpeTokenizer
+            ids, tmask = (np.asarray(t) for t in toks)
+            tmask = tmask[0][:self.text_len]
+        else:                                  # CLIP stand-in ids
+            ids, tmask = np.asarray(toks), None
         text_ids = ids[0][:self.text_len]
         if image is not None:
             n = self._vl_image_tokens
@@ -336,9 +336,16 @@ class CameraEditor:
                 [enc.vision_start_token_id],
                 np.full(n_real, enc.image_token_id, np.int64),
                 [self._vl_vision_end], text_ids]).astype(np.int64)
-            hidden = enc.encode(full[None], patches, (grid,))
+            mask = None
+            if tmask is not None:              # vision block is all real
+                mask = np.concatenate(
+                    [np.ones(n_real + 2, tmask.dtype), tmask])[None]
+            hidden = enc.encode(full[None], patches, (grid,),
+                                attention_mask=mask)
         else:
-            hidden = enc.encode(text_ids[None].astype(np.int64))
+            hidden = enc.encode(
+                text_ids[None].astype(np.int64),
+                attention_mask=None if tmask is None else tmask[None])
         return np.asarray(hidden[0, -self.text_len:])
 
     def embed_prompt(self, prompt: str):

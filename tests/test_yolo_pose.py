@@ -531,7 +531,9 @@ def _torch_ultralytics_blocks():
             self.cv2 = Conv((2 + n) * self.c, c2, 1)
             self.m = tnn.ModuleList(
                 C3k(self.c, self.c, 2, shortcut) if c3k
-                else Bottleneck(self.c, self.c, shortcut, k=(3, 3), e=1.0)
+                # ultralytics block.py C3k2: plain Bottleneck keeps the
+                # DEFAULT e=0.5 (half-width cv1), unlike C2f's e=1.0
+                else Bottleneck(self.c, self.c, shortcut, k=(3, 3), e=0.5)
                 for _ in range(n))
 
         def forward(self, x):
