@@ -7,12 +7,16 @@ TPU-first:
 
 - ``initialize_feature_extractors`` mirrors vggsfm_utils.py:189 (a
   ``+``-joined method string → {name: extractor} dict whose keypoints
-  are UNIONED per query frame, :228 extract_keypoints): ``sp`` is the
-  learned :class:`skix.perception.superpoint.SuperPoint` architecture
-  (lightglue-convertible), ``shi_tomasi`` the classical fallback — a
-  jit-safe fixed-shape min-eigenvalue corner detector with on-device
-  local-max NMS + top-k. (The reference's ALIKED/SIFT slots remain
-  unimplemented; SuperPoint fills the learned-extractor row.)
+  are UNIONED per query frame, :228 extract_keypoints): all three of
+  the reference's extractor slots hold real implementations —
+  ``aliked`` (:mod:`skix.perception.aliked`, the reference default;
+  converter targets the lightglue layout, see that module's
+  verification caveat), ``sp`` the learned
+  :class:`skix.perception.superpoint.SuperPoint` (converter VERIFIED
+  vs a torch oracle), ``sift`` (cv2 backend, weight-free) — plus
+  ``shi_tomasi``, a jit-safe fixed-shape min-eigenvalue corner
+  detector with on-device local-max NMS + top-k as the weight-free
+  on-device fallback.
 - ``rank_frames_by_similarity`` = generate_rank_by_dino semantics
   (vggsfm_utils.py:51-117): feature-similarity matrix → most-connected
   frame → farthest-point sampling. Takes precomputed per-frame features
@@ -48,7 +52,7 @@ from skix.utils.jitapply import apply_model
 
 
 # ---------------------------------------------------------------------------
-# Keypoint extraction (ALIKED/SuperPoint/SIFT stand-in, on-device)
+# Keypoint extraction (ALIKED/SuperPoint/SIFT + Shi-Tomasi fallback)
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("max_pts", "nms_radius"))
@@ -122,9 +126,13 @@ def sift_keypoints(image, max_pts: int = 512):
     import cv2
 
     img = np.asarray(image)
+    was_uint8 = img.dtype == np.uint8
     if img.ndim == 3:
-        img = img @ np.array([0.299, 0.587, 0.114], img.dtype)
-    if img.dtype != np.uint8:
+        img = img.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                np.float32)
+    if was_uint8:
+        img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    elif img.dtype != np.uint8:
         img = np.clip(img * 255.0 if img.max() <= 1.0 + 1e-6 else img,
                       0, 255).astype(np.uint8)
     kps = cv2.SIFT_create(nfeatures=int(max_pts)).detect(img, None)
@@ -142,25 +150,43 @@ def sift_keypoints(image, max_pts: int = 512):
 def initialize_feature_extractors(max_query_pts: int = 512,
                                   det_thres: float = 0.005,
                                   extractor_method: str = "shi_tomasi",
-                                  superpoint=None) -> dict:
+                                  superpoint=None, aliked=None) -> dict:
     """``+``-joined method string → {name: extractor(image) →
     (xy, score, valid)} (vggsfm_utils.py:189 semantics; per-frame
     keypoints of every configured extractor are unioned, :228).
 
-    Methods: ``sp``/``superpoint`` (needs ``superpoint=(model,
-    variables)`` — converted lightglue/magicleap weights), ``sift``
-    (the reference's classical member, cv2 backend, weight-free) and
-    ``shi_tomasi`` (classical, weight-free). Unknown methods warn and
-    are ignored; an empty result falls back to shi_tomasi, mirroring
-    the reference's ALIKED fallback. (ALIKED itself stays a documented
-    omission: its source/weights are unreachable in this environment, so
-    a converter would target a guessed layout.)"""
+    Methods: ``aliked`` (the reference's DEFAULT learned extractor —
+    needs ``aliked=(model, variables)``; see
+    :mod:`skix.perception.aliked` for the converter-verification
+    caveat), ``sp``/``superpoint`` (needs ``superpoint=(model,
+    variables)`` — converted lightglue/magicleap weights, the
+    converter-VERIFIED learned extractor), ``sift`` (the reference's
+    classical member, cv2 backend, weight-free) and ``shi_tomasi``
+    (classical, weight-free). Unknown methods warn and are ignored; an
+    empty result falls back to shi_tomasi, mirroring the reference's
+    ALIKED fallback."""
     import logging
 
     extractors = {}
     for method in str(extractor_method).lower().split("+"):
         method = method.strip()
-        if method in ("sp", "superpoint"):
+        if method == "aliked":
+            if aliked is None:
+                logging.getLogger(__name__).warning(
+                    "aliked extractor requested but no weights "
+                    "provided — ignoring")
+                continue
+            from skix.perception.aliked import aliked_keypoints
+
+            al_model, al_vars = aliked
+
+            def al_extract(image, _m=al_model, _v=al_vars):
+                return aliked_keypoints(_m, _v, image,
+                                        max_pts=max_query_pts,
+                                        det_thres=det_thres)
+
+            extractors["aliked"] = al_extract
+        elif method in ("sp", "superpoint"):
             if superpoint is None:
                 logging.getLogger(__name__).warning(
                     "superpoint extractor requested but no weights "
@@ -273,14 +299,11 @@ class SfmTracks(NamedTuple):
 
 
 def _tracks_for_query(track_model, variables, images_np, features,
-                      query_index, *, max_query_pts, det_thres, chunk,
+                      query_index, *, extractors, chunk,
                       conf=None, points_3d=None, conf_thresh=1.2,
-                      min_conf_keep=512, rng=None,
-                      extractor_method="shi_tomasi", superpoint=None):
+                      min_conf_keep=512, rng=None):
     """One query frame → (tracks (S, Nq, 2), vis, confs, p3d, colors)."""
     S, H, W = images_np.shape[:3]
-    extractors = initialize_feature_extractors(
-        max_query_pts, det_thres, extractor_method, superpoint)
     xy = extract_keypoints(images_np[query_index], extractors)
     if len(xy) == 0:
         return None
@@ -367,10 +390,13 @@ def predict_tracks(track_model, variables, images, features, *,
         query_frames.remove(0)
     query_frames = [0, *query_frames]
 
-    kw = dict(max_query_pts=max_query_pts, det_thres=det_thres, chunk=chunk,
+    # Build the extractor dict ONCE per call (not per query frame) — the
+    # missing-weights fallback warning fires once and the dict is reused.
+    extractors = initialize_feature_extractors(
+        max_query_pts, det_thres, extractor_method, superpoint)
+    kw = dict(extractors=extractors, chunk=chunk,
               conf=conf, points_3d=points_3d, conf_thresh=conf_thresh,
-              min_conf_keep=min_conf_keep, rng=rng,
-              extractor_method=extractor_method, superpoint=superpoint)
+              min_conf_keep=min_conf_keep, rng=rng)
     tracks_l, vis_l, conf_l, p3d_l, color_l = [], [], [], [], []
     for q in query_frames:
         out = _tracks_for_query(track_model, variables, images_np, features,
@@ -387,7 +413,10 @@ def predict_tracks(track_model, variables, images, features, *,
             track_model, variables, images_np, features,
             tracks_l, vis_l, conf_l, p3d_l, color_l,
             base_kw=kw, min_vis=min_vis, non_vis_thresh=non_vis_thresh,
-            final_max_pts=final_max_pts)
+            final_max_pts=final_max_pts,
+            final_extractors=partial(
+                initialize_feature_extractors, final_max_pts, det_thres,
+                extractor_method, superpoint))
 
     if not tracks_l:
         # No query frame yielded any keypoint (flat/low-texture clip):
@@ -406,7 +435,7 @@ def predict_tracks(track_model, variables, images, features, *,
 def _augment_non_visible_frames(track_model, variables, images_np, features,
                                 tracks_l, vis_l, conf_l, p3d_l, color_l, *,
                                 base_kw, min_vis, non_vis_thresh,
-                                final_max_pts):
+                                final_max_pts, final_extractors):
     """Re-query low-visibility frames (track_predict.py:232-326 semantics:
     one frame at a time; if the same frame fails twice, one final all-in
     trial with a bigger keypoint budget, then stop)."""
@@ -421,7 +450,8 @@ def _augment_non_visible_frames(track_model, variables, images_np, features,
             break
         if non_vis[0] == last_query:
             final_trial = True
-            kw = dict(base_kw, max_query_pts=final_max_pts)
+            # bigger keypoint budget → the extractors rebuild once here
+            kw = dict(base_kw, extractors=final_extractors())
             query_list = non_vis
         else:
             query_list = [non_vis[0]]

@@ -210,9 +210,11 @@ def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
     np_to_pycolmap.py batch_np_matrix_to_pycolmap).
 
     The track head is ``skix.models.track_head.TrackHead`` driven by the
-    aggregator's patch tokens; query keypoints come from the on-device
-    Shi–Tomasi extractor (the learned ALIKED/SuperPoint extractors are
-    zero-egress-blocked — see skix/perception/sfm_tracks.py)."""
+    aggregator's patch tokens; query keypoints default to the on-device
+    Shi–Tomasi extractor (weight-free; the learned ALIKED/SuperPoint
+    architectures exist with converter seams — pass weights via
+    ``initialize_feature_extractors`` — but no pretrained checkpoints
+    are reachable in this zero-egress environment)."""
     import jax
     import jax.numpy as jnp
 
