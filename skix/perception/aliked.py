@@ -112,9 +112,11 @@ def deform_conv2d(x, offsets, weight, bias=None, mask=None):
     B, H, W, Cin = x.shape
     K = weight.shape[0]
     pad = K // 2
-    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=x.dtype),
-                          jnp.arange(W, dtype=x.dtype), indexing="ij")
-    off = offsets.reshape(B, H, W, K * K, 2)
+    # coordinate math in f32 regardless of the feature dtype (bf16
+    # positions would quantize at hundreds of pixels)
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    off = offsets.astype(jnp.float32).reshape(B, H, W, K * K, 2)
 
     taps = []
     for i in range(K):
