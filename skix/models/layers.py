@@ -149,8 +149,11 @@ class MultiHeadAttention(nn.Module):
             # positions — the table is built from pos[0] and shared by
             # every row (checked here for concrete inputs; traced inputs
             # are the caller's contract).
-            if not isinstance(pos, jax.core.Tracer):
-                assert np.allclose(np.asarray(pos), np.asarray(pos[:1])), \
+            if jax.core.is_concrete(pos):
+                # compare on the host side: slicing `pos` here would
+                # CREATE a tracer inside an enclosing trace
+                pos_np = np.asarray(pos)
+                assert np.allclose(pos_np, pos_np[:1]), \
                     "rope_tables=True needs batch-identical positions " \
                     "(the cos/sin table is built from pos[0])"
             cos, sin = rope_2d_tables(pos[0], hd, self.rope_freq)

@@ -71,51 +71,64 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh: Mesh,
       stage_fn: ``(params_one_stage, h) → h``, shape-preserving.
       stacked_params: pytree, leaves ``(S, …)`` — stage-major (see
         ``stack_stage_params``). S must equal the pipe-axis size.
-      x: ``(M, …)`` microbatched input (M ≥ 1), replicated.
+      x: microbatched activation — an array ``(M, …)`` or any pytree
+        whose leaves carry a leading microbatch axis M (e.g.
+        ``{"tokens": (M, …), "outs": (M, n_layers, …)}`` when stages
+        also fill per-layer output buffers). Replicated.
       mesh / axis: the pipe mesh axis.
 
-    Returns ``(M, …)``: microbatch i holds stage_{S−1}(…stage_0(x_i)…).
-    Differentiable (reverse pipeline runs in the same scan's transpose).
+    Returns the same structure: microbatch i holds
+    stage_{S−1}(…stage_0(x_i)…). Differentiable (the reverse pipeline
+    runs in the same scan's transpose).
     """
     S = mesh.shape[axis]
-    M = x.shape[0]
+    leaves = jax.tree.leaves(x)
+    M = leaves[0].shape[0]
     n_ticks = M + S - 1
     fwd_perm = [(i, i + 1) for i in range(S - 1)]
 
     def local(params, xs):
-        # params leaves (1, …): this chip's stage. xs (M, …): replicated.
+        # params leaves (1, …): this chip's stage. xs leaves (M, …).
         my_params = jax.tree.map(lambda p: p[0], params)
         stage_id = jax.lax.axis_index(axis)
         is_first = stage_id == 0
         is_last = stage_id == S - 1
-        zero = jnp.zeros_like(xs[0])
+        zero = jax.tree.map(lambda a: jnp.zeros_like(a[0]), xs)
 
         def tick(carry, t):
             buf, out = carry
             # Stage 0 feeds microbatch t (clipped in the drain phase —
             # results there are masked out by the write below).
             feed_idx = jnp.minimum(t, M - 1)
-            feed = jnp.where(is_first,
-                             jax.lax.dynamic_index_in_dim(
-                                 xs, feed_idx, keepdims=False),
-                             buf)
+            feed = jax.tree.map(
+                lambda a, b: jnp.where(
+                    is_first,
+                    jax.lax.dynamic_index_in_dim(a, feed_idx,
+                                                 keepdims=False), b),
+                xs, buf)
             h = stage_fn(my_params, feed)
             # The last stage owns microbatch t−(S−1) at tick t.
             out_idx = jnp.clip(t - (S - 1), 0, M - 1)
             write = is_last & (t >= S - 1)
-            cur = jax.lax.dynamic_index_in_dim(out, out_idx,
-                                               keepdims=False)
-            out = jax.lax.dynamic_update_index_in_dim(
-                out, jnp.where(write, h, cur), out_idx, 0)
+
+            def put(o, hv):
+                cur = jax.lax.dynamic_index_in_dim(o, out_idx,
+                                                   keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(
+                    o, jnp.where(write, hv, cur), out_idx, 0)
+
+            out = jax.tree.map(put, out, h)
             # Shift the ring: chip i → i+1 (chip 0 receives zeros and
             # ignores them — it reads from xs).
-            buf = jax.lax.ppermute(h, axis, fwd_perm)
+            buf = jax.tree.map(
+                lambda hv: jax.lax.ppermute(hv, axis, fwd_perm), h)
             return (buf, out), None
 
-        out0 = jnp.zeros((M,) + xs.shape[1:], xs.dtype)
+        out0 = jax.tree.map(jnp.zeros_like, xs)
         (_, out), _ = jax.lax.scan(tick, (zero, out0),
                                    jnp.arange(n_ticks))
-        return out[None]  # (1, M, …) per chip; concatenated over pipe
+        # (1, M, …) per chip; concatenated over pipe by out_specs
+        return jax.tree.map(lambda o: o[None], out)
 
     param_specs = jax.tree.map(
         lambda p: P(axis, *([None] * (p.ndim - 1))), stacked_params)
@@ -123,8 +136,8 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh: Mesh,
                    in_specs=(param_specs, P()),
                    out_specs=P(axis),
                    check_vma=False)
-    stacked_out = fn(stacked_params, x)      # (S, M, …)
-    return stacked_out[S - 1]                # only the last stage wrote
+    stacked_out = fn(stacked_params, x)      # leaves (S, M, …)
+    return jax.tree.map(lambda o: o[S - 1], stacked_out)
 
 
 def shard_params_pipeline(stacked_params, mesh: Mesh, axis: str = "pipe"):
