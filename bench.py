@@ -20,10 +20,14 @@ slow-tunnel day and recorded nothing):
     JSON line on stdout;
   * every successful measurement is persisted to .bench_last.json; if a
     kill arrives before ANY measurement completes (remote compile through a
-    degraded tunnel can take minutes and the axon plugin does not honor the
-    persistent XLA compilation cache), the handler replays the last
+    degraded tunnel can take minutes), the handler replays the last
     recorded same-hardware measurement tagged "cached": true rather than
-    recording nothing.
+    recording nothing. The persistent XLA compilation cache is NOT a fix:
+    measured round 4, the axon relay WRITES cache entries but a warm-cache
+    second process was no faster (82 s cold vs 201 s "warm" for the same
+    2048² program — backend init + server-side compile dominate and the
+    local cache cannot shortcut them), so .bench_last.json replay stays
+    the mitigation.
 """
 
 from __future__ import annotations

@@ -170,11 +170,11 @@ class DeformableConv2d(nn.Module):
         raw = nn.Conv(ch, (K, K), padding="SAME", use_bias=True,
                       dtype=self.dtype, name="offset_conv")(x)
         if self.use_mask:
-            o1, o2, m = jnp.split(raw, 3, axis=-1)
-            # torch chunks (Δy-block, Δx-block, mask) then interleaves
-            off = jnp.stack([o1, o2], axis=-1).reshape(
-                *x.shape[:3], n_off)
-            mask = jax.nn.sigmoid(m)
+            # torch: chunk(3) then cat(o1, o2) == the first 2K² channels
+            # verbatim (training assigns the torchvision (Δy, Δx)
+            # interleave meaning); mask = sigmoid of the last K².
+            off = raw[..., :n_off]
+            mask = jax.nn.sigmoid(raw[..., n_off:])
         else:
             off, mask = raw, None
         max_off = max(x.shape[1], x.shape[2]) / 4.0
@@ -368,9 +368,11 @@ def dkd_detect(score_map, max_pts: int, det_thres: float = 0.2,
         score_map, -jnp.inf, jax.lax.max, (k, k), (1, 1),
         [(radius, radius)] * 2)
     nms = jnp.where(score_map == local_max, score_map, 0.0)
+    # reference border zeroing: rows/cols [:r+1] and [-r:] (soft_detect
+    # DKD) — valid range is r+1 … size−r−1 inclusive
     yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
-    border = ((xx > radius) & (xx < W - radius - 1)
-              & (yy > radius) & (yy < H - radius - 1))
+    border = ((xx > radius) & (xx < W - radius)
+              & (yy > radius) & (yy < H - radius))
     nms = jnp.where(border, nms, 0.0)
 
     top, idx = jax.lax.top_k(nms.reshape(-1), max_pts)

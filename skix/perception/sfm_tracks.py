@@ -366,17 +366,18 @@ def predict_tracks(track_model, variables, images, features, *,
                    final_max_pts: int = 2048, seed: int = 0,
                    frame_rank_feats=None,
                    extractor_method: str = "shi_tomasi",
-                   superpoint=None) -> SfmTracks:
+                   superpoint=None, aliked=None) -> SfmTracks:
     """Predict point tracks across a clip (track_predict.py:12 semantics).
 
     ``images`` (S, H, W[, 3]) in [0, 1]; ``features`` (S, gh, gw, C) frame
     feature maps for the track head (e.g. VGGT aggregator tokens).
     ``frame_rank_feats`` optionally overrides the per-frame descriptors used
     for query-frame ranking (default: spatial mean of ``features``).
-    ``extractor_method``/``superpoint`` select the query keypoint
-    extractors (:func:`initialize_feature_extractors`) — pass
+    ``extractor_method``/``superpoint``/``aliked`` select the query
+    keypoint extractors (:func:`initialize_feature_extractors`) — pass
     ``extractor_method="sp"`` with converted SuperPoint weights for the
-    reference's learned-extractor path.
+    converter-verified learned path, or ``"aliked"`` with an
+    ``(ALIKED, variables)`` pair for the reference's default extractor.
     """
     images_np = np.asarray(images)
     S = images_np.shape[0]
@@ -393,7 +394,8 @@ def predict_tracks(track_model, variables, images, features, *,
     # Build the extractor dict ONCE per call (not per query frame) — the
     # missing-weights fallback warning fires once and the dict is reused.
     extractors = initialize_feature_extractors(
-        max_query_pts, det_thres, extractor_method, superpoint)
+        max_query_pts, det_thres, extractor_method, superpoint,
+        aliked=aliked)
     kw = dict(extractors=extractors, chunk=chunk,
               conf=conf, points_3d=points_3d, conf_thresh=conf_thresh,
               min_conf_keep=min_conf_keep, rng=rng)

@@ -251,7 +251,10 @@ def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
         conf_thresh=float(cfg.get("sfm_conf_thresh", 1.2)),
         min_vis=int(cfg.get("sfm_min_vis", 500)),
         extractor_method=str(cfg.get("sfm_extractor", "sp")),
-        superpoint=_load_superpoint(cfg.get("sfm_superpoint_checkpoint")))
+        superpoint=_load_superpoint(cfg.get("sfm_superpoint_checkpoint")),
+        aliked=_load_aliked(cfg.get("sfm_aliked_checkpoint"),
+                            str(cfg.get("sfm_aliked_model",
+                                        "aliked-n16"))))
 
     extr = np.concatenate([cams["R"], cams["t"][..., None]], axis=-1)
     masks = tracks.vis_scores > float(cfg.get("sfm_vis_thresh", 0.05))
@@ -340,6 +343,28 @@ def _load_superpoint(ckpt):
 
         sd = dict(_np.load(p))
     return SuperPoint(), convert_superpoint(sd)
+
+
+def _load_aliked(ckpt, model_name="aliked-n16"):
+    """(ALIKED, variables) from a lightglue-layout checkpoint, or None
+    (→ initialize_feature_extractors warns and drops the method). See
+    skix/perception/aliked.py for the converter-verification caveat."""
+    if not ckpt or not Path(ckpt).exists():
+        return None
+    from skix.perception.aliked import ALIKED, convert_aliked
+
+    p = str(ckpt)
+    if p.endswith((".pt", ".pth")):
+        import torch
+
+        sd = torch.load(p, map_location="cpu", weights_only=True)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+    else:
+        import numpy as _np
+
+        sd = dict(_np.load(p))
+    backbone_vars, _sddh = convert_aliked(sd, model_name)
+    return ALIKED(model_name=model_name), backbone_vars
 
 
 def load_or_init_track_head(head, token_shape, cfg):
