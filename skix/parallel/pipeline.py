@@ -64,7 +64,8 @@ def sequential_apply(stage_fn: Callable, stacked_params, x):
 
 
 def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh: Mesh,
-                   axis: str = "pipe"):
+                   axis: str = "pipe", *, data_axis: str | None = None,
+                   remat: bool = False):
     """Run ``x`` through S pipelined stages sharded over ``mesh[axis]``.
 
     Args:
@@ -74,8 +75,19 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh: Mesh,
       x: microbatched activation — an array ``(M, …)`` or any pytree
         whose leaves carry a leading microbatch axis M (e.g.
         ``{"tokens": (M, …), "outs": (M, n_layers, …)}`` when stages
-        also fill per-layer output buffers). Replicated.
+        also fill per-layer output buffers). Replicated over the pipe
+        axis; see ``data_axis`` to shard it.
       mesh / axis: the pipe mesh axis.
+      data_axis: optional second mesh axis sharding every activation
+        leaf's SECOND dimension (the batch inside a microbatch) — DP×PP
+        on one mesh: each (data, pipe) chip holds its batch slice of its
+        stage, ppermute moves slices stage→stage within a data shard.
+        stage_fn must be elementwise over that dimension (true for
+        batch-parallel networks).
+      remat: rematerialize each stage in the backward pass
+        (``jax.checkpoint`` around ``stage_fn``) — the standard PP
+        memory bound: activations are stored once per (tick, stage)
+        boundary, not per layer inside a stage.
 
     Returns the same structure: microbatch i holds
     stage_{S−1}(…stage_0(x_i)…). Differentiable (the reverse pipeline
@@ -86,6 +98,8 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh: Mesh,
     M = leaves[0].shape[0]
     n_ticks = M + S - 1
     fwd_perm = [(i, i + 1) for i in range(S - 1)]
+    if remat:
+        stage_fn = jax.checkpoint(stage_fn)
 
     def local(params, xs):
         # params leaves (1, …): this chip's stage. xs leaves (M, …).
@@ -132,9 +146,11 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh: Mesh,
 
     param_specs = jax.tree.map(
         lambda p: P(axis, *([None] * (p.ndim - 1))), stacked_params)
+    x_spec = P() if data_axis is None else P(None, data_axis)
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(param_specs, P()),
-                   out_specs=P(axis),
+                   in_specs=(param_specs, x_spec),
+                   out_specs=(P(axis) if data_axis is None
+                              else P(axis, None, data_axis)),
                    check_vma=False)
     stacked_out = fn(stacked_params, x)      # leaves (S, M, …)
     return jax.tree.map(lambda o: o[S - 1], stacked_out)

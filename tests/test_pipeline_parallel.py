@@ -100,6 +100,49 @@ class TestPipelineBackward:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6), gp, gs)
 
+    def test_remat_grad_parity(self):
+        # jax.checkpoint around the stage must not change gradients.
+        rng = np.random.default_rng(9)
+        S, M, D = 4, 4, 8
+        mesh = make_mesh({"pipe": S}, devices=jax.devices()[:S])
+        params = _make_params(rng, S, D)
+        x = jnp.asarray(rng.normal(size=(M, 2, D)))
+
+        def loss(p, rm):
+            return jnp.mean(pipeline_apply(_mlp_stage, p, x, mesh,
+                                           remat=rm) ** 2)
+
+        g0 = jax.grad(lambda p: loss(p, False))(params)
+        g1 = jax.grad(lambda p: loss(p, True))(params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6), g0, g1)
+
+    def test_dp_pp_composition(self):
+        # data axis shards the within-microbatch batch; pipe axis the
+        # stages — parity with the sequential single-device fold.
+        rng = np.random.default_rng(10)
+        S, M, B, D = 4, 4, 4, 8
+        mesh = make_mesh({"data": 2, "pipe": S})
+        params = _make_params(rng, S, D)
+        x = jnp.asarray(rng.normal(size=(M, B, D)))
+        ref = sequential_apply(_mlp_stage, params, x)
+        out = pipeline_apply(_mlp_stage, params, x, mesh,
+                             data_axis="data")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+        # and gradients through the composed mesh
+        def loss_pp(p):
+            return jnp.mean(pipeline_apply(_mlp_stage, p, x, mesh,
+                                           data_axis="data") ** 2)
+
+        def loss_seq(p):
+            return jnp.mean(sequential_apply(_mlp_stage, p, x) ** 2)
+
+        gp = jax.grad(loss_pp)(params)
+        gs = jax.grad(loss_seq)(params)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6), gp, gs)
+
     def test_train_step_improves_loss(self):
         # One SGD step through the pipelined loss must reduce it.
         rng = np.random.default_rng(5)
