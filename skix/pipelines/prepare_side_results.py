@@ -85,16 +85,78 @@ def build_fov_estimator(cfg):
     return MoGeFovEstimator(model, variables)
 
 
+def build_human_detector(cfg):
+    """Optional detector-in-the-loop (reference tools/build_detector.py:10
+    ``HumanDetector`` over ``cascade_mask_rcnn_vitdet_h_75ep``): used when
+    a record carries no precomputed person bbox
+    (sam_3d_body_estimator.py:110-121). ``detector_name: ''`` disables it
+    (reference prints "No human detector is used...")."""
+    name = cfg.get("detector_name") or ""
+    if not name:
+        return None
+    if name != "vitdet":
+        raise ValueError(f"unknown detector_name {name!r} (only 'vitdet')")
+    from skix.models.cascade_rcnn import CascadeMaskRCNN, HumanDetector
+
+    model = CascadeMaskRCNN(
+        embed_dim=int(cfg.get("detector_embed_dim", 1280)),
+        depth=int(cfg.get("detector_depth", 32)),
+        num_heads=int(cfg.get("detector_num_heads", 16)),
+        window_size=int(cfg.get("detector_window", 14)),
+        global_indexes=tuple(
+            cfg.get("detector_global_indexes", (7, 15, 23, 31))),
+    )
+    variables = None
+    ckpt = cfg.get("detector_checkpoint")
+    if ckpt and Path(ckpt).exists():
+        from skix.pipelines.videopose3d import load_checkpoint
+
+        variables = load_checkpoint(ckpt)
+    else:
+        log.warning("no human-detector checkpoint configured — random "
+                    "init (smoke mode)")
+    return HumanDetector(model, variables,
+                         image_size=int(cfg.get("detector_image_size",
+                                                1024)))
+
+
+def _process_detected_people(estimator, frames, human_detector, cfg,
+                             image_focal=None):
+    """No-bbox path with a detector in the loop (reference
+    sam_3d_body_estimator.py:110-121 + infer.py athlete selection): run
+    the estimator on EVERY detected-person slot, then pick the athlete
+    per frame (closest camera depth + temporal continuity)."""
+    from skix.models.sam3d_body import select_closest_person
+
+    det_boxes, det_valid = human_detector.detect_clip(
+        frames,
+        batch_size=int(cfg.get("detector_batch", 4)),
+        bbox_thr=float(cfg.get("detector_bbox_thr", 0.5)),
+        max_people=int(cfg.get("max_people", 4)))
+    T, n_slots = det_valid.shape
+    per_slot = [estimator.process_clip(
+        frames, det_boxes[:, n],
+        batch_size=int(cfg.get("batch_size", 8)),
+        image_focal=image_focal,
+        inference_type=str(cfg.get("inference_type", "body")))
+        for n in range(n_slots)]
+    outputs, prev = [], None
+    for t in range(T):
+        cands = [per_slot[n][t] for n in range(n_slots) if det_valid[t, n]]
+        pick = select_closest_person(cands, prev) or per_slot[0][t]
+        outputs.append(pick)
+        prev = pick
+    return outputs
+
+
 def process_one_video(estimator, record_path: Path, out_dir: Path, cfg,
-                      fov_estimator=None) -> int:
+                      fov_estimator=None, human_detector=None) -> int:
     from skix.io import load_pt_info
 
     info = load_pt_info(record_path)
     if info.frames is None:
         raise ValueError(f"{record_path} has no stored frames")
     bboxes = info.yolo_bbox if info.yolo_bbox is not None else info.d2_bbox
-    if bboxes is None:
-        raise ValueError(f"{record_path} has no person bboxes")
     image_focal = None
     if fov_estimator is not None:
         # Reference runs MoGe per image and keeps ONLY the vertical focal
@@ -104,6 +166,22 @@ def process_one_video(estimator, record_path: Path, out_dir: Path, cfg,
         Ks = fov_estimator.intrinsics_for_clip(info.frames[::stride])
         image_focal = np.repeat(Ks[:, 1, 1],
                                 stride)[: info.frames.shape[0]]
+    if bboxes is None:
+        if human_detector is not None:
+            outputs = _process_detected_people(
+                estimator, info.frames, human_detector, cfg,
+                image_focal=image_focal)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for t, out in enumerate(outputs):
+                np.savez(out_dir / f"frame_{t:06d}_sam_3d_body_outputs.npz",
+                         **out)
+            return len(outputs)
+        # reference else-branch (sam_3d_body_estimator.py:123-125): one
+        # full-image box per frame, is_crop=False
+        T, H, W = info.frames.shape[:3]
+        log.warning("%s has no person bboxes and no detector configured "
+                    "— full-image crops", record_path.name)
+        bboxes = np.tile(np.asarray([0.0, 0.0, W, H], np.float32), (T, 1))
     masks = None
     if bool(cfg.get("use_mask", False)):
         # mask-conditioned inference (reference process_one_image
@@ -131,6 +209,7 @@ def main(cfg):
     logging.basicConfig(level=logging.INFO)
     estimator = build_estimator(cfg)
     fov_estimator = build_fov_estimator(cfg)
+    human_detector = build_human_detector(cfg)
     root = Path(cfg.paths.pt_root)
     out_root = Path(cfg.paths.out_root)
     report = {}
@@ -143,7 +222,8 @@ def main(cfg):
                 continue
             try:
                 n = process_one_video(estimator, rec, out_dir, cfg,
-                                      fov_estimator=fov_estimator)
+                                      fov_estimator=fov_estimator,
+                                      human_detector=human_detector)
                 report[f"{person_dir.name}/{rec.stem}"] = n
                 log.info("%s/%s: %d frames", person_dir.name, rec.stem, n)
             except Exception:  # noqa: BLE001 — per-video isolation + summary
