@@ -288,6 +288,17 @@ class SAM3DBody(nn.Module):
     max_prompts: int = 8
     focal_length: float = 5000.0  # crop-relative default focal
     rig_name: str = "default"
+    # backbone family (reference backbones/__init__.py create_backbone:
+    # 'vit_hmr' ViT variants vs 'dinov3_*' Dinov3Backbone wrappers).
+    # 'dino' routes the trunk through the shared DINOv2-shaped
+    # skix.models.layers.VisionTransformer (register tokens + LayerScale,
+    # converter-tested seam: skix.models.vggt_convert.
+    # convert_dinov2_backbone) — it stands in for the hub-loaded DINOv3
+    # wrapper (dinov3.py:16 loads pretrained=False from torch.hub; the
+    # reference vendors no DINOv3 source, so the RoPE-exact v3 trunk is a
+    # documented omission and this is the nearest vendored family).
+    backbone: str = "vit_hmr"
+    backbone_registers: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -312,16 +323,30 @@ class SAM3DBody(nn.Module):
         checkpoints are stable across both call styles."""
         B = crops.shape[0]
         x = (crops - 0.5) / 0.5
-        tokens = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
-                            name="patch_embed")(x.astype(self.dtype))
-        P = tokens.shape[1]
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, P, self.embed_dim))
-        tokens = tokens + pos.astype(self.dtype)
-        for i in range(self.depth):
-            tokens = Block(self.num_heads, 4.0, dtype=self.dtype,
-                           name=f"block_{i}")(tokens)
-        tokens = nn.LayerNorm(dtype=self.dtype, name="backbone_norm")(tokens)
+        if self.backbone.startswith("dino"):
+            # Dinov3Backbone.forward (dinov3.py:25-37): normalized
+            # last-layer patch tokens (get_intermediate_layers n=1,
+            # norm=True) — VisionTransformer returns exactly
+            # x_norm_patchtokens (cls/register stripped)
+            from skix.models.layers import VisionTransformer
+
+            tokens = VisionTransformer(
+                patch_size=self.patch_size, embed_dim=self.embed_dim,
+                depth=self.depth, num_heads=self.num_heads,
+                num_register_tokens=self.backbone_registers,
+                dtype=self.dtype, name="dino_backbone")(x.astype(self.dtype))
+        else:
+            tokens = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
+                                name="patch_embed")(x.astype(self.dtype))
+            P = tokens.shape[1]
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (1, P, self.embed_dim))
+            tokens = tokens + pos.astype(self.dtype)
+            for i in range(self.depth):
+                tokens = Block(self.num_heads, 4.0, dtype=self.dtype,
+                               name=f"block_{i}")(tokens)
+            tokens = nn.LayerNorm(dtype=self.dtype,
+                                  name="backbone_norm")(tokens)
 
         # mask-prompt conditioning (reference _get_mask_prompt :766-789 +
         # image_embeddings += mask_embeddings :1109). Params are created

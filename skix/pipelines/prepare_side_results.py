@@ -36,6 +36,7 @@ def build_estimator(cfg):
         num_heads=int(cfg.get("num_heads", 6)),
         decoder_depth=int(cfg.get("decoder_depth", 4)),
         focal_length=float(cfg.get("crop_focal", 5000.0)),
+        backbone=str(cfg.get("backbone", "vit_hmr")),
     )
     variables = None
     ckpt = cfg.get("checkpoint")

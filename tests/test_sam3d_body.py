@@ -413,3 +413,81 @@ class TestMaskConditioning:
         est2 = SAM3DBodyEstimator(model, old)
         outs = est2.process_clip(frames, bboxes, batch_size=2, masks=masks)
         assert np.all(np.isfinite(outs[0]["pred_keypoints_3d"]))
+
+
+class TestDinoBackbone:
+    """backbone='dino' routes the trunk through the shared DINOv2-shaped
+    VisionTransformer (reference create_backbone's Dinov3Backbone slot,
+    backbones/__init__.py:21-31 + dinov3.py:25-37 normalized patch
+    tokens)."""
+
+    def _dino(self):
+        return SAM3DBody(crop_size=64, patch_size=16, embed_dim=32,
+                         depth=2, num_heads=2, decoder_depth=1,
+                         decoder_dim=32, backbone="dino")
+
+    def test_forward_and_mask_alignment(self):
+        model = self._dino()
+        crops = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), crops)
+        assert "dino_backbone" in v["params"]
+        assert "patch_embed" not in v["params"]     # vit_hmr trunk absent
+        out = model.apply(v, crops)
+        assert out.joints_3d.shape == (2, 70, 3)
+        for leaf in jax.tree.leaves(out):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        # the 16x mask downscale lands on the dino patch grid too
+        mask = jnp.ones((2, 64, 64, 1), jnp.float32)
+        out_m = model.apply(v, crops, mask=mask, mask_score=jnp.ones((2,)))
+        assert not np.allclose(np.asarray(out_m.joints_3d),
+                               np.asarray(out.joints_3d))
+
+    def test_dinov2_converter_seam(self):
+        """convert_dinov2_backbone output slots 1:1 into the
+        dino_backbone subtree (the checkpoint seam for hub DINO
+        weights)."""
+        from skix.models.vggt_convert import convert_dinov2_backbone
+
+        model = self._dino()
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        want = v["params"]["dino_backbone"]
+        P = (64 // 16) ** 2
+        lrng = np.random.default_rng(0)
+        sd = {
+            "cls_token": lrng.standard_normal((1, 1, 32)),
+            "register_tokens": lrng.standard_normal((1, 4, 32)),
+            "pos_embed": lrng.standard_normal((1, P + 1, 32)),
+            "patch_embed.proj.weight": lrng.standard_normal((32, 3, 16, 16)),
+            "patch_embed.proj.bias": lrng.standard_normal((32,)),
+            "norm.weight": np.ones(32), "norm.bias": np.zeros(32),
+        }
+        for i in range(2):
+            p = f"blocks.{i}"
+            sd.update({
+                f"{p}.norm1.weight": np.ones(32),
+                f"{p}.norm1.bias": np.zeros(32),
+                f"{p}.attn.qkv.weight": lrng.standard_normal((96, 32)),
+                f"{p}.attn.qkv.bias": lrng.standard_normal((96,)),
+                f"{p}.attn.proj.weight": lrng.standard_normal((32, 32)),
+                f"{p}.attn.proj.bias": lrng.standard_normal((32,)),
+                f"{p}.ls1.gamma": lrng.standard_normal((32,)),
+                f"{p}.norm2.weight": np.ones(32),
+                f"{p}.norm2.bias": np.zeros(32),
+                f"{p}.mlp.fc1.weight": lrng.standard_normal((128, 32)),
+                f"{p}.mlp.fc1.bias": lrng.standard_normal((128,)),
+                f"{p}.mlp.fc2.weight": lrng.standard_normal((32, 128)),
+                f"{p}.mlp.fc2.bias": lrng.standard_normal((32,)),
+                f"{p}.ls2.gamma": lrng.standard_normal((32,)),
+            })
+        sd = {k: np.asarray(val, np.float32) for k, val in sd.items()}
+        got = convert_dinov2_backbone(sd, depth=2)
+        flat_w = dict(jax.tree_util.tree_flatten_with_path(want)[0])
+        flat_g = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+        assert set(flat_g) == set(flat_w)
+        for k in flat_w:
+            assert flat_g[k].shape == flat_w[k].shape, k
+        merged = dict(v["params"])
+        merged["dino_backbone"] = got
+        out = model.apply({"params": merged},
+                          jnp.full((1, 64, 64, 3), 0.5))
+        assert np.all(np.isfinite(np.asarray(out.joints_3d)))
