@@ -290,13 +290,14 @@ class SAM3DBody(nn.Module):
     rig_name: str = "default"
     # backbone family (reference backbones/__init__.py create_backbone:
     # 'vit_hmr' ViT variants vs 'dinov3_*' Dinov3Backbone wrappers).
-    # 'dino' routes the trunk through the shared DINOv2-shaped
+    # 'dinov3' = the DINOv3-exact RoPE trunk (skix.models.dinov3:
+    # axial-RoPE patch tokens, cls + storage tokens, hub-layout
+    # converter; numeric parity unverifiable offline — the reference
+    # itself hub-loads it pretrained=False, dinov3.py:16).
+    # 'dino' = the shared DINOv2-shaped
     # skix.models.layers.VisionTransformer (register tokens + LayerScale,
     # converter-tested seam: skix.models.vggt_convert.
-    # convert_dinov2_backbone) — it stands in for the hub-loaded DINOv3
-    # wrapper (dinov3.py:16 loads pretrained=False from torch.hub; the
-    # reference vendors no DINOv3 source, so the RoPE-exact v3 trunk is a
-    # documented omission and this is the nearest vendored family).
+    # convert_dinov2_backbone), the nearest vendored-family stand-in.
     backbone: str = "vit_hmr"
     backbone_registers: int = 4
     dtype: jnp.dtype = jnp.float32
@@ -323,7 +324,18 @@ class SAM3DBody(nn.Module):
         checkpoints are stable across both call styles."""
         B = crops.shape[0]
         x = (crops - 0.5) / 0.5
-        if self.backbone.startswith("dino"):
+        if self.backbone == "dinov3":
+            # DINOv3-exact trunk (axial RoPE, storage tokens) — the hub
+            # architecture Dinov3Backbone loads (dinov3.py:16); converter
+            # seam: skix.models.dinov3.convert_dinov3_trunk
+            from skix.models.dinov3 import Dinov3Trunk
+
+            tokens = Dinov3Trunk(
+                patch_size=self.patch_size, embed_dim=self.embed_dim,
+                depth=self.depth, num_heads=self.num_heads,
+                n_storage_tokens=self.backbone_registers,
+                dtype=self.dtype, name="dino_backbone")(x.astype(self.dtype))
+        elif self.backbone.startswith("dino"):
             # Dinov3Backbone.forward (dinov3.py:25-37): normalized
             # last-layer patch tokens (get_intermediate_layers n=1,
             # norm=True) — VisionTransformer returns exactly
