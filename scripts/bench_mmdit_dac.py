@@ -23,15 +23,21 @@ import numpy as np
 
 
 def bench_mmdit():
-    from skix.models.mmdit import MMDiT, flow_matching_edit
+    from skix.models.mmdit import QwenImageDiT, edit_plus_sample
 
-    model = MMDiT(patch_size=2, in_channels=16, dim=2048, depth=18,
-                  num_heads=16, text_dim=1024, axes_dim=(24, 52, 52))
-    lat = jnp.zeros((1, 64, 64, 16), jnp.float32)
+    # 1B-class config at the reference's head geometry (head_dim 128,
+    # axes 16/56/56); 512px → 32×32 latent grid → 1024 target tokens
+    # + 1024 source-image tokens per Edit-Plus step
+    model = QwenImageDiT(in_channels=64, out_channels=16, num_layers=18,
+                         attention_head_dim=128, num_attention_heads=16,
+                         joint_attention_dim=1024,
+                         axes_dims_rope=(16, 56, 56))
+    fhw = ((1, 32, 32), (1, 32, 32))
+    lat = jnp.zeros((1, 1024, 64), jnp.float32)
     txt = jnp.zeros((1, 16, 1024), jnp.float32)
     t0 = time.time()
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), lat, txt,
-                                    jnp.zeros((1,)))
+    variables = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), lat, txt, jnp.zeros((1,)), fhw[:1])
     n = sum(x.size for x in jax.tree.leaves(variables))
     print(f"mmdit init {time.time()-t0:.0f}s, params {n/1e6:.0f} M",
           flush=True)
@@ -40,8 +46,9 @@ def bench_mmdit():
 
     # chain INSIDE jit (eager ops between calls cost ~50 ms through the
     # axon tunnel and inflate measurements)
-    sample = jax.jit(lambda v, z, k: flow_matching_edit(
-        model, v, z * 0.99, txt, num_steps=4, key=k, strength=1.0))
+    sample = jax.jit(lambda v, z, k: edit_plus_sample(
+        model, v, jax.random.normal(k, z.shape, z.dtype), z, txt, fhw,
+        num_steps=4))
     t0 = time.time()
     out = sample(variables, lat, jax.random.PRNGKey(1))
     _ = float(jnp.sum(out.astype(jnp.float32)))

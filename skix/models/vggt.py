@@ -276,37 +276,65 @@ class CameraHead(nn.Module):
 # DPT head (dense prediction)
 # --------------------------------------------------------------------------
 class _FusionBlock(nn.Module):
+    """Reference FeatureFusionBlock (dpt_head.py:399): residual add →
+    resConfUnit2 → align-corners-True resize to the NEXT level's size
+    (``out_size``; scale 2 when None) → out_conv."""
+
     features: int
     has_residual: bool = True
 
     @nn.compact
-    def __call__(self, x, res=None):
+    def __call__(self, x, res=None, out_size=None):
         def res_unit(h, name):
-            out = nn.relu(h)
+            # the reference's ResidualConvUnit uses ReLU(inplace=True)
+            # (dpt_head.py:301,376): `out = activation(x)` MUTATES x, so
+            # the skip at :386 adds relu(h), not h — replicated here
+            a = nn.relu(h)
             out = nn.Conv(self.features, (3, 3), padding="SAME",
-                          name=f"{name}_conv1")(out)
+                          name=f"{name}_conv1")(a)
             out = nn.relu(out)
             out = nn.Conv(self.features, (3, 3), padding="SAME",
                           name=f"{name}_conv2")(out)
-            return h + out
+            return a + out
 
         if self.has_residual and res is not None:
-            if x.shape[1:3] != res.shape[1:3]:
-                # odd grids (e.g. 518/14 = 37): the 2× upsample of the
-                # coarser level overshoots by one — align to the skip
-                x = jax.image.resize(
-                    x, (x.shape[0], res.shape[1], res.shape[2], x.shape[3]),
-                    "bilinear")
             x = x + res_unit(res, "res_unit1")
         x = res_unit(x, "res_unit2")
-        B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), "bilinear")
+        H, W = x.shape[1], x.shape[2]
+        x = _resize_align_corners(
+            x, out_size if out_size is not None else (H * 2, W * 2))
         return nn.Conv(self.features, (1, 1), name="out_conv")(x)
+
+
+def _resize_align_corners(x, out_hw):
+    """Separable bilinear resize with torch ``align_corners=True``
+    semantics (reference dpt_head.py custom_interpolate): output index
+    ``i`` samples source ``i·(n1−1)/(n2−1)``. ``x (..., H, W, C)``."""
+    H, W = x.shape[-3], x.shape[-2]
+    h2, w2 = out_hw
+
+    def taps(n1, n2):
+        src = (np.zeros(1) if n2 == 1
+               else np.arange(n2) * (n1 - 1) / (n2 - 1))
+        i0 = np.clip(np.floor(src).astype(np.int64), 0, n1 - 1)
+        i1 = np.minimum(i0 + 1, n1 - 1)
+        return i0, i1, jnp.asarray((src - i0).astype(np.float32))
+
+    y0, y1, wy = taps(H, h2)
+    x0, x1, wx = taps(W, w2)
+    a = (x[..., y0, :, :] * (1 - wy)[:, None, None]
+         + x[..., y1, :, :] * wy[:, None, None])
+    return (a[..., x0, :] * (1 - wx)[:, None]
+            + a[..., x1, :] * wx[:, None])
 
 
 class DPTHead(nn.Module):
     """Dense prediction head over 4 aggregator taps
-    (reference heads/dpt_head.py:21-140)."""
+    (reference heads/dpt_head.py:21-140). ``feature_only`` +
+    ``down_ratio`` give the track-head feature-extractor variant
+    (track_head.py:50: output_conv1 keeps ``features`` channels and the
+    fused map is align-corners-interpolated to ``H/down_ratio`` with no
+    output head)."""
 
     dim_in: int = 2048
     patch_size: int = 14
@@ -315,12 +343,16 @@ class DPTHead(nn.Module):
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
     activation: str = "inv_log"
     conf_activation: str = "expp1"
+    feature_only: bool = False
+    down_ratio: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, taps, images_hw, patch_start_idx: int):
         """``taps``: list of 4 token tensors ``(B, S, P, dim_in)``;
-        returns ``(pred (B, S, H, W, output_dim−1), conf (B, S, H, W))``."""
+        returns ``(pred (B, S, H, W, output_dim−1), conf (B, S, H, W))``
+        — or ``(B, S, H/down_ratio, W/down_ratio, features)`` feature
+        maps when ``feature_only``."""
         H, W = images_hw
         gh, gw = H // self.patch_size, W // self.patch_size
         feats = []
@@ -347,15 +379,26 @@ class DPTHead(nn.Module):
             feats.append(x)
 
         f4 = _FusionBlock(self.features, has_residual=False,
-                          name="refine4")(feats[3])
-        f3 = _FusionBlock(self.features, name="refine3")(f4, feats[2])
-        f2 = _FusionBlock(self.features, name="refine2")(f3, feats[1])
+                          name="refine4")(feats[3],
+                                          out_size=feats[2].shape[1:3])
+        f3 = _FusionBlock(self.features, name="refine3")(
+            f4, feats[2], out_size=feats[1].shape[1:3])
+        f2 = _FusionBlock(self.features, name="refine2")(
+            f3, feats[1], out_size=feats[0].shape[1:3])
         f1 = _FusionBlock(self.features, name="refine1")(f2, feats[0])
+
+        if self.feature_only:
+            B = taps[0].shape[0]
+            S = taps[0].shape[1]
+            h = nn.Conv(self.features, (3, 3), padding="SAME",
+                        name="out_conv1")(f1)
+            h = _resize_align_corners(
+                h, (H // self.down_ratio, W // self.down_ratio))
+            return h.reshape(B, S, *h.shape[1:])
 
         h = nn.Conv(self.features // 2, (3, 3), padding="SAME",
                     name="out_conv1")(f1)
-        Bs, hh, ww, _ = h.shape
-        h = jax.image.resize(h, (Bs, H, W, h.shape[-1]), "bilinear")
+        h = _resize_align_corners(h, (H, W))
         h = nn.Conv(32, (3, 3), padding="SAME", name="out_conv2a")(h)
         h = nn.relu(h)
         h = nn.Conv(self.output_dim, (1, 1), name="out_conv2b")(h)
@@ -388,6 +431,7 @@ class VGGT(nn.Module):
     patch_embed_kind: str = "conv"
     remat: bool = False  # rematerialize aggregator blocks (training)
     return_tokens: bool = False  # expose (B,S,gh,gw,2E) patch tokens
+    return_taps: bool = False    # expose the 4 intermediate tap tensors
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -433,6 +477,10 @@ class VGGT(nn.Module):
             gw = W // self.patch_size
             result["tokens"] = last[:, :, patch_start:, :].reshape(
                 B, S, gh, gw, last.shape[-1])
+        if self.return_taps:
+            # full tap tensors (incl. special tokens) for the track head
+            result["taps"] = tuple(taps)
+            result["patch_start_idx"] = patch_start
         return result
 
 

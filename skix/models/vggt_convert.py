@@ -103,12 +103,126 @@ def convert_dinov2_backbone(sd, depth: int, prefix: str = "") -> dict:
     return p
 
 
+def _convert_dpt(sd, head: str, feature_only: bool = False) -> dict:
+    """One reference DPTHead (dpt_head.py) → skix DPTHead params. The
+    reference shares one pre-projection LayerNorm across taps
+    (dpt_head.py:66) which maps onto each per-tap ``norm_{i}`` here.
+    ``feature_only`` heads (the track feature extractor) have no
+    output_conv2."""
+    hp: dict = {}
+    for i in range(4):
+        hp[f"norm_{i}"] = _ln(sd, f"{head}.norm")
+        hp[f"project_{i}"] = _conv(sd, f"{head}.projects.{i}")
+        if i != 2:
+            key = f"{head}.resize_layers.{i}"
+            w = _np(sd[f"{key}.weight"])
+            if i < 2:
+                # torch ConvTranspose2d (in, out, kh, kw) → flax
+                # (kh, kw, in, out) SPATIALLY FLIPPED (lax.conv_transpose
+                # does not mirror the kernel; torch does)
+                hp[f"resize_{i}"] = {
+                    "kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy()}
+            else:
+                hp[f"resize_{i}"] = {"kernel": w.transpose(2, 3, 1, 0)}
+            if f"{key}.bias" in sd:
+                hp[f"resize_{i}"]["bias"] = _np(sd[f"{key}.bias"])
+        hp[f"scratch_{i}"] = _conv(sd, f"{head}.scratch.layer{i + 1}_rn")
+    for j, name in ((4, "refine4"), (3, "refine3"), (2, "refine2"),
+                    (1, "refine1")):
+        pref = f"{head}.scratch.refinenet{j}"
+        blk = {"out_conv": _conv(sd, f"{pref}.out_conv")}
+        for ours, theirs in (("res_unit1", "resConfUnit1"),
+                             ("res_unit2", "resConfUnit2")):
+            if f"{pref}.{theirs}.conv1.weight" in sd:
+                blk[f"{ours}_conv1"] = _conv(sd, f"{pref}.{theirs}.conv1")
+                blk[f"{ours}_conv2"] = _conv(sd, f"{pref}.{theirs}.conv2")
+        hp[name] = blk
+    hp["out_conv1"] = _conv(sd, f"{head}.scratch.output_conv1")
+    if not feature_only:
+        hp["out_conv2a"] = _conv(sd, f"{head}.scratch.output_conv2.0")
+        hp["out_conv2b"] = _conv(sd, f"{head}.scratch.output_conv2.2")
+    return hp
+
+
+def _mha(sd, prefix):
+    """torch nn.MultiheadAttention → skix TorchMHA (packed layout kept)."""
+    return {
+        "in_proj_weight": _np(sd[f"{prefix}.in_proj_weight"]),
+        "in_proj_bias": _np(sd[f"{prefix}.in_proj_bias"]),
+        "out_proj": _lin(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _attn_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "attn": _mha(sd, f"{prefix}.attn"),
+        "mlp": {"fc1": _lin(sd, f"{prefix}.mlp.fc1"),
+                "fc2": _lin(sd, f"{prefix}.mlp.fc2")},
+    }
+
+
+def _cross_attn_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm_context": _ln(sd, f"{prefix}.norm_context"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "cross_attn": _mha(sd, f"{prefix}.cross_attn"),
+        "mlp": {"fc1": _lin(sd, f"{prefix}.mlp.fc1"),
+                "fc2": _lin(sd, f"{prefix}.mlp.fc2")},
+    }
+
+
+def convert_track_head(sd, prefix: str = "track_head.",
+                       space_depth: int = 6, time_depth: int = 6) -> dict:
+    """Reference TrackHead (track_head.py + track_modules/) →
+    skix.models.track_head.TrackHead params."""
+    t = f"{prefix}tracker."
+    uf: dict = {
+        "input_norm": _ln(sd, f"{t}updateformer.input_norm"),
+        "input_transform": _lin(sd, f"{t}updateformer.input_transform"),
+        "output_norm": _ln(sd, f"{t}updateformer.output_norm"),
+        "flow_head": _lin(sd, f"{t}updateformer.flow_head"),
+        "virual_tracks": _np(sd[f"{t}updateformer.virual_tracks"]),
+    }
+    for i in range(time_depth):
+        uf[f"time_blocks_{i}"] = _attn_block(
+            sd, f"{t}updateformer.time_blocks.{i}")
+    for j in range(space_depth):
+        uf[f"space_virtual_blocks_{j}"] = _attn_block(
+            sd, f"{t}updateformer.space_virtual_blocks.{j}")
+        uf[f"space_point2virtual_blocks_{j}"] = _cross_attn_block(
+            sd, f"{t}updateformer.space_point2virtual_blocks.{j}")
+        uf[f"space_virtual2point_blocks_{j}"] = _cross_attn_block(
+            sd, f"{t}updateformer.space_virtual2point_blocks.{j}")
+    tracker: dict = {
+        "corr_mlp": {"fc1": _lin(sd, f"{t}corr_mlp.fc1"),
+                     "fc2": _lin(sd, f"{t}corr_mlp.fc2")},
+        "query_ref_token": _np(sd[f"{t}query_ref_token"]),
+        "updateformer": uf,
+        "fmap_norm": _ln(sd, f"{t}fmap_norm"),
+        "ffeat_norm": {"scale": _np(sd[f"{t}ffeat_norm.weight"]),
+                       "bias": _np(sd[f"{t}ffeat_norm.bias"])},
+        "ffeat_updater": _lin(sd, f"{t}ffeat_updater.0"),
+        "vis_predictor": _lin(sd, f"{t}vis_predictor.0"),
+    }
+    if f"{t}conf_predictor.0.weight" in sd:
+        tracker["conf_predictor"] = _lin(sd, f"{t}conf_predictor.0")
+    return {
+        "feature_extractor": _convert_dpt(
+            sd, f"{prefix}feature_extractor", feature_only=True),
+        "tracker": tracker,
+    }
+
+
 def convert_vggt_reference_state_dict(sd, depth: int = 24,
                                       trunk_depth: int = 4) -> dict:
     """Full-model conversion for skix.models.vggt.VGGT (conv patch-embed
-    configuration). DPT heads convert tap-wise; the reference shares one
-    pre-projection LayerNorm across taps (dpt_head.py:66) which maps onto
-    each per-tap ``norm_{i}`` here."""
+    configuration). The track head converts separately via
+    :func:`convert_track_head` (its params live on the standalone
+    skix TrackHead module); use ``split_track_head=True`` on a full
+    VGGT-1B state dict to get both trees."""
     import jax
     import jax.numpy as jnp
 
@@ -120,32 +234,21 @@ def convert_vggt_reference_state_dict(sd, depth: int = 24,
         if f"{head}.scratch.refinenet1.out_conv.weight" not in sd and \
            f"{head}.projects.0.weight" not in sd:
             continue
-        hp: dict = {}
-        for i in range(4):
-            hp[f"norm_{i}"] = _ln(sd, f"{head}.norm")
-            hp[f"project_{i}"] = _conv(sd, f"{head}.projects.{i}")
-            if i != 2:
-                key = f"{head}.resize_layers.{i}"
-                w = _np(sd[f"{key}.weight"])
-                if i < 2:  # ConvTranspose2d: (in, out, kh, kw)
-                    hp[f"resize_{i}"] = {"kernel": w.transpose(2, 3, 0, 1)}
-                else:
-                    hp[f"resize_{i}"] = {"kernel": w.transpose(2, 3, 1, 0)}
-                if f"{key}.bias" in sd:
-                    hp[f"resize_{i}"]["bias"] = _np(sd[f"{key}.bias"])
-            hp[f"scratch_{i}"] = _conv(sd, f"{head}.scratch.layer{i + 1}_rn")
-        for j, name in ((4, "refine4"), (3, "refine3"), (2, "refine2"),
-                        (1, "refine1")):
-            pref = f"{head}.scratch.refinenet{j}"
-            blk = {"out_conv": _conv(sd, f"{pref}.out_conv")}
-            for ours, theirs in (("res_unit1", "resConfUnit1"),
-                                 ("res_unit2", "resConfUnit2")):
-                if f"{pref}.{theirs}.conv1.weight" in sd:
-                    blk[f"{ours}_conv1"] = _conv(sd, f"{pref}.{theirs}.conv1")
-                    blk[f"{ours}_conv2"] = _conv(sd, f"{pref}.{theirs}.conv2")
-            hp[name] = blk
-        hp["out_conv1"] = _conv(sd, f"{head}.scratch.output_conv1")
-        hp["out_conv2a"] = _conv(sd, f"{head}.scratch.output_conv2.0")
-        hp["out_conv2b"] = _conv(sd, f"{head}.scratch.output_conv2.2")
-        params[head] = hp
+        params[head] = _convert_dpt(sd, head)
     return {"params": jax.tree.map(jnp.asarray, params)}
+
+
+def convert_vggt_full(sd, depth: int = 24, trunk_depth: int = 4):
+    """Convert a complete VGGT-1B state dict (aggregator + camera/depth/
+    point heads + track head) → (vggt_variables, track_head_variables).
+    Every ``track_head.*`` key lands in the second tree; nothing is
+    dropped."""
+    import jax
+    import jax.numpy as jnp
+
+    vggt_vars = convert_vggt_reference_state_dict(sd, depth, trunk_depth)
+    track_vars = None
+    if any(k.startswith("track_head.") for k in sd):
+        track_vars = {"params": jax.tree.map(
+            jnp.asarray, convert_track_head(sd))}
+    return vggt_vars, track_vars

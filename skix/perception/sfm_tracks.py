@@ -336,20 +336,21 @@ def _tracks_for_query(track_model, variables, images_np, features,
 
     # Swap query frame to position 0 so the head's t=0 anchor is the query.
     order = calculate_index_mappings(query_index, S)
-    feats_feed = np.asarray(features)[order]
+    feats_feed = np.asarray(features)[:, order]   # (4, S, P, C) taps
 
     # Fixed-size padded chunks → one jit cache entry per chunk shape.
     n = len(xy)
     tracks_parts, vis_parts = [], []
+    taps = tuple(jnp.asarray(f)[None] for f in feats_feed)
     for s in range(0, n, chunk):
         part = xy[s:s + chunk]
         m = len(part)
         pad = np.zeros((chunk - m, 2), np.float32)
         q = jnp.asarray(np.concatenate([part, pad], 0))[None]
-        res = apply_model(track_model, None, variables,
-                          jnp.asarray(feats_feed)[None], q)
-        tracks_parts.append(np.asarray(res.tracks[0])[:, :m])
-        vis_parts.append(np.asarray(res.visibility[0])[:, :m])
+        coords_list, vis, _conf = apply_model(track_model, None, variables,
+                                              taps, q)
+        tracks_parts.append(np.asarray(coords_list[-1][0])[:, :m])
+        vis_parts.append(np.asarray(vis[0])[:, :m])
     tracks = np.concatenate(tracks_parts, axis=1)   # (S, n, 2)
     vis = np.concatenate(vis_parts, axis=1)
     inv = order  # the swap is its own inverse
@@ -369,10 +370,11 @@ def predict_tracks(track_model, variables, images, features, *,
                    superpoint=None, aliked=None) -> SfmTracks:
     """Predict point tracks across a clip (track_predict.py:12 semantics).
 
-    ``images`` (S, H, W[, 3]) in [0, 1]; ``features`` (S, gh, gw, C) frame
-    feature maps for the track head (e.g. VGGT aggregator tokens).
+    ``images`` (S, H, W[, 3]) in [0, 1]; ``features`` (4, S, P, C) stacked
+    aggregator TAP tensors for the reference-structure track head (the
+    VGGT model's ``return_taps`` output, special tokens included).
     ``frame_rank_feats`` optionally overrides the per-frame descriptors used
-    for query-frame ranking (default: spatial mean of ``features``).
+    for query-frame ranking (default: token mean of the last tap).
     ``extractor_method``/``superpoint``/``aliked`` select the query
     keypoint extractors (:func:`initialize_feature_extractors`) — pass
     ``extractor_method="sp"`` with converted SuperPoint weights for the
@@ -384,7 +386,7 @@ def predict_tracks(track_model, variables, images, features, *,
     rng = np.random.default_rng(seed)
 
     rank_feats = (np.asarray(frame_rank_feats) if frame_rank_feats is not None
-                  else np.asarray(features).mean(axis=(1, 2)))
+                  else np.asarray(features[-1]).mean(axis=1))
     query_frames = rank_frames_by_similarity(
         rank_feats, min(query_frame_num, S))
     if 0 in query_frames:

@@ -6,13 +6,21 @@ multiple-angles LoRA), builds bilingual camera-motion prompts from
 (rotate_deg, move_forward, vertical_tilt, wideangle) and runs 4-step
 flow-matching inference per sampled frame (qwen_image_edit.py:40-160).
 
-Here: skix.models.mmdit double-stream transformer + rectified-flow
-sampler; latents come from a real KL-VAE (skix.models.vae, 8×
+Here: skix.models.mmdit ``QwenImageDiT`` — the reference-structure
+denoiser (converter-parity-tested vs the imported vendored
+transformer_qwenimage) — with the reference EDIT-PLUS inference
+semantics by default (pipeline_qwenimage_edit_plus.py:804-823): target
+latents start as pure noise, the VAE-encoded source-image tokens are
+concatenated along the sequence axis every step, the velocity is sliced
+back, and ``true_cfg_scale > 1`` runs true-CFG over negative prompt
+embeds with the cond-norm rescale (:836-840; the reference CameraEditor
+runs the distilled 4-step LoRA at true_cfg_scale=1.0,
+qwen_image_edit.py:153). ``sampler: sdedit`` keeps the strength-noising
+alternative. Latents come from a real KL-VAE (skix.models.vae, 8×
 compression; ``use_vae: false`` falls back to a pixel-space downsample
 for smoke runs), and LoRA adapters fuse into the transformer weights at
 load time (skix.models.lora, reference qwen_image_edit.py:79-87
-``fuse_lora(lora_scale=1.25)``). Structure, prompts, step count and
-outputs mirror the reference.
+``fuse_lora(lora_scale=1.25)``).
 
 Text conditioning is REAL by default and Qwen-shaped: prompts flow
 tokenizer → a :class:`skix.models.qwen_text.QwenTextEncoder` (the
@@ -47,38 +55,63 @@ class CameraEditor:
         import jax
         import jax.numpy as jnp
 
-        from skix.models.mmdit import MMDiT
+        from skix.models.mmdit import QwenImageDiT
 
         self.cfg = cfg
         self.latent_down = int(cfg.get("latent_downsample", 8))
         self.use_vae = bool(cfg.get("use_vae", False))
         self.latent_channels = (int(cfg.get("latent_channels", 16))
                                 if self.use_vae else 3)
-        self.model = MMDiT(
-            patch_size=int(cfg.get("patch_size", 2)),
-            in_channels=self.latent_channels,
-            dim=int(cfg.get("dim", 256)),
-            depth=int(cfg.get("depth", 4)),
-            num_heads=int(cfg.get("num_heads", 4)),
-            text_dim=int(cfg.get("text_dim", 64)),
-            axes_dim=tuple(cfg.get("axes_dim", (8, 28, 28))),
+        dim = int(cfg.get("dim", 256))
+        heads = int(cfg.get("num_heads", 4))
+        head_dim = dim // heads
+        self.model = QwenImageDiT(
+            patch_size=2,
+            in_channels=4 * self.latent_channels,
+            out_channels=self.latent_channels,
+            num_layers=int(cfg.get("depth", 4)),
+            attention_head_dim=head_dim,
+            num_attention_heads=heads,
+            joint_attention_dim=int(cfg.get("text_dim", 64)),
+            axes_dims_rope=tuple(cfg.get("axes_dim", (16, 24, 24))),
         )
         size = int(cfg.get("image_size", 512))
         self.size = size
         lat = size // self.latent_down
+        if lat % 2:
+            raise ValueError(f"latent grid {lat} must be even for 2×2 "
+                             "token packing")
+        # token grids (target, source) — the pipeline's img_shapes
+        self._fhw = ((1, lat // 2, lat // 2), (1, lat // 2, lat // 2))
+        n_tok = (lat // 2) ** 2
+        self.true_cfg = float(cfg.get("true_cfg_scale", 1.0))
+        self.negative_prompt = str(cfg.get("negative_prompt", " "))
+        self.sampler = str(cfg.get("sampler", "edit_plus"))
         ckpt = cfg.get("checkpoint")
         if ckpt and Path(ckpt).exists():
-            from skix.pipelines.videopose3d import load_checkpoint
+            if str(ckpt).endswith((".pt", ".pth")):
+                import torch
 
-            self.variables = load_checkpoint(ckpt)
+                from skix.models.mmdit import convert_qwen_image_transformer
+
+                sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+                self.variables = convert_qwen_image_transformer(sd)
+                log.info("converted reference QwenImage transformer from "
+                         "%s", ckpt)
+            else:
+                from skix.pipelines.videopose3d import load_checkpoint
+
+                self.variables = load_checkpoint(ckpt)
         else:
             log.warning("no image-edit checkpoint configured — random init "
                         "(smoke mode)")
-            self.variables = jax.jit(self.model.init)(
+            self.variables = jax.jit(
+                self.model.init,
+                static_argnums=(4,))(
                 jax.random.PRNGKey(0),
-                jnp.zeros((1, lat, lat, self.latent_channels)),
+                jnp.zeros((1, n_tok, 4 * self.latent_channels)),
                 jnp.zeros((1, 16, int(cfg.get("text_dim", 64)))),
-                jnp.zeros((1,)))
+                jnp.zeros((1,)), self._fhw[:1])
 
         # text conditioning: tokenizer → text tower → MMDiT (the hash
         # embedding is smoke-only and must be asked for explicitly)
@@ -153,14 +186,30 @@ class CameraEditor:
                 lambda v, x: self.vae.apply(v, x, method=self.vae.encode))
             self._decode = jax.jit(
                 lambda v, z: self.vae.apply(v, z, method=self.vae.decode))
-        self._sample = jax.jit(self._sample_impl, static_argnums=(4,))
+        self._sample = jax.jit(self._sample_impl, static_argnums=(4, 5, 6))
 
-    def _sample_impl(self, latents, text_emb, key, strength, num_steps):
-        from skix.models.mmdit import flow_matching_edit
+    def _sample_impl(self, source_tokens, pos_emb, neg_emb, key, strength,
+                     num_steps, cond_on_source):
+        """One edit: Edit-Plus by default (noise target tokens, source
+        tokens concatenated per step, optional true-CFG); ``sampler:
+        sdedit`` noises the source tokens to ``strength`` instead."""
+        import jax
 
-        return flow_matching_edit(self.model, self.variables, latents,
-                                  text_emb, num_steps=num_steps, key=key,
-                                  strength=strength)
+        from skix.models.mmdit import edit_plus_sample, flow_matching_edit
+
+        if self.sampler == "sdedit":
+            return flow_matching_edit(
+                self.model, self.variables, source_tokens, pos_emb,
+                self._fhw[:1], num_steps=num_steps, key=key,
+                strength=strength)
+        noise = jax.random.normal(key, source_tokens.shape,
+                                  source_tokens.dtype)
+        return edit_plus_sample(
+            self.model, self.variables, noise,
+            source_tokens if cond_on_source else None, pos_emb,
+            self._fhw if cond_on_source else self._fhw[:1],
+            negative_prompt_emb=neg_emb if self.true_cfg > 1.0 else None,
+            true_cfg_scale=self.true_cfg, num_steps=num_steps)
 
     def _resolve_qwen_tokenizer(self, cfg, vl: bool):
         """Shared tokenizer-asset resolution for the qwen/qwen_vl paths:
@@ -395,16 +444,28 @@ class CameraEditor:
 
         from skix.models.mmdit import build_camera_prompt
 
+        from skix.models.mmdit import pack_latents, unpack_latents
+
         prompt = build_camera_prompt(rotate_deg, move_forward, vertical_tilt,
                                      wideangle)
-        if (self.text_tower == "qwen_vl" and self.text_encoder is not None
-                and bool(self.cfg.get("condition_on_image", True))):
-            # the reference conditions on the INPUT IMAGE too
-            # (encode_prompt(prompt, image) — vision tokens spliced into
-            # the prompt); per-frame, so no prompt cache
+        vl_on_image = (self.text_tower == "qwen_vl"
+                       and self.text_encoder is not None
+                       and bool(self.cfg.get("condition_on_image", True)))
+        if vl_on_image:
+            # the reference conditions the PROMPT TOWER on the input image
+            # too (encode_prompt(prompt, image) — vision tokens spliced
+            # into the prompt); per-frame, so no prompt cache
             text = jnp.asarray(self._embed_prompt_vl(prompt, frame_u8))
         else:
             text = jnp.asarray(self.embed_prompt(prompt))
+        neg = None
+        if self.true_cfg > 1.0 and self.sampler != "sdedit":
+            # true-CFG needs negative embeds (reference encode_prompt on
+            # the negative prompt WITH the same image context, :709-718)
+            neg = jnp.asarray(
+                self._embed_prompt_vl(self.negative_prompt, frame_u8)
+                if vl_on_image else self.embed_prompt(self.negative_prompt)
+            )[None]
         img = jnp.asarray(frame_u8, jnp.float32) / 127.5 - 1.0
         if img.shape[:2] != (self.size, self.size):
             img = jax.image.resize(img, (self.size, self.size, 3),
@@ -416,9 +477,14 @@ class CameraEditor:
             lat_size = self.size // self.latent_down
             lat = jax.image.resize(img, (lat_size, lat_size, 3),
                                    "bilinear")[None]
-        out_lat = self._sample(lat, text[None], jax.random.PRNGKey(seed),
-                               float(self.cfg.get("strength", 0.6)),
-                               int(self.cfg.get("num_inference_steps", 4)))
+        lat_h, lat_w = lat.shape[1], lat.shape[2]
+        tokens = pack_latents(lat)
+        out_tok = self._sample(
+            tokens, text[None], neg, jax.random.PRNGKey(seed),
+            float(self.cfg.get("strength", 0.6)),
+            int(self.cfg.get("num_inference_steps", 4)),
+            bool(self.cfg.get("condition_on_latents", True)))
+        out_lat = unpack_latents(out_tok, lat_h, lat_w)
         if self.vae is not None:
             out = self._decode(self.vae_variables,
                                out_lat / self.vae.scaling_factor)[0]

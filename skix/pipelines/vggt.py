@@ -209,8 +209,11 @@ def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
     track_predict.py predict_tracks over VGGSfM-tracker features +
     np_to_pycolmap.py batch_np_matrix_to_pycolmap).
 
-    The track head is ``skix.models.track_head.TrackHead`` driven by the
-    aggregator's patch tokens; query keypoints default to the on-device
+    The track head is the reference-structure
+    ``skix.models.track_head.TrackHead`` (DPT feature extractor +
+    CoTracker/VGGSfM iterative refiner, converter-parity-tested) driven
+    by the aggregator's four intermediate TAP tensors
+    (``return_taps``); query keypoints default to the on-device
     Shi–Tomasi extractor (weight-free; the learned ALIKED/SuperPoint
     architectures exist with converter seams — pass weights via
     ``initialize_feature_extractors`` — but no pretrained checkpoints
@@ -233,19 +236,32 @@ def process_sfm_tracks(model, variables, video_path: Path, out_dir: Path,
         raise ValueError(f"need ≥2 frames for SfM, got {len(sel)}")
     x = preprocess_frames(sel, size)
 
-    sfm_model = model.clone(return_tokens=True)
+    sfm_model = model.clone(return_tokens=True, return_taps=True)
     out = apply_model(sfm_model, None, variables, jnp.asarray(x)[None])
     cams = cameras_from_pose_enc(np.asarray(out["pose_enc"][0]),
                                  (size, size))
     tokens = np.asarray(out["tokens"][0], np.float32)  # (S, gh, gw, 2E)
+    taps = np.stack([np.asarray(t[0], np.float32)
+                     for t in out["taps"]])            # (4, S, P, 2E)
     conf = np.asarray(out["world_points_conf"][0], np.float32)
     p3d_map = np.asarray(out["world_points"][0], np.float32)[..., :3]
 
-    head = TrackHead(dim=int(cfg.get("track_dim", 128)),
-                     patch_size=int(cfg.get("patch_size", 14)))
-    head_vars = load_or_init_track_head(head, tokens.shape, cfg)
+    # corr pyramid levels must not collapse below 1 px on small inputs
+    hh = size // 2
+    max_levels = max(1, int(np.floor(np.log2(max(hh, 1)))) + 1)
+    head = TrackHead(
+        dim_in=taps.shape[-1],
+        patch_size=int(cfg.get("patch_size", 14)),
+        features=int(cfg.get("track_dim", 128)),
+        iters=int(cfg.get("track_iters", 4)),
+        hidden_size=int(cfg.get("track_hidden", 384)),
+        corr_levels=min(int(cfg.get("track_corr_levels", 7)), max_levels),
+        img_hw=(size, size),
+        patch_start_idx=int(out["patch_start_idx"]))
+    head_vars = load_or_init_track_head(head, taps.shape, cfg)
     tracks = predict_tracks(
-        head, head_vars, x, tokens, conf=conf, points_3d=p3d_map,
+        head, head_vars, x, taps, conf=conf, points_3d=p3d_map,
+        frame_rank_feats=tokens.mean(axis=(1, 2)),
         max_query_pts=int(cfg.get("sfm_max_query_pts", 512)),
         query_frame_num=int(cfg.get("sfm_query_frames", 3)),
         conf_thresh=float(cfg.get("sfm_conf_thresh", 1.2)),
@@ -367,22 +383,36 @@ def _load_aliked(ckpt, model_name="aliked-n16"):
     return ALIKED(model_name=model_name), backbone_vars
 
 
-def load_or_init_track_head(head, token_shape, cfg):
-    """Converted VGGSfM-tracker weights when provided, random init
-    otherwise (the reference downloads vggsfm_v2_tracker.pt — blocked in
-    the zero-egress build env; the converter seam is the checkpoint key)."""
+def load_or_init_track_head(head, taps_shape, cfg):
+    """Converted reference track-head weights when provided (a torch
+    ``.pt`` state dict converts via ``convert_track_head`` — the
+    ``track_head.*`` slice of a full VGGT-1B checkpoint, or the
+    downloadable vggsfm tracker; zero-egress-blocked here), random init
+    otherwise."""
     import jax
     import jax.numpy as jnp
 
-    S, gh, gw, C = token_shape
-    dummy_feats = jnp.zeros((1, S, gh, gw, C))
-    dummy_q = jnp.zeros((1, 4, 2))
     ckpt = cfg.get("track_checkpoint")
     if ckpt and Path(ckpt).exists():
+        if str(ckpt).endswith((".pt", ".pth")):
+            import torch
+
+            from skix.models.vggt_convert import convert_track_head
+
+            sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+            prefix = ("track_head."
+                      if any(k.startswith("track_head.") for k in sd)
+                      else "")
+            return {"params": jax.tree.map(
+                jnp.asarray, convert_track_head(sd, prefix=prefix))}
         from skix.pipelines.videopose3d import load_checkpoint
 
         return load_checkpoint(ckpt)
-    return head.init(jax.random.PRNGKey(0), dummy_feats, dummy_q)
+    _, S, P, C = taps_shape
+    dummy_taps = tuple(jnp.zeros((1, S, P, C)) for _ in range(4))
+    dummy_q = jnp.zeros((1, 4, 2))
+    return head.init(jax.random.PRNGKey(0), dummy_taps, dummy_q)
 
 
 @cli_main("vggt")

@@ -122,17 +122,19 @@ class TestFrameRanking:
 class _StubHead(nn.Module):
     """Tracks stay at the query position; per-frame visibility equals the
     frame's mean feature value — lets tests drive the augmentation loop by
-    constructing the feature array."""
+    constructing the feature array. Mirrors the real head's API: a tuple
+    of tap tensors in, (coord_preds list, vis, conf) out."""
 
     @nn.compact
-    def __call__(self, features, queries) -> TrackResult:
+    def __call__(self, taps, queries, iters=None):
         self.param("dummy", nn.initializers.zeros, (1,))
-        B, S = features.shape[0], features.shape[1]
+        t0 = taps[0]
+        B, S = t0.shape[0], t0.shape[1]
         N = queries.shape[1]
         pos = jnp.broadcast_to(queries[:, None], (B, S, N, 2))
         vis = jnp.broadcast_to(
-            jnp.mean(features, axis=(2, 3, 4))[:, :, None], (B, S, N))
-        return TrackResult(tracks=pos, visibility=vis)
+            jnp.mean(t0, axis=(2, 3))[:, :, None], (B, S, N))
+        return [pos], vis, None
 
 
 def _textured_clip(S=4, H=32, W=32, seed=0):
@@ -147,10 +149,11 @@ class TestPredictTracks:
 
         images = _textured_clip()
         S, H, W = images.shape
-        feats = np.ones((S, 8, 8, 4), np.float32)
+        feats = np.ones((4, S, 64, 4), np.float32)
         model = _StubHead()
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, S, 8, 8, 4)),
+                               tuple(jnp.zeros((1, S, 64, 4))
+                                     for _ in range(4)),
                                jnp.zeros((1, 4, 2)))
         out = predict_tracks(model, variables, images, feats,
                              max_query_pts=32, query_frame_num=2,
@@ -168,13 +171,14 @@ class TestPredictTracks:
 
         images = _textured_clip()
         S, H, W = images.shape
-        feats = np.ones((S, 8, 8, 4), np.float32)
+        feats = np.ones((4, S, 64, 4), np.float32)
         conf = np.zeros((S, H, W), np.float32)
         conf[:, :, : W // 2] = 2.0  # left half confident, right half not
         p3d = np.zeros((S, H, W, 3), np.float32)
         model = _StubHead()
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, S, 8, 8, 4)),
+                               tuple(jnp.zeros((1, S, 64, 4))
+                                     for _ in range(4)),
                                jnp.zeros((1, 4, 2)))
         out = predict_tracks(model, variables, images, feats,
                              conf=conf, points_3d=p3d,
@@ -190,11 +194,12 @@ class TestPredictTracks:
 
         images = _textured_clip()
         S = images.shape[0]
-        feats = np.ones((S, 8, 8, 4), np.float32)
-        feats[2] = 0.0  # frame 2 permanently invisible to the stub head
+        feats = np.ones((4, S, 64, 4), np.float32)
+        feats[:, 2] = 0.0  # frame 2 permanently invisible to the stub head
         model = _StubHead()
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, S, 8, 8, 4)),
+                               tuple(jnp.zeros((1, S, 64, 4))
+                                     for _ in range(4)),
                                jnp.zeros((1, 4, 2)))
         base = predict_tracks(model, variables, images, feats,
                               max_query_pts=16, query_frame_num=1,
@@ -214,11 +219,14 @@ class TestPredictTracks:
 
         images = _textured_clip(S=3, H=32, W=32)
         S = images.shape[0]
-        feats = np.random.default_rng(3).random((S, 8, 8, 8)).astype(
+        feats = np.random.default_rng(3).random((4, S, 64, 8)).astype(
             np.float32)
-        model = TrackHead(dim=16, iters=1, corr_radius=1, patch_size=4)
+        model = TrackHead(dim_in=8, patch_size=4, features=8, iters=1,
+                          corr_levels=3, corr_radius=1, hidden_size=16,
+                          img_hw=(32, 32), patch_start_idx=0)
         variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, S, 8, 8, 8)),
+                               tuple(jnp.zeros((1, S, 64, 8))
+                                     for _ in range(4)),
                                jnp.zeros((1, 4, 2)))
         out = predict_tracks(model, variables, images, feats,
                              max_query_pts=16, query_frame_num=2,

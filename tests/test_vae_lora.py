@@ -120,14 +120,16 @@ class TestLoRA:
 
     def test_lora_changes_mmdit_output(self):
         rng = np.random.default_rng(965)
-        from skix.models.mmdit import MMDiT
+        from skix.models.mmdit import QwenImageDiT
 
-        model = MMDiT(patch_size=2, in_channels=3, dim=32, depth=1,
-                      num_heads=2, text_dim=16, axes_dim=(4, 6, 6))
-        lat = jnp.asarray(rng.normal(size=(1, 8, 8, 3)), jnp.float32)
+        model = QwenImageDiT(in_channels=12, out_channels=3, num_layers=1,
+                             attention_head_dim=16, num_attention_heads=2,
+                             joint_attention_dim=16, axes_dims_rope=(4, 6, 6))
+        fhw = ((1, 4, 4),)
+        lat = jnp.asarray(rng.normal(size=(1, 16, 12)), jnp.float32)
         txt = jnp.asarray(rng.normal(size=(1, 4, 16)), jnp.float32)
         t = jnp.asarray([0.5])
-        v = model.init(jax.random.PRNGKey(0), lat, txt, t)
+        v = model.init(jax.random.PRNGKey(0), lat, txt, t, fhw)
         # target a real dense kernel path inside the model
         paths = []
 
@@ -149,8 +151,8 @@ class TestLoRA:
             rng.normal(size=(dout, r)).astype(np.float32) * 0.3, float(r))}
         v2, n = apply_lora(v, lora, scale=1.25)
         assert n == 1
-        o1 = model.apply(v, lat, txt, t)
-        o2 = model.apply(v2, lat, txt, t)
+        o1 = model.apply(v, lat, txt, t, fhw)
+        o2 = model.apply(v2, lat, txt, t, fhw)
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
