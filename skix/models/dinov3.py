@@ -38,6 +38,7 @@ import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -159,7 +160,9 @@ class Dinov3Block(nn.Module):
     n_prefix: int
     mlp_ratio: float = 4.0
     ffn: str = "mlp"            # "mlp" | "swiglu"
-    ln_eps: float = 1e-5
+    ffn_hidden: Optional[int] = None  # explicit width (hub swiglu variants
+                                      # round to alignment multiples)
+    ln_eps: float = 1e-6        # DINO-family LayerNorm eps
     init_values: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
@@ -173,7 +176,8 @@ class Dinov3Block(nn.Module):
         x = x + LayerScale(self.init_values, name="ls1")(h)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                          name="norm2")(x)
-        hidden = int(C * self.mlp_ratio)
+        hidden = (self.ffn_hidden if self.ffn_hidden is not None
+                  else int(C * self.mlp_ratio))
         if self.ffn == "swiglu":
             h = GatedFFN(hidden, self.dtype, name="mlp")(h)
         else:
@@ -195,11 +199,12 @@ class Dinov3Trunk(nn.Module):
     n_storage_tokens: int = 4
     mlp_ratio: float = 4.0
     ffn: str = "mlp"
+    ffn_hidden: Optional[int] = None
     rope_base: Optional[float] = 100.0
     rope_min_period: Optional[float] = None
     rope_max_period: Optional[float] = None
     rope_normalize: str = "separate"
-    ln_eps: float = 1e-5
+    ln_eps: float = 1e-6        # DINO-family LayerNorm eps
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -232,6 +237,10 @@ class Dinov3Trunk(nn.Module):
                 hd, self.rope_base, self.rope_min_period,
                 self.rope_max_period)),)
         hh, ww = dinov3_rope_coords(gh, gw, self.rope_normalize)
+        # upstream holds periods as a NON-LEARNED buffer: stop gradients
+        # so fine-tuning with a plain optimizer cannot drift the
+        # rotation periods (the param still restores bit-exact)
+        periods = jax.lax.stop_gradient(periods)
         ang = jnp.concatenate([
             2.0 * math.pi * jnp.asarray(hh)[:, None] / periods[None, :],
             2.0 * math.pi * jnp.asarray(ww)[:, None] / periods[None, :]],
@@ -241,7 +250,8 @@ class Dinov3Trunk(nn.Module):
         sin = jnp.sin(ang)
         for i in range(self.depth):
             x = Dinov3Block(self.num_heads, n_prefix, self.mlp_ratio,
-                            self.ffn, self.ln_eps, dtype=self.dtype,
+                            self.ffn, self.ffn_hidden, self.ln_eps,
+                            dtype=self.dtype,
                             name=f"block_{i}")(x, cos, sin)
         x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                          name="norm")(x)
@@ -255,6 +265,54 @@ class Dinov3Trunk(nn.Module):
 def _np_of(t):
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
                       else t)
+
+
+# Reference factory names (sam-3d-body backbones/__init__.py create_backbone
+# `dinov3_*`) → published architecture hyperparameters. `ffn_hidden` is set
+# where the hub variant rounds the SwiGLU width to an alignment multiple.
+DINOV3_VARIANTS = {
+    "dinov3_vits16": dict(embed_dim=384, depth=12, num_heads=6,
+                          ffn="mlp", n_storage_tokens=4),
+    "dinov3_vits16plus": dict(embed_dim=384, depth=12, num_heads=6,
+                              ffn="swiglu", n_storage_tokens=4),
+    "dinov3_vitb16": dict(embed_dim=768, depth=12, num_heads=12,
+                          ffn="mlp", n_storage_tokens=4),
+    "dinov3_vitl16": dict(embed_dim=1024, depth=24, num_heads=16,
+                          ffn="mlp", n_storage_tokens=4),
+    "dinov3_vith16plus": dict(embed_dim=1280, depth=32, num_heads=20,
+                              ffn="swiglu", n_storage_tokens=4),
+    "dinov3_vit7b16": dict(embed_dim=4096, depth=40, num_heads=32,
+                           ffn="swiglu", ffn_hidden=8192,
+                           n_storage_tokens=4,
+                           rope_base=None, rope_min_period=0.5,
+                           rope_max_period=90.0),
+}
+
+
+def infer_dinov3_config(state_dict) -> dict:
+    """Infer Dinov3Trunk construction kwargs from a hub state dict's
+    shapes (embed_dim/depth/ffn/ffn_hidden/n_storage_tokens, and
+    num_heads via the serialized rope periods: head_dim = 4·len(periods))."""
+    sd = {(k[len("encoder."):] if k.startswith("encoder.") else k): v
+          for k, v in state_dict.items()}
+    embed_dim = int(_np_of(sd["cls_token"]).shape[-1])
+    cfg = {
+        "embed_dim": embed_dim,
+        "n_storage_tokens": int(_np_of(sd["storage_tokens"]).shape[1]),
+        "patch_size": int(_np_of(sd["patch_embed.proj.weight"]).shape[-1]),
+        "depth": 1 + max(int(k.split(".")[1]) for k in sd
+                         if k.startswith("blocks.")),
+    }
+    if "blocks.0.mlp.w1.weight" in sd:
+        cfg["ffn"] = "swiglu"
+        cfg["ffn_hidden"] = int(_np_of(sd["blocks.0.mlp.w1.weight"]).shape[0])
+    else:
+        cfg["ffn"] = "mlp"
+        cfg["ffn_hidden"] = int(_np_of(sd["blocks.0.mlp.fc1.weight"]).shape[0])
+    if "rope_embed.periods" in sd:
+        head_dim = 4 * int(_np_of(sd["rope_embed.periods"]).shape[0])
+        cfg["num_heads"] = embed_dim // head_dim
+    return cfg
 
 
 def convert_dinov3_trunk(state_dict, ffn: str = "mlp",

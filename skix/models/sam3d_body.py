@@ -300,6 +300,13 @@ class SAM3DBody(nn.Module):
     # convert_dinov2_backbone), the nearest vendored-family stand-in.
     backbone: str = "vit_hmr"
     backbone_registers: int = 4
+    # dinov3-trunk plumbing (larger hub variants need swiglu widths and
+    # log-spaced rope periods; see skix.models.dinov3.DINOV3_VARIANTS)
+    backbone_ffn: str = "mlp"
+    backbone_mlp_ratio: float = 4.0
+    backbone_ffn_hidden: Optional[int] = None
+    backbone_rope_min: Optional[float] = None
+    backbone_rope_max: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -324,17 +331,40 @@ class SAM3DBody(nn.Module):
         checkpoints are stable across both call styles."""
         B = crops.shape[0]
         x = (crops - 0.5) / 0.5
-        if self.backbone == "dinov3":
+        if self.backbone.startswith("dinov3"):
             # DINOv3-exact trunk (axial RoPE, storage tokens) — the hub
             # architecture Dinov3Backbone loads (dinov3.py:16); converter
-            # seam: skix.models.dinov3.convert_dinov3_trunk
-            from skix.models.dinov3 import Dinov3Trunk
+            # seam: skix.models.dinov3.convert_dinov3_trunk. Reference
+            # factory names (dinov3_vits16, ...) select the published
+            # variant hyperparameters; bare "dinov3" uses this module's
+            # own embed_dim/depth/num_heads plus the backbone_* fields.
+            from skix.models.dinov3 import DINOV3_VARIANTS, Dinov3Trunk
 
+            kw = dict(patch_size=self.patch_size, embed_dim=self.embed_dim,
+                      depth=self.depth, num_heads=self.num_heads,
+                      n_storage_tokens=self.backbone_registers,
+                      ffn=self.backbone_ffn,
+                      ffn_hidden=self.backbone_ffn_hidden,
+                      mlp_ratio=self.backbone_mlp_ratio)
+            if self.backbone_rope_min is not None:
+                kw.update(rope_base=None,
+                          rope_min_period=self.backbone_rope_min,
+                          rope_max_period=self.backbone_rope_max)
+            if self.backbone in DINOV3_VARIANTS:
+                var = dict(DINOV3_VARIANTS[self.backbone])
+                if var["embed_dim"] != self.embed_dim:
+                    raise ValueError(
+                        f"{self.backbone} is a {var['embed_dim']}-dim "
+                        f"trunk; set SAM3DBody embed_dim to match "
+                        f"(got {self.embed_dim})")
+                kw.update(var)
+            elif self.backbone != "dinov3":
+                raise ValueError(
+                    f"unknown dinov3 variant {self.backbone!r}; known: "
+                    f"{sorted(DINOV3_VARIANTS)} or bare 'dinov3'")
             tokens = Dinov3Trunk(
-                patch_size=self.patch_size, embed_dim=self.embed_dim,
-                depth=self.depth, num_heads=self.num_heads,
-                n_storage_tokens=self.backbone_registers,
-                dtype=self.dtype, name="dino_backbone")(x.astype(self.dtype))
+                dtype=self.dtype, name="dino_backbone",
+                **kw)(x.astype(self.dtype))
         elif self.backbone.startswith("dino"):
             # Dinov3Backbone.forward (dinov3.py:25-37): normalized
             # last-layer patch tokens (get_intermediate_layers n=1,
