@@ -42,8 +42,12 @@ import jax.numpy as jnp
 
 _LAST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_last.json")
+_EXTRA_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_extras.json")
 _BEST: dict | None = None
 _PRINTED = False
+_EXTRAS_PRINTED: set = set()
+_DEADLINE = 0.0
 
 
 def _emit_and_exit(*_args) -> None:
@@ -52,7 +56,10 @@ def _emit_and_exit(*_args) -> None:
     Installed for SIGTERM (what `timeout` sends) and SIGALRM (self-imposed
     budget) so a driver-side timeout still captures the round's number.
     Falls back to the last persisted same-hardware measurement when the
-    kill arrives mid-compile, tagged "cached": true.
+    kill arrives mid-compile, tagged "cached": true. Extra metric lines
+    (detector/masklet/VGGT — VERDICT-r4 #7) already printed stay on
+    stdout; cached ones from a previous run are replayed for metrics
+    this run did not reach.
     """
     global _PRINTED
     best = _BEST
@@ -65,8 +72,35 @@ def _emit_and_exit(*_args) -> None:
     if best is not None and not _PRINTED:
         _PRINTED = True
         print(json.dumps(best), flush=True)
+    for extra in _load_cached_extras():
+        if extra["metric"] not in _EXTRAS_PRINTED:
+            _EXTRAS_PRINTED.add(extra["metric"])
+            print(json.dumps(dict(extra, cached=True)), flush=True)
     # rc 0 so the driver parses stdout instead of discarding a failed run.
     os._exit(0)
+
+
+def _load_cached_extras() -> list:
+    if not os.path.exists(_EXTRA_PATH):
+        return []
+    try:
+        with open(_EXTRA_PATH) as f:
+            return list(json.load(f).values())
+    except Exception:
+        return []
+
+
+def _emit_extra(result: dict) -> None:
+    """Print one extra metric line and persist it for slow-day replay."""
+    _EXTRAS_PRINTED.add(result["metric"])
+    print(json.dumps(result), flush=True)
+    try:
+        cached = {e["metric"]: e for e in _load_cached_extras()}
+        cached[result["metric"]] = result
+        with open(_EXTRA_PATH, "w") as f:
+            json.dump(cached, f)
+    except OSError:
+        pass
 
 
 def _measure(model, variables, B: int, T_out: int, iters: int) -> float:
@@ -115,13 +149,86 @@ def _record(frames_per_sec: float) -> None:
             pass
 
 
+# ---------------------------------------------------------------------------
+# Extra metrics (VERDICT-r4 #7): the numbers that actually move between
+# rounds — detector ms/frame, VGGT ms/pair — emitted as ADDITIONAL JSON
+# lines after the headline (the driver parses line 1; later lines make
+# regressions visible to future rounds without reading docs/PERF.md).
+# Each is best-effort: guarded by remaining wall budget and try/except.
+# vs_baseline uses the reference's only throughput claim, "real-time
+# 30 fps" (33.33 ms/frame; a VGGT pair = 2 frames → 66.7 ms/pair).
+# ---------------------------------------------------------------------------
+
+
+def _bench_detector_fwd(iters: int = 8) -> dict:
+    """Full-size SAM3 detector (482 M, 1008 px, bf16) forward ms/frame —
+    the honest chained-readback harness of scripts/bench_detector_fwd.py."""
+    import numpy as np
+
+    from skix.tracking.sam3_detector import Sam3Detector
+
+    det = Sam3Detector.full_size(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    size = det.img_size
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(0, 0.1, (1, 8, det.d_model)), jnp.float32)
+    variables = jax.jit(lambda k: det.init(k, imgs, text))(
+        jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(v, x):
+        out = det.apply(v, x, text)
+        nxt = x * 0.999 + jnp.mean(out.scores) * 1e-6
+        return jnp.sum(out.boxes_cxcywh) + jnp.sum(out.scores), nxt
+
+    s, x = step(variables, imgs)
+    _ = float(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, x = step(variables, x)
+    _ = float(s)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    return {"metric": "sam3_detector_fwd", "value": round(ms, 1),
+            "unit": "ms/frame@1008px",
+            "vs_baseline": round(33.33 / ms, 3)}
+
+
+def _bench_vggt_pair(iters: int = 8) -> dict:
+    """VGGT-1B-architecture aggregator+camera+depth forward, ms per
+    2-frame pair at 518 px (the vggt stage's unit of work)."""
+    from skix.models.vggt import VGGT
+
+    model = VGGT(dtype=jnp.bfloat16)   # defaults = the 1B-class config
+    imgs = jnp.zeros((1, 2, 518, 518, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, imgs))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(v, x):
+        out = model.apply(v, x)
+        nxt = x * 0.999 + jnp.mean(out["depth"]) * 1e-6
+        return jnp.sum(out["pose_enc"]) + jnp.sum(out["depth"]), nxt
+
+    s, x = step(variables, imgs)
+    _ = float(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s, x = step(variables, x)
+    _ = float(s)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    return {"metric": "vggt_pair_fwd", "value": round(ms, 1),
+            "unit": "ms/pair@518px",
+            "vs_baseline": round(66.67 / ms, 3)}
+
+
 def main() -> None:
-    global _PRINTED
+    global _PRINTED, _DEADLINE
     signal.signal(signal.SIGTERM, _emit_and_exit)
     signal.signal(signal.SIGALRM, _emit_and_exit)
     # Self-imposed budget: leave margin under typical driver timeouts even
     # when both configs need a cold remote compile.
-    signal.alarm(int(os.environ.get("BENCH_BUDGET_SECS", "1500")))
+    budget = int(os.environ.get("BENCH_BUDGET_SECS", "1500"))
+    signal.alarm(budget)
+    _DEADLINE = time.time() + budget
 
     from skix.models.videopose3d import TemporalLifter
 
@@ -141,6 +248,20 @@ def main() -> None:
 
     _PRINTED = True
     print(json.dumps(_BEST), flush=True)
+
+    # Extra metric lines, cost-ascending; each needs a cold remote
+    # compile (~100-300 s on a bad tunnel day), so require headroom.
+    for fn, margin in ((_bench_vggt_pair, 420), (_bench_detector_fwd, 420)):
+        if time.time() + margin > _DEADLINE:
+            break
+        try:
+            _emit_extra(fn())
+        except Exception:
+            pass
+    for extra in _load_cached_extras():
+        if extra["metric"] not in _EXTRAS_PRINTED:
+            _EXTRAS_PRINTED.add(extra["metric"])
+            print(json.dumps(dict(extra, cached=True)), flush=True)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ TPU-first design decisions (vs the torch original):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -523,6 +523,113 @@ def detect(raw: RawPredictions, top_k: int = 8, score_threshold: float = 0.25,
 
 
 # ---------------------------------------------------------------------------
+# detect-only variant (reference yolov11_bbox.py — plain yolo11x.pt)
+# ---------------------------------------------------------------------------
+
+
+class RawDetectPredictions(NamedTuple):
+    """Pre-decode per-anchor detect-only outputs."""
+
+    box_dist: jnp.ndarray     # (B, A, 4, reg_max) DFL logits
+    cls_logits: jnp.ndarray   # (B, A, nc)
+    anchors: jnp.ndarray      # (A, 2) grid-cell centers (grid units)
+    strides: jnp.ndarray      # (A,) pixels per grid unit
+
+
+class BoxDetections(NamedTuple):
+    boxes_xyxy: jnp.ndarray   # (B, K, 4) pixels
+    scores: jnp.ndarray       # (B, K)
+    cls: jnp.ndarray          # (B, K) int32 class ids
+    valid: jnp.ndarray        # (B, K) bool
+
+
+class YoloDetect(nn.Module):
+    """YOLOv8/YOLO11 detect-only: image (B, H, W, 3) in [0, 1] → per-anchor
+    box + class heads.
+
+    Reference capability: the bbox task runs a PLAIN ``yolo11x.pt``
+    COCO-80 detect checkpoint with a person class filter
+    (prepare_dataset/model/yolov11_bbox.py:77,118 ``classes=0``;
+    configs/prepare_dataset.yaml ``bbox_ckpt``) — a third ultralytics
+    head layout next to -pose/-seg. Same trunk/neck and cv2/cv3 branch
+    names as :class:`YoloPose` (the Detect head sits at the same
+    model.22/model.23 slot Pose does), so
+    :func:`convert_ultralytics_detect` shares the trunk mapping.
+    """
+
+    scale: str = "s"
+    num_classes: int = 80
+    reg_max: int = 16
+    version: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    def widths(self):
+        return _widths(self.scale, self.version)
+
+    @nn.compact
+    def __call__(self, images, train: bool = False) -> RawDetectPredictions:
+        ch, n3, n6 = self.widths()
+        c3, c4, c5 = ch[2:]
+        dt = self.dtype
+        o3, o4, o5 = _trunk(images.astype(dt), train, self.scale,
+                            self.version, dt)
+        cb = max(16, c3 // 4, 4 * self.reg_max)
+        cc = max(c3, min(self.num_classes, 100))
+        B = images.shape[0]
+        dists, clss, anchors, strides = [], [], [], []
+        for li, (feat, stride) in enumerate(((o3, 8), (o4, 16), (o5, 32))):
+            b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_0")(feat, train)
+            b = ConvBNAct(cb, 3, 1, dt, name=f"cv2_{li}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{li}_2")(
+                b.astype(jnp.float32))
+            c = _cls_branch(feat, train, cc, self.num_classes,
+                            self.version, li, dt)
+            gh, gw = feat.shape[1], feat.shape[2]
+            dists.append(b.reshape(B, gh * gw, 4, self.reg_max))
+            clss.append(c.reshape(B, gh * gw, self.num_classes))
+            ys, xs = np.meshgrid(np.arange(gh) + 0.5, np.arange(gw) + 0.5,
+                                 indexing="ij")
+            anchors.append(np.stack([xs.ravel(), ys.ravel()], -1))
+            strides.append(np.full(gh * gw, stride, np.float32))
+        return RawDetectPredictions(
+            box_dist=jnp.concatenate(dists, 1),
+            cls_logits=jnp.concatenate(clss, 1),
+            anchors=jnp.asarray(np.concatenate(anchors, 0), jnp.float32),
+            strides=jnp.asarray(np.concatenate(strides, 0)))
+
+
+def detect_boxes(raw: RawDetectPredictions, top_k: int = 8,
+                 score_threshold: float = 0.25, nms_iou: float = 0.7,
+                 pre_nms_k: int = 128,
+                 classes: Optional[Sequence[int]] = None) -> BoxDetections:
+    """Static-shape detect-only postprocess. ``classes`` restricts the
+    class-score max to the listed ids BEFORE candidate ranking — the
+    ultralytics ``classes=0`` person filter the reference passes
+    (yolov11_bbox.py:118)."""
+    boxes = decode_boxes(raw)   # duck-typed: box_dist/anchors/strides
+    probs = jax.nn.sigmoid(raw.cls_logits)                  # (B, A, nc)
+    if classes is not None:
+        keep_c = np.zeros(probs.shape[-1], bool)
+        keep_c[list(classes)] = True
+        probs = jnp.where(jnp.asarray(keep_c)[None, None], probs, 0.0)
+    scores = probs.max(-1)                                  # (B, A)
+    cls_ids = probs.argmax(-1).astype(jnp.int32)            # (B, A)
+    pool = min(max(pre_nms_k, top_k), scores.shape[-1])
+
+    def one(sc, bx, ci):
+        pool_s, idx = jax.lax.top_k(sc, pool)
+        bxs = bx[idx]
+        keep = nms(bxs, pool_s, nms_iou)
+        ranked = jnp.where(keep, pool_s, -jnp.inf)
+        top_s, sel = jax.lax.top_k(ranked, top_k)
+        ok = jnp.isfinite(top_s) & (top_s > score_threshold)
+        return bxs[sel], pool_s[sel], ci[idx][sel], ok
+
+    b, s, c, v = jax.vmap(one)(scores, boxes, cls_ids)
+    return BoxDetections(boxes_xyxy=b, scores=s, cls=c, valid=v)
+
+
+# ---------------------------------------------------------------------------
 # segmentation variant (reference yolov11_mask.py — ultralytics -seg)
 # ---------------------------------------------------------------------------
 
@@ -806,10 +913,12 @@ def convert_ultralytics_pose(state_dict, scale: str = "s",
     return {"params": params, "batch_stats": stats}
 
 
-def _convert_trunk_and_heads(sd, n3, n6, version=8, scale="s"):
-    """Shared between the pose and seg converters: trunk + the three
-    decoupled cv2/cv3/cv4 head branches (pose keypoints and seg
-    mask-coefs live in the same ``cv4`` slot on both sides)."""
+def _convert_trunk_and_heads(sd, n3, n6, version=8, scale="s",
+                             cv4_branch=True):
+    """Shared between the pose/seg/detect converters: trunk + the
+    decoupled cv2/cv3 head branches, plus the cv4 branch when present
+    (pose keypoints and seg mask-coefs live in the same ``cv4`` slot on
+    both sides; plain Detect checkpoints have none)."""
     params: dict = {}
     stats: dict = {}
     if version == 11:
@@ -846,7 +955,7 @@ def _convert_trunk_and_heads(sd, n3, n6, version=8, scale="s"):
         head = _HEAD_LAYER
 
     # box/pose branches: model.N.{cv2,cv4}.{level}.{0,1,2}
-    for branch in ("cv2", "cv4"):
+    for branch in (("cv2", "cv4") if cv4_branch else ("cv2",)):
         for li in range(3):
             pre = f"{head}.{branch}.{li}"
             for j in range(2):
@@ -874,6 +983,24 @@ def _convert_trunk_and_heads(sd, n3, n6, version=8, scale="s"):
             "kernel": _conv_kernel(sd[f"{pre}.2.weight"]),
             "bias": jnp.asarray(_np_of(sd[f"{pre}.2.bias"]))}
     return params, stats
+
+
+def convert_ultralytics_detect(state_dict, scale: str = "s",
+                               num_classes: int = 80,
+                               prefix: str = "model.",
+                               version: int = 8) -> dict:
+    """ultralytics plain-Detect ``model.state_dict()`` (``yolo11x.pt``,
+    the reference's ``bbox_ckpt`` — yolov11_bbox.py:77) → flax variables
+    for :class:`YoloDetect`. Same trunk mapping as the pose converter;
+    no cv4 branch exists in this layout."""
+    sd = {k[len(prefix):] if prefix and k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    model = YoloDetect(scale=scale, num_classes=num_classes,
+                       version=version)
+    _, n3, n6 = model.widths()
+    params, stats = _convert_trunk_and_heads(sd, n3, n6, version, scale,
+                                             cv4_branch=False)
+    return {"params": params, "batch_stats": stats}
 
 
 def convert_ultralytics_seg(state_dict, scale: str = "s",
@@ -1069,3 +1196,14 @@ def reference_state_dict_spec_seg(scale: str = "s",
     spec[f"model.{head}.proto.upsample.weight"] = (npr, npr, 2, 2)
     spec[f"model.{head}.proto.upsample.bias"] = (npr,)
     return spec
+
+
+def reference_state_dict_spec_detect(scale: str = "s",
+                                     num_classes: int = 80,
+                                     version: int = 8) -> dict:
+    """Expected ultralytics plain-Detect (``yolo11x.pt``) state-dict
+    entries → shapes: the pose spec's trunk + cv2/cv3 rows with no cv4
+    branch (Detect has only box + class heads)."""
+    spec = reference_state_dict_spec(scale=scale, num_classes=num_classes,
+                                     version=version)
+    return {k: v for k, v in spec.items() if ".cv4." not in k}

@@ -170,6 +170,41 @@ def _detect_clip_yolo(cfg, frames: np.ndarray, load_vars):
                                 (ph, pw), detect_chunk)
 
 
+def _detect_clip_boxes(cfg, frames: np.ndarray, load_vars):
+    """Whole-clip plain-Detect person boxes — the reference's SEPARATE
+    bbox task running a plain ``yolo11x.pt`` COCO-80 checkpoint with the
+    ultralytics ``classes=0`` person filter (yolov11_bbox.py:77,118;
+    configs/prepare_dataset.yaml ``bbox_ckpt``). Returns cxcywh boxes,
+    class ids, valid, scores in the shared clip-detect contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from skix.models.yolo_pose import YoloDetect, detect_boxes
+    from skix.utils.jitapply import apply_model
+
+    model = YoloDetect(scale=str(cfg.get("bbox_scale",
+                                         cfg.get("yolo_scale", "s"))),
+                       num_classes=int(cfg.get("bbox_classes", 80)),
+                       version=int(cfg.get("yolo_version", 11)))
+    _, H, W = frames.shape[:3]
+    ph, pw = (-H) % 32, (-W) % 32
+    variables = load_vars("bbox_checkpoint", lambda: jax.jit(
+        lambda: model.init(jax.random.PRNGKey(4),
+                           jnp.zeros((1, H + ph, W + pw, 3))))())
+    top_k = int(cfg.get("top_k", 8))
+    thr = float(cfg.get("bbox_score_threshold",
+                        cfg.get("score_threshold", 0.3)))
+
+    def detect_chunk(chunk):
+        raw = apply_model(model, None, variables, chunk)
+        det = detect_boxes(raw, top_k=top_k, score_threshold=thr,
+                           classes=(0,))
+        return det.boxes_xyxy, det.cls, det.valid, det.scores
+
+    return _chunked_clip_detect(frames, int(cfg.get("det_batch", 8)),
+                                (ph, pw), detect_chunk)
+
+
 def _detect_clip_seg(cfg, frames: np.ndarray, load_vars):
     """Whole-clip YoloSeg person segmentation → (T, K, 4) cxcywh boxes,
     (T, K, Hp, Wp) mask probabilities (stride-4 proto grid of the padded
@@ -287,6 +322,13 @@ def _skix_backend(cfg, video_path: Path):
                 det_model, det_vars, frames,
                 batch_size=int(cfg.get("det_batch", 8)))
         out = {"boxes": boxes, "keypoints": kpts, "det_valid": valid}
+        if str(cfg.get("bbox_model", "none")) == "detect":
+            # the reference's bbox slot comes from a SEPARATE plain
+            # yolo11x.pt detect run (yolov11_bbox.py:77), not from the
+            # pose model's boxes
+            bb, bc, bv, bs = _detect_clip_boxes(cfg, frames, load_vars)
+            out.update({"bbox_boxes": bb, "bbox_valid": bv,
+                        "bbox_scores": bs})
         if "mask" in tasks:
             sb, sm, sv, _ = _detect_clip_seg(cfg, frames, load_vars)
             out.update({"seg_boxes": sb, "seg_masks": sm,
@@ -340,6 +382,12 @@ def _skix_backend(cfg, video_path: Path):
             # tracker_type: botsort can fit camera motion on it
             out["track_ids"] = _compute_track_ids(
                 cfg, boxes, scores, valid, flow=out.get("optical_flow"))
+            if "bbox_boxes" in out:
+                # the reference tracks the separate bbox model too
+                # (yolov11_bbox.py:113 mode="track")
+                out["bbox_track_ids"] = _compute_track_ids(
+                    cfg, out["bbox_boxes"], out["bbox_scores"],
+                    out["bbox_valid"], flow=out.get("optical_flow"))
         return out
 
     return run
@@ -449,6 +497,16 @@ def process_video(cfg, video_path: Path, out_path: Path) -> PTInfo:
     backend = _BACKENDS[backend_name](cfg, video_path)
     det = backend(frames)
     sel = _select_and_fill(det)
+    if "bbox_boxes" in det and T:
+        # bbox slot from the SEPARATE plain-detect run (reference keeps
+        # the bbox model's own picking — yolov11_bbox.py:139-196)
+        K = det["bbox_boxes"].shape[1]
+        sel_bbox = _select_and_fill({
+            "boxes": det["bbox_boxes"],
+            "keypoints": np.zeros((T, K, 1, 2), np.float32),
+            "det_valid": det["bbox_valid"],
+            "track_ids": det.get("bbox_track_ids")})
+        sel = dict(sel, bbox=sel_bbox["bbox"])
     # second, independent 2D source (reference: detectron2 next to YOLO;
     # triangulation/load.py:193 reads the d2 slots separately)
     if "d2_boxes" in det:

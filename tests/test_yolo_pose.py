@@ -10,12 +10,14 @@ import jax
 import jax.numpy as jnp
 
 from skix.models.yolo_loss import pose_detection_loss, task_aligned_assign
-from skix.models.yolo_pose import (YoloPose, YoloSeg,
+from skix.models.yolo_pose import (YoloDetect, YoloPose, YoloSeg,
+                                   convert_ultralytics_detect,
                                    convert_ultralytics_pose,
                                    convert_ultralytics_seg,
                                    crop_masks_to_boxes, decode_boxes,
-                                   detect, detect_seg,
+                                   detect, detect_boxes, detect_seg,
                                    reference_state_dict_spec,
+                                   reference_state_dict_spec_detect,
                                    reference_state_dict_spec_seg)
 
 
@@ -254,6 +256,69 @@ class TestSeg:
         np.testing.assert_allclose(m[0], 0.9)       # largest-area slot
         np.testing.assert_allclose(m[1], 0.7)       # hole-filled w/ next
         np.testing.assert_allclose(m[2], 0.7)
+
+
+class TestDetectOnly:
+    """YoloDetect — the reference's plain ``yolo11x.pt`` bbox task
+    (prepare_dataset/model/yolov11_bbox.py:77, classes=0 person filter
+    at :118)."""
+
+    def test_forward_shapes(self):
+        m = YoloDetect(scale="n", num_classes=80)
+        v = _tiny_variables(m)
+        raw = m.apply(v, jnp.zeros((2, 64, 64, 3)))
+        A = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+        assert raw.box_dist.shape == (2, A, 4, 16)
+        assert raw.cls_logits.shape == (2, A, 80)
+        assert not hasattr(raw, "kpt_raw")
+
+    def test_person_class_filter(self):
+        rng = np.random.default_rng(7)
+        m = YoloDetect(scale="n", num_classes=80)
+        v = _tiny_variables(m)
+        img = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+        raw = m.apply(v, img)
+        filt = detect_boxes(raw, top_k=4, score_threshold=-1.0,
+                            classes=(0,))
+        assert np.all(np.asarray(filt.cls) == 0)
+        # the filtered scores are exactly the class-0 probabilities
+        probs = np.asarray(jax.nn.sigmoid(raw.cls_logits))[0, :, 0]
+        assert np.all(np.isin(np.round(np.asarray(filt.scores[0]), 6),
+                              np.round(probs, 6)))
+        # unfiltered random-init logits pick many non-person classes
+        unfilt = detect_boxes(raw, top_k=4, score_threshold=-1.0)
+        assert np.asarray(unfilt.cls).max() > 0
+
+    @pytest.mark.parametrize("version", [8, 11])
+    def test_converter_round_trip(self, version):
+        rng = np.random.default_rng(102)
+        spec = reference_state_dict_spec_detect("n", version=version)
+        assert not any(".cv4." in k for k in spec)
+        sd = {k: rng.normal(size=s).astype(np.float32) * 0.05
+              for k, s in spec.items()}
+        for k in sd:
+            if k.endswith("running_var"):
+                sd[k] = np.abs(sd[k]) + 1.0
+        cv = convert_ultralytics_detect(sd, scale="n", version=version)
+        m = YoloDetect(scale="n", version=version)
+        v = _tiny_variables(m)
+        pi = {jax.tree_util.keystr(p): x.shape
+              for p, x in jax.tree_util.tree_leaves_with_path(v)}
+        pc = {jax.tree_util.keystr(p): x.shape
+              for p, x in jax.tree_util.tree_leaves_with_path(cv)}
+        assert pi == pc
+        out = m.apply(cv, jnp.zeros((1, 64, 64, 3)))
+        assert np.isfinite(np.asarray(out.cls_logits)).all()
+
+    def test_all_spec_keys_are_consumed(self):
+        rng = np.random.default_rng(103)
+        spec = reference_state_dict_spec_detect("n", version=11)
+        sd = {k: rng.normal(size=s).astype(np.float32)
+              for k, s in spec.items()}
+        victim = sorted(spec)[len(spec) // 2]
+        del sd[victim]
+        with pytest.raises(KeyError):
+            convert_ultralytics_detect(sd, scale="n", version=11)
 
 
 class TestLoss:
