@@ -35,6 +35,7 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 H = W = 112
+SCALE = 1.0       # geometry scale factor (= H / 112)
 MAXG = 3          # GT slots
 D_MODEL = 64      # Sam3Detector.tiny d_model
 PROMPT_LEN = 4
@@ -44,6 +45,18 @@ TRK_SLOTS = 3
 
 
 # ---------------------------------------------------------------- world
+
+def set_world_size(size: int) -> None:
+    """Re-scale the synthetic world (VERDICT-r4 #9: the committed 112 px
+    fixture's DetA is bounded by its 14×14 tracker grid — a 224 px world
+    doubles the grid). Every geometric constant in the synth functions
+    multiplies by ``SCALE`` so the 112 px distribution is reproduced at
+    any resolution. Call before synthesizing or training; tests restore
+    112 afterwards."""
+    global H, W, SCALE
+    H = W = int(size)
+    SCALE = H / 112.0
+
 
 def _render(pos, radii, colors, rng, noise=0.03):
     """pos (n,2) xy, radii (n,), colors (n,3) → frame (H,W,3) f32,
@@ -85,8 +98,8 @@ def synth_scene(seed: int, n_obj: int | None = None):
     valid (MAXG,))."""
     rng = np.random.default_rng(seed)
     n = n_obj or int(rng.integers(1, MAXG + 1))
-    radii = rng.uniform(9, 15, n).astype(np.float32)
-    pos = rng.uniform(18, W - 18, (n, 2)).astype(np.float32)
+    radii = (rng.uniform(9, 15, n) * SCALE).astype(np.float32)
+    pos = rng.uniform(18 * SCALE, W - 18 * SCALE, (n, 2)).astype(np.float32)
     colors = rng.uniform(0.55, 1.0, (n, 3)).astype(np.float32)
     frame, vis = _render(pos, radii, colors, rng)
     boxes = np.zeros((MAXG, 4), np.float32)
@@ -106,17 +119,18 @@ def synth_clip(seed: int, T: int = 16, n_obj: int = 2, min_sep: float = 2.2,
     ``same_color=True`` paints every disk the same color (appearance
     gives no identity signal — the memory must carry position)."""
     rng = np.random.default_rng(seed)
-    radii = rng.uniform(9, 14, n_obj).astype(np.float32)
+    radii = (rng.uniform(9, 14, n_obj) * SCALE).astype(np.float32)
     if pos0 is None:
         for _ in range(100):
-            pos = rng.uniform(20, W - 20, (n_obj, 2)).astype(np.float32)
+            pos = rng.uniform(20 * SCALE, W - 20 * SCALE,
+                              (n_obj, 2)).astype(np.float32)
             if n_obj < 2 or np.linalg.norm(
                     pos[0] - pos[1]) > min_sep * radii.max():
                 break
     else:
-        pos = np.asarray(pos0, np.float32).copy()
+        pos = np.asarray(pos0, np.float32).copy() * SCALE
     if vel is not None:
-        vel = np.asarray(vel, np.float32)
+        vel = np.asarray(vel, np.float32) * SCALE
     elif crossing and n_obj >= 2:
         # head-on pass: trajectories meet mid-clip (the occlusion /
         # identity stress the memory must survive)
@@ -124,11 +138,11 @@ def synth_clip(seed: int, T: int = 16, n_obj: int = 2, min_sep: float = 2.2,
         vel = np.zeros((n_obj, 2), np.float32)
         vel[0] = d * rng.uniform(1.0, 1.6)
         vel[1] = -d * rng.uniform(0.4, 1.2)
-        vel += rng.uniform(-0.5, 0.5, (n_obj, 2))
+        vel += rng.uniform(-0.5, 0.5, (n_obj, 2)) * SCALE
         speed = np.linalg.norm(vel, axis=1, keepdims=True)
-        vel *= np.minimum(1.0, 6.0 / np.maximum(speed, 1e-6))
+        vel *= np.minimum(1.0, 6.0 * SCALE / np.maximum(speed, 1e-6))
     else:
-        vel = rng.uniform(-3.0, 3.0, (n_obj, 2)).astype(np.float32)
+        vel = (rng.uniform(-3.0, 3.0, (n_obj, 2)) * SCALE).astype(np.float32)
     vel = vel.astype(np.float32)
     colors = rng.uniform(0.55, 1.0, (n_obj, 3)).astype(np.float32)
     if same_color:
@@ -167,7 +181,7 @@ def _models():
     from skix.tracking.memory_tracker import MaskMemoryTracker
     from skix.tracking.sam3_detector import Sam3Detector
 
-    det = Sam3Detector.tiny()
+    det = Sam3Detector.tiny(img_size=H)   # pos-embed grid follows the world
     trk = MaskMemoryTracker(features=TRK_FEATURES, num_heads=TRK_HEADS,
                             mem_slots=TRK_SLOTS)
     return det, trk
@@ -453,7 +467,16 @@ def main():
     ap.add_argument("--reuse-det", default=None,
                     help="load detector weights from an existing fixture "
                          "npz instead of training")
+    ap.add_argument("--size", type=int, default=112,
+                    help="world resolution (224 = the 2x-grid fixture, "
+                         "VERDICT-r4 #9; geometry scales with it)")
     args = ap.parse_args()
+    if args.size != 112:
+        set_world_size(args.size)
+        if args.out == str(REPO / "tests" / "fixtures" /
+                           "tracker_tiny.npz"):
+            args.out = str(REPO / "tests" / "fixtures" /
+                           f"tracker_tiny{args.size}.npz")
     if args.cpu:
         import os
 
