@@ -53,14 +53,16 @@ class DPTBackbone(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(self.dtype),
              x], axis=1) + pos.astype(self.dtype)
-        taps = []
+        outs = {}
         want = set(self.taps)
         for i in range(self.depth):
             x = Block(self.num_heads, 4.0, qk_norm=False, init_values=None,
                       dtype=self.dtype, name=f"block_{i}")(x)
             if i in want:
-                taps.append(x.astype(jnp.float32))
-        return taps
+                outs[i] = x.astype(jnp.float32)
+        # honor REPEATED tap indices (tiny configs pad the 4-tap list
+        # with the last layer — prepare_dataset.py depth_layers<4)
+        return [outs[t] for t in self.taps]
 
 
 class MonocularDepth(nn.Module):
@@ -73,6 +75,11 @@ class MonocularDepth(nn.Module):
     taps: Sequence[int] = (5, 11, 17, 23)
     features: int = 256
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    # HF DPTReassembleStage readout: Intel/dpt-large (the reference's
+    # checkpoint, depth_estimation.py:99) uses "project" — the cls token
+    # concatenates onto every patch token and projects back through a
+    # Linear+GELU (modeling_dpt.py readout_projects). "ignore" drops cls.
+    readout: str = "project"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,7 +94,12 @@ class MonocularDepth(nn.Module):
         feats = []
         scale_ops = ["up4", "up2", "id", "down2"]
         for i, t in enumerate(taps):
-            h = t[:, 1:, :]  # drop cls (DPT 'ignore' readout)
+            h = t[:, 1:, :]
+            if self.readout == "project":
+                cls_tok = jnp.broadcast_to(t[:, :1, :], h.shape)
+                h = nn.Dense(self.embed_dim, name=f"readout_{i}")(
+                    jnp.concatenate([h, cls_tok], axis=-1))
+                h = nn.gelu(h, approximate=False)
             h = h.reshape(B, gh, gw, self.embed_dim)
             h = nn.Conv(self.out_channels[i], (1, 1), name=f"project_{i}")(h)
             op = scale_ops[i]
@@ -98,31 +110,73 @@ class MonocularDepth(nn.Module):
                 h = nn.ConvTranspose(self.out_channels[i], (2, 2),
                                      strides=(2, 2), name=f"resize_{i}")(h)
             elif op == "down2":
+                # torch Conv2d(k=3, s=2, p=1): SYMMETRIC padding — flax
+                # "SAME" pads (0, 1) on even inputs at stride 2 and the
+                # windows shift one pixel (caught by the round-5 parity
+                # rebuild at meaningful signal scale)
                 h = nn.Conv(self.out_channels[i], (3, 3), strides=(2, 2),
-                            padding="SAME", name=f"resize_{i}")(h)
+                            padding=((1, 1), (1, 1)), name=f"resize_{i}")(h)
             h = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                         name=f"scratch_{i}")(h)
             feats.append(h)
 
         from skix.models.vggt import _FusionBlock
 
+        # HF DPT dialect: PRE-activation residual skips
+        # (DPTPreActResidualLayer) and mismatched residuals resized to
+        # the hidden state's size with align_corners=False — this model
+        # converts from HF checkpoints, NOT from VGGT's vendored DPT,
+        # whose inplace-ReLU skip the _FusionBlock default replicates.
+        hf = dict(preact_residual=True, align_residual=True)
         f4 = _FusionBlock(self.features, has_residual=False,
-                          name="refine4")(feats[3])
-        f3 = _FusionBlock(self.features, name="refine3")(f4, feats[2])
-        f2 = _FusionBlock(self.features, name="refine2")(f3, feats[1])
-        f1 = _FusionBlock(self.features, name="refine1")(f2, feats[0])
+                          name="refine4", **hf)(feats[3])
+        f3 = _FusionBlock(self.features, name="refine3", **hf)(f4, feats[2])
+        f2 = _FusionBlock(self.features, name="refine2", **hf)(f3, feats[1])
+        f1 = _FusionBlock(self.features, name="refine1", **hf)(f2, feats[0])
 
         h = nn.Conv(self.features // 2, (3, 3), padding="SAME",
                     name="head_conv1")(f1)
-        Bh, hh, ww, _ = h.shape
-        h = jax.image.resize(h, (Bh, hh * 2, ww * 2, h.shape[-1]), "bilinear")
+        hh, ww = h.shape[1], h.shape[2]
+        # HF head upsample is Upsample(scale=2, bilinear, ALIGN_CORNERS=TRUE)
+        from skix.models.vggt import _resize_align_corners
+        h = _resize_align_corners(h, (hh * 2, ww * 2))
         h = nn.Conv(32, (3, 3), padding="SAME", name="head_conv2")(h)
         h = nn.relu(h)
         h = nn.Conv(1, (1, 1), name="head_conv3")(h)
         h = nn.relu(h)[..., 0]
         # resize back to the input resolution (reference bicubic resize,
-        # depth_estimation.py:117)
-        return jax.image.resize(h, (B, H, W), "bicubic")
+        # depth_estimation.py:117) — torch-exact kernel (Keys a=-0.75;
+        # jax.image.resize "bicubic" uses a=-0.5 and deviates ~2%)
+        return _resize_bicubic_torch(h, (H, W))
+
+
+def _resize_bicubic_torch(x, out_hw):
+    """Separable bicubic resize with torch ``interpolate(mode="bicubic",
+    align_corners=False)`` semantics: half-pixel source mapping, Keys
+    cubic-convolution kernel with a = −0.75, border-clamped taps.
+    ``x (..., H, W)``; static tap indices/weights (numpy at trace time)."""
+    H, W = x.shape[-2], x.shape[-1]
+    h2, w2 = out_hw
+
+    def taps(n1, n2):
+        src = (np.arange(n2) + 0.5) * (n1 / n2) - 0.5
+        t0 = np.floor(src).astype(np.int64)
+        frac = (src - t0).astype(np.float64)
+        a = -0.75
+        offs = np.array([-1, 0, 1, 2])
+        xs = np.abs(frac[:, None] - offs[None, :])        # (n2, 4)
+        w = np.where(
+            xs <= 1.0, (a + 2) * xs ** 3 - (a + 3) * xs ** 2 + 1.0,
+            np.where(xs < 2.0,
+                     a * xs ** 3 - 5 * a * xs ** 2 + 8 * a * xs - 4 * a,
+                     0.0))
+        idx = np.clip(t0[:, None] + offs[None, :], 0, n1 - 1)
+        return idx, jnp.asarray(w.astype(np.float32))
+
+    iy, wy = taps(H, h2)
+    ix, wx = taps(W, w2)
+    a = jnp.einsum("...hkw,hk->...hw", x[..., iy, :], wy)   # rows
+    return jnp.einsum("...hwk,wk->...hw", a[..., ix], wx)   # cols
 
 
 def estimate_depth_batched(model: MonocularDepth, variables, frames_u8,
@@ -166,8 +220,11 @@ def convert_hf_dpt_checkpoint(state_dict, cfg: MonocularDepth | None = None):
     def conv(prefix, transpose=False):
         w = np_of(state_dict[f"{prefix}.weight"])
         # torch conv: (out, in, kh, kw) → flax: (kh, kw, in, out);
-        # torch convT: (in, out, kh, kw) → flax ConvTranspose: (kh, kw, in, out)
-        w = w.transpose(2, 3, 1, 0) if not transpose else w.transpose(2, 3, 0, 1)
+        # torch convT: (in, out, kh, kw) → flax ConvTranspose (kh, kw, in,
+        # out) + SPATIAL FLIP — lax.conv_transpose does not mirror the
+        # kernel (same fix as sam_decoder.py:258 / vggt_convert)
+        w = (w.transpose(2, 3, 1, 0) if not transpose
+             else w.transpose(2, 3, 0, 1)[::-1, ::-1])
         out = {"kernel": w}
         if f"{prefix}.bias" in state_dict:
             out["bias"] = np_of(state_dict[f"{prefix}.bias"])
@@ -200,8 +257,11 @@ def convert_hf_dpt_checkpoint(state_dict, cfg: MonocularDepth | None = None):
             "mlp": {"fc1": lin(f"{pref}.intermediate.dense"),
                     "fc2": lin(f"{pref}.output.dense")},
         }
-    # neck: reassemble projections + resizes
+    # neck: readout projects + reassemble projections + resizes
     for i in range(4):
+        ro = f"neck.reassemble_stage.readout_projects.{i}.0"
+        if f"{ro}.weight" in state_dict:
+            p[f"readout_{i}"] = lin(ro)
         p[f"project_{i}"] = conv(
             f"neck.reassemble_stage.layers.{i}.projection")
         if i != 2:  # layer 2 is identity

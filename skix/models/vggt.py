@@ -278,26 +278,44 @@ class CameraHead(nn.Module):
 class _FusionBlock(nn.Module):
     """Reference FeatureFusionBlock (dpt_head.py:399): residual add →
     resConfUnit2 → align-corners-True resize to the NEXT level's size
-    (``out_size``; scale 2 when None) → out_conv."""
+    (``out_size``; scale 2 when None) → out_conv.
+
+    Two DPT dialects share this block and differ in the residual skip:
+
+    - VGGT's vendored DPT (default): ``ResidualConvUnit`` uses
+      ``ReLU(inplace=True)`` (dpt_head.py:301,376) — ``out =
+      activation(x)`` MUTATES x, so the skip at :386 adds ``relu(h)``.
+    - HF transformers DPT (``preact_residual=True``, used by
+      skix/models/dpt.py): ``DPTPreActResidualLayer`` returns
+      ``conv_stack + hidden_state`` — the skip is the PRE-activation h,
+      and ``DPTFeatureFusionLayer`` resizes a mismatched residual to the
+      hidden state's size with align_corners=False
+      (``align_residual=True``) before adding.
+    """
 
     features: int
     has_residual: bool = True
+    preact_residual: bool = False   # HF DPTPreActResidualLayer skip
+    align_residual: bool = False    # HF mismatched-residual resize
 
     @nn.compact
     def __call__(self, x, res=None, out_size=None):
         def res_unit(h, name):
-            # the reference's ResidualConvUnit uses ReLU(inplace=True)
-            # (dpt_head.py:301,376): `out = activation(x)` MUTATES x, so
-            # the skip at :386 adds relu(h), not h — replicated here
             a = nn.relu(h)
             out = nn.Conv(self.features, (3, 3), padding="SAME",
                           name=f"{name}_conv1")(a)
             out = nn.relu(out)
             out = nn.Conv(self.features, (3, 3), padding="SAME",
                           name=f"{name}_conv2")(out)
-            return a + out
+            return (h if self.preact_residual else a) + out
 
         if self.has_residual and res is not None:
+            if self.align_residual and res.shape[1:3] != x.shape[1:3]:
+                # HF: interpolate(residual, size=hidden, align_corners=False)
+                # = jax.image.resize half-pixel bilinear
+                res = jax.image.resize(
+                    res, (*res.shape[:1], *x.shape[1:3], res.shape[-1]),
+                    "bilinear")
             x = x + res_unit(res, "res_unit1")
         x = res_unit(x, "res_unit2")
         H, W = x.shape[1], x.shape[2]

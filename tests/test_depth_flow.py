@@ -35,31 +35,53 @@ class TestDepth:
         depth = estimate_depth_batched(model, v, frames, batch_size=2)
         assert depth.shape == (5, 1, 64, 64)
 
-    def test_hf_converter_parity(self):
-        """Convert a randomly initialized HF DPT and compare forwards."""
+    @pytest.mark.parametrize("img", [64, 80])
+    def test_hf_converter_parity(self, img):
+        """Convert an HF DPT and compare forwards at MEANINGFUL signal
+        scale. Round-5 hardening: the original test used HF's default
+        init, whose final-ReLU output is ~1.6e-8 — 5 orders below the
+        atol, so it passed through a fusion-residual semantic break
+        unchanged (code-review finding). Weights are re-initialized
+        xavier so |depth| ~ 0.3, a magnitude floor asserts the test can
+        never go vacuous again, and img=80 exercises the odd patch grid
+        (gh=5: mismatched fusion residual sizes + the output back-resize
+        with torch-exact bicubic, previously a crash)."""
         transformers = pytest.importorskip("transformers")
         torch = pytest.importorskip("torch")
         from skix.models.dpt import convert_hf_dpt_checkpoint
 
         hf_cfg = transformers.DPTConfig(
-            image_size=64, patch_size=16, num_channels=3, hidden_size=32,
+            image_size=img, patch_size=16, num_channels=3, hidden_size=32,
             num_hidden_layers=4, num_attention_heads=2, intermediate_size=128,
             is_hybrid=False, backbone_out_indices=[0, 1, 2, 3],
             fusion_hidden_size=16, neck_hidden_sizes=[8, 16, 24, 24],
             reassemble_factors=[4, 2, 1, 0.5],
         )
         hf = transformers.DPTForDepthEstimation(hf_cfg).eval()
-        x = rng.random((1, 64, 64, 3)).astype(np.float32)
+        g = torch.Generator().manual_seed(0)
+        with torch.no_grad():
+            for p in hf.parameters():
+                if p.dim() >= 2:
+                    torch.nn.init.xavier_uniform_(p, generator=g)
+                else:
+                    p.uniform_(-0.05, 0.05, generator=g)
+        x = rng.random((1, img, img, 3)).astype(np.float32)
         with torch.no_grad():
             want = hf(torch.from_numpy(
                 ((x - 0.5) / 0.5).transpose(0, 3, 1, 2))).predicted_depth
+            # skix resizes back to input resolution (the reference
+            # pipeline behavior, depth_estimation.py:117) — mirror it
+            want = torch.nn.functional.interpolate(
+                want[:, None], (img, img), mode="bicubic",
+                align_corners=False)[:, 0]
+        assert float(want.abs().max()) > 0.05, "vacuous parity signal"
         model = MonocularDepth(patch_size=16, embed_dim=32, depth=4,
                                num_heads=2, taps=(0, 1, 2, 3), features=16,
                                out_channels=(8, 16, 24, 24))
         variables = convert_hf_dpt_checkpoint(hf.state_dict(), model)
         got = model.apply(variables, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(got)[0], want.numpy()[0],
-                                   atol=5e-3, rtol=1e-3)
+                                   atol=1e-4, rtol=1e-3)
 
 
 class TestRAFT:
@@ -109,7 +131,13 @@ class TestRAFT:
         check that the correlation volume itself peaks at the shift."""
         from skix.models.raft import correlation_pyramid
 
-        f = rng.random((1, 8, 8, 16)).astype(np.float32)
+        # local rng (shared module rng made this order-dependent) and
+        # ZERO-MEAN features: with uniform [0,1) features every dot
+        # product is positive and a large-norm pixel can beat the true
+        # self-match — gaussian features give the self-match a ~4 sigma
+        # margin regardless of seed
+        lrng = np.random.default_rng(17)
+        f = lrng.normal(size=(1, 8, 8, 16)).astype(np.float32)
         f2 = np.roll(f, shift=2, axis=2)  # shift right by 2
         pyr = correlation_pyramid(jnp.asarray(f), jnp.asarray(f2), 1)
         corr = np.asarray(pyr[0])[0]  # (h, w, h, w)

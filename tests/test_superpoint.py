@@ -202,22 +202,25 @@ class TestKeypointExtraction:
         the query slot (random weights — behavior, not accuracy)."""
         import flax.linen as nn
 
-        from skix.models.track_head import TrackResult
         from skix.perception.sfm_tracks import predict_tracks
 
         class _StubHead(nn.Module):
+            """Reference-contract stub: (4-tuple of (B,S,P,C) taps,
+            (B,N,2) queries) → (coords_list, vis, conf) like TrackHead."""
+
             @nn.compact
-            def __call__(self, features, queries) -> TrackResult:
-                S = features.shape[1]
-                tr = jnp.repeat(queries[:, None], S, axis=1)
-                return TrackResult(tracks=tr,
-                                   visibility=jnp.ones(tr.shape[:3]))
+            def __call__(self, taps, queries):
+                S = taps[0].shape[1]
+                tr = jnp.repeat(queries[:, None], S, axis=1)  # (B,S,N,2)
+                vis = jnp.ones(tr.shape[:3])
+                return [tr], vis, vis
 
         rng = np.random.default_rng(11)
         images = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
-        feats = rng.normal(size=(3, 4, 4, 8)).astype(np.float32)
+        feats = rng.normal(size=(4, 3, 16, 8)).astype(np.float32)
         head = _StubHead()
-        hv = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 4, 4, 8)),
+        hv = head.init(jax.random.PRNGKey(0),
+                       tuple(jnp.zeros((1, 3, 16, 8)) for _ in range(4)),
                        jnp.zeros((1, 4, 2)))
         res = predict_tracks(head, hv, images, feats,
                              max_query_pts=32, query_frame_num=2,
