@@ -140,7 +140,10 @@ class TorchMHA(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, q_in, k_in, v_in):
+    def __call__(self, q_in, k_in, v_in, key_mask=None):
+        """``key_mask (B, Lk)`` bool: False keys are excluded from the
+        softmax (torch key_padding_mask semantics) — used to keep padded
+        query-track slots out of the space attention pool."""
         C, Hh = self.dim, self.num_heads
         hd = C // Hh
         W = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
@@ -153,8 +156,11 @@ class TorchMHA(nn.Module):
         q = q.reshape(B, Lq, Hh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lk, Hh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, Hh, hd).transpose(0, 2, 1, 3)
-        att = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd), axis=-1)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+        if key_mask is not None:
+            logits = jnp.where(key_mask[:, None, None, :], logits,
+                               jnp.finfo(logits.dtype).min)
+        att = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
         return nn.Dense(C, name="out_proj")(out)
@@ -186,11 +192,12 @@ class CrossAttnBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, context_mask=None):
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         ctx = nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
         x = x + TorchMHA(self.dim, self.num_heads,
-                         name="cross_attn")(x, ctx, ctx)
+                         name="cross_attn")(x, ctx, ctx,
+                                            key_mask=context_mask)
         x = x + Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x
@@ -212,8 +219,13 @@ class EfficientUpdateFormer(nn.Module):
     num_virtual_tracks: int = 64
 
     @nn.compact
-    def __call__(self, x):
-        """``x (B, N, T, input_dim)`` → ``(B, N, T, output_dim)``."""
+    def __call__(self, x, valid=None):
+        """``x (B, N, T, input_dim)`` → ``(B, N, T, output_dim)``.
+
+        ``valid (B, N)`` bool marks REAL point tracks; False slots (the
+        fixed-size chunk padding in sfm_tracks.py) are masked out of the
+        virtual←point space attention so they cannot perturb real tracks
+        (the reference runs exact-size chunks and has no pads)."""
         B, N0, T, _ = x.shape
         x = nn.LayerNorm(epsilon=1e-5, name="input_norm")(x)
         tokens = nn.Dense(self.hidden_size, name="input_transform")(x)
@@ -257,7 +269,11 @@ class EfficientUpdateFormer(nn.Module):
                 st = tokens.transpose(0, 2, 1, 3).reshape(B * T, N, -1)
                 pt = st[:, :N - nvt]
                 vt = st[:, N - nvt:]
-                vt = sv2p[j](vt, pt)
+                pt_mask = None
+                if valid is not None:
+                    pt_mask = jnp.broadcast_to(
+                        valid[:, None, :], (B, T, N0)).reshape(B * T, N0)
+                vt = sv2p[j](vt, pt, context_mask=pt_mask)
                 vt = sv[j](vt)
                 pt = sp2v[j](pt, vt)
                 st = jnp.concatenate([pt, vt], axis=1)
@@ -318,11 +334,13 @@ class BaseTrackerPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, query_points, fmaps, iters: Optional[int] = None,
-                 down_ratio: int = 1, apply_sigmoid: bool = True):
+                 down_ratio: int = 1, apply_sigmoid: bool = True,
+                 query_valid=None):
         """``query_points (B, N, 2)`` pixel coords, ``fmaps
         (B, S, HH, WW, C)`` channels-last feature maps → (coord_preds
         list per iteration in pixel scale, vis (B, S, N),
-        conf (B, S, N))."""
+        conf (B, S, N)). ``query_valid (B, N)`` masks padded query
+        slots out of the space attention."""
         iters = self.iters if iters is None else iters
         B, S, HH, WW, C = fmaps.shape
         N = query_points.shape[1]
@@ -383,7 +401,8 @@ class BaseTrackerPredictor(nn.Module):
             x = x + qr
             x = x.reshape(B, N, S, tdim)
 
-            delta = updateformer(x).reshape(B * N, S, ld + 2)
+            delta = updateformer(x, valid=query_valid).reshape(
+                B * N, S, ld + 2)
             delta_coords_ = delta[:, :, :2]
             delta_feats_ = delta[:, :, 2:].reshape(B * N * S, ld)
 
@@ -440,7 +459,8 @@ class TrackHead(nn.Module):
     patch_start_idx: int = 5
 
     @nn.compact
-    def __call__(self, taps, query_points, iters: Optional[int] = None):
+    def __call__(self, taps, query_points, query_valid=None,
+                 iters: Optional[int] = None):
         from skix.models.vggt import DPTHead
 
         fmaps = DPTHead(
@@ -453,7 +473,8 @@ class TrackHead(nn.Module):
             stride=self.stride, corr_levels=self.corr_levels,
             corr_radius=self.corr_radius, hidden_size=self.hidden_size,
             iters=self.iters, name="tracker")
-        return tracker(query_points, fmaps, iters=iters)
+        return tracker(query_points, fmaps, iters=iters,
+                       query_valid=query_valid)
 
 
 def track_points(model: TrackHead, variables, taps, queries) -> TrackResult:

@@ -142,10 +142,18 @@ def upsample_align_corners(x, out_h: int, out_w: int):
     implements only the half-pixel convention, so this samples the
     corner-aligned grid explicitly. ``x (B, H, W, C)``."""
     B, H, W, C = x.shape
-    py = (jnp.arange(out_h) * ((H - 1) / max(out_h - 1, 1))).astype(x.dtype)
-    px = (jnp.arange(out_w) * ((W - 1) / max(out_w - 1, 1))).astype(x.dtype)
+    # coordinates stay f32 regardless of the feature dtype: bf16 coords
+    # quantize to ~2-pixel steps past coord 256 (8 mantissa bits) and
+    # the align-corners grid degenerates to blocky nearest sampling —
+    # the same rule deform_conv2d applies to its offset math
+    py = (jnp.arange(out_h) * ((H - 1) / max(out_h - 1, 1))).astype(
+        jnp.float32)
+    px = (jnp.arange(out_w) * ((W - 1) / max(out_w - 1, 1))).astype(
+        jnp.float32)
     gy, gx = jnp.meshgrid(py, px, indexing="ij")
-    return jax.vmap(bilinear_sample, in_axes=(0, None, None))(x, gy, gx)
+    out = jax.vmap(bilinear_sample, in_axes=(0, None, None))(
+        x.astype(jnp.float32), gy, gx)
+    return out.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -426,35 +434,16 @@ def _np_of(t):
         return np.asarray(t, np.float32)
 
 
-def convert_aliked(state_dict, model_name: str = "aliked-n16") -> dict:
-    """lightglue/ALIKED torch state dict → flax variables for
-    :class:`ALIKED`. Layout transcribed from lightglue aliked.py (see
-    module docstring for the verification caveat). SDDH (desc_head.*)
-    weights are converted alongside and returned under ``"sddh"``."""
+def convert_aliked(state_dict, model_name: str = "aliked-n16"):
+    """lightglue/ALIKED torch state dict → ``(backbone_variables,
+    sddh_variables)``: flax variables for :class:`ALIKED` and for its
+    SDDH descriptor head (``desc_head.*`` weights), respectively. Layout
+    transcribed from lightglue aliked.py (see module docstring for the
+    verification caveat)."""
     sd = {k: _np_of(v) for k, v in state_dict.items()}
-    params: dict = {}
-    stats: dict = {}
 
     def conv_w(key):
         return sd[key].transpose(2, 3, 1, 0)     # OIHW → HWIO
-
-    def put_convbn(dst, src_conv, src_bn, dcn):
-        p: dict = {}
-        if dcn:
-            p["offset_conv"] = {
-                "kernel": conv_w(f"{src_conv}.offset_conv.weight"),
-                "bias": sd[f"{src_conv}.offset_conv.bias"]}
-            p["regular_conv"] = conv_w(f"{src_conv}.regular_conv.weight")
-        else:
-            p["kernel"] = conv_w(f"{src_conv}.weight")
-        params[dst] = p
-        stats[dst.replace("conv", "bn")] = {}
-        b = src_bn
-        params[dst.replace("conv", "bn")] = {
-            "scale": sd[f"{b}.weight"], "bias": sd[f"{b}.bias"]}
-        stats[dst.replace("conv", "bn")] = {
-            "mean": sd[f"{b}.running_mean"],
-            "var": sd[f"{b}.running_var"]}
 
     blocks: dict = {}
     bstats: dict = {}

@@ -334,21 +334,29 @@ def _tracks_for_query(track_model, variables, images_np, features,
             xy, colors = xy[keep], colors[keep]
             q_conf, q_p3d = q_conf[keep], q_p3d[keep]
 
-    # Swap query frame to position 0 so the head's t=0 anchor is the query.
+    # Swap query frame to position 0 so the head's t=0 anchor is the
+    # query. The permutation runs ON DEVICE (jnp.take over the S axis):
+    # a host-side fancy-index + re-upload of the (4, S, P, C) tap stack
+    # costs hundreds of MB through the axon relay PER QUERY FRAME.
     order = calculate_index_mappings(query_index, S)
-    feats_feed = np.asarray(features)[:, order]   # (4, S, P, C) taps
+    order_idx = jnp.asarray(np.asarray(order))
+    taps = tuple(jnp.take(jnp.asarray(f), order_idx, axis=0)[None]
+                 for f in features)
 
-    # Fixed-size padded chunks → one jit cache entry per chunk shape.
+    # Fixed-size padded chunks → one jit cache entry per chunk shape;
+    # `query_valid` masks the pad slots out of the tracker's space
+    # attention (the reference runs exact-size chunks — unmasked pads
+    # would perturb the real tracks through the virtual-track pool).
     n = len(xy)
     tracks_parts, vis_parts = [], []
-    taps = tuple(jnp.asarray(f)[None] for f in feats_feed)
     for s in range(0, n, chunk):
         part = xy[s:s + chunk]
         m = len(part)
         pad = np.zeros((chunk - m, 2), np.float32)
         q = jnp.asarray(np.concatenate([part, pad], 0))[None]
+        qv = jnp.asarray(np.arange(chunk) < m)[None]
         coords_list, vis, _conf = apply_model(track_model, None, variables,
-                                              taps, q)
+                                              taps, q, qv)
         tracks_parts.append(np.asarray(coords_list[-1][0])[:, :m])
         vis_parts.append(np.asarray(vis[0])[:, :m])
     tracks = np.concatenate(tracks_parts, axis=1)   # (S, n, 2)
@@ -420,7 +428,7 @@ def predict_tracks(track_model, variables, images, features, *,
             final_max_pts=final_max_pts,
             final_extractors=partial(
                 initialize_feature_extractors, final_max_pts, det_thres,
-                extractor_method, superpoint))
+                extractor_method, superpoint, aliked=aliked))
 
     if not tracks_l:
         # No query frame yielded any keypoint (flat/low-texture clip):

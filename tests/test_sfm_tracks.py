@@ -126,7 +126,7 @@ class _StubHead(nn.Module):
     of tap tensors in, (coord_preds list, vis, conf) out."""
 
     @nn.compact
-    def __call__(self, taps, queries, iters=None):
+    def __call__(self, taps, queries, query_valid=None, iters=None):
         self.param("dummy", nn.initializers.zeros, (1,))
         t0 = taps[0]
         B, S = t0.shape[0], t0.shape[1]

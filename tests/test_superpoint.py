@@ -209,7 +209,7 @@ class TestKeypointExtraction:
             (B,N,2) queries) → (coords_list, vis, conf) like TrackHead."""
 
             @nn.compact
-            def __call__(self, taps, queries):
+            def __call__(self, taps, queries, query_valid=None):
                 S = taps[0].shape[1]
                 tr = jnp.repeat(queries[:, None], S, axis=1)  # (B,S,N,2)
                 vis = jnp.ones(tr.shape[:3])

@@ -195,6 +195,44 @@ class TestReferenceParity:
                                    atol=1e-4)
 
 
+class TestPadMasking:
+    def test_masked_pads_match_exact_size_run(self):
+        """Fixed-size chunk padding must NOT perturb real tracks: a run
+        with n real queries + pad slots and ``query_valid`` must equal
+        the exact-size run (the reference predict_tracks_in_chunks has
+        no pads; unmasked zeros leak into the virtual-track space
+        attention — round-5 code-review finding)."""
+        lrng = np.random.default_rng(7)
+        S, H, W = 3, 10, 10
+        gh, gw = H // 2, W // 2
+        taps = tuple(jnp.asarray(
+            lrng.normal(size=(1, S, 5 + gh * gw, 32)), jnp.float32) * 0.5
+            for _ in range(4))
+        n, chunk = 4, 16
+        q_real = jnp.asarray(
+            lrng.random((1, n, 2)) * np.array([W - 1.0, H - 1.0]),
+            jnp.float32)
+        model = TrackHead(**TINY, img_hw=(H, W), patch_start_idx=5)
+        variables = jax.jit(lambda k: model.init(k, taps, q_real))(
+            jax.random.PRNGKey(0))
+
+        exact_coords, exact_vis, _ = model.apply(variables, taps, q_real)
+        q_pad = jnp.concatenate(
+            [q_real, jnp.zeros((1, chunk - n, 2))], axis=1)
+        qv = jnp.asarray(np.arange(chunk) < n)[None]
+        pad_coords, pad_vis, _ = model.apply(variables, taps, q_pad, qv)
+        np.testing.assert_allclose(np.asarray(pad_coords[-1][:, :, :n]),
+                                   np.asarray(exact_coords[-1]),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(pad_vis[:, :, :n]),
+                                   np.asarray(exact_vis),
+                                   atol=1e-5, rtol=1e-5)
+        # and WITHOUT the mask the pads demonstrably perturb the output
+        raw_coords, _, _ = model.apply(variables, taps, q_pad)
+        assert np.abs(np.asarray(raw_coords[-1][:, :, :n])
+                      - np.asarray(exact_coords[-1])).max() > 1e-4
+
+
 class TestTrackerBehavior:
     def test_corr_sample_peak_at_matching_feature(self):
         """The correlation window peaks where the target feature lies."""
