@@ -65,21 +65,27 @@ def triangulate_dlt(uv, P, w=None):
     return X.reshape(*batch, 3)
 
 
-def triangulate_sequence(kpts_a, kpts_b, K, R, t, w_a=None, w_b=None, dist=None):
+def triangulate_sequence(kpts_a, kpts_b, K, R, t, w_a=None, w_b=None,
+                         dist=None, K_b=None):
     """Two-view clip triangulation (the reference's main path).
 
     ``kpts_a/kpts_b: (T, J, 2)`` pixel keypoints in view A (reference:
-    ``P1 = K [I|0]``) and view B (``P2 = K [R|t]``, reference
-    triangulation/triangulate.py:60-69). ``w_*``: (T, J) confidence weights.
-    Returns ``(T, J, 3)`` points in view-A camera coordinates.
+    ``P1 = K [I|0]``) and view B (``P2 = K_b [R|t]``, reference
+    triangulation/triangulate.py:60-69). ``K_b`` defaults to ``K`` (the
+    reference's same-camera rig); pass the right camera's intrinsics
+    when the two videos have different resolutions/zoom. ``w_*``: (T, J)
+    confidence weights. Returns ``(T, J, 3)`` points in view-A camera
+    coordinates.
     """
     kpts_a = jnp.asarray(kpts_a)
     kpts_b = jnp.asarray(kpts_b)
+    if K_b is None:
+        K_b = K
     if dist is not None:
         kpts_a = undistort_points(kpts_a, K, dist)
-        kpts_b = undistort_points(kpts_b, K, dist)
+        kpts_b = undistort_points(kpts_b, K_b, dist)
     P1 = projection_matrix(K, jnp.eye(3, dtype=kpts_a.dtype), jnp.zeros(3, kpts_a.dtype))
-    P2 = projection_matrix(K, R, t)
+    P2 = projection_matrix(K_b, R, t)
     P = jnp.stack([P1, P2], axis=0)  # (2, 3, 4)
     uv = jnp.stack([kpts_a, kpts_b], axis=-2)  # (T, J, 2views, 2)
     if w_a is None and w_b is None:

@@ -508,21 +508,32 @@ def main(cfg):
     report = {}
     for person_dir in iter_person_dirs(root, cfg):
         for video in sorted(person_dir.glob("*.mp4")):
-            frames = read_video(video, max_frames=cfg.get("max_frames"))
-            out_dir = out_root / person_dir.name / video.stem
-            out_dir.mkdir(parents=True, exist_ok=True)
-            n = 0
-            import cv2
+            # per-video isolation like every other stage: one corrupt
+            # video (or a bad edits key) must not abort the batch and
+            # lose the summary
+            try:
+                frames = read_video(video, max_frames=cfg.get("max_frames"))
+                out_dir = out_root / person_dir.name / video.stem
+                out_dir.mkdir(parents=True, exist_ok=True)
+                n = 0
+                import cv2
 
-            for t in range(0, len(frames), stride):
-                for e_i, edit in enumerate(edits):
-                    ed = dict(edit) if not hasattr(edit, "to_dict") else edit.to_dict()
-                    out, prompt = editor.infer_camera_edit(frames[t], **ed)
-                    cv2.imwrite(str(out_dir / f"frame_{t:06d}_edit{e_i}.png"),
-                                cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
-                    n += 1
-            report[f"{person_dir.name}/{video.stem}"] = n
-            log.info("%s/%s: %d edited frames", person_dir.name, video.stem, n)
+                for t in range(0, len(frames), stride):
+                    for e_i, edit in enumerate(edits):
+                        ed = (dict(edit) if not hasattr(edit, "to_dict")
+                              else edit.to_dict())
+                        out, prompt = editor.infer_camera_edit(frames[t],
+                                                               **ed)
+                        cv2.imwrite(
+                            str(out_dir / f"frame_{t:06d}_edit{e_i}.png"),
+                            cv2.cvtColor(out, cv2.COLOR_RGB2BGR))
+                        n += 1
+                report[f"{person_dir.name}/{video.stem}"] = n
+                log.info("%s/%s: %d edited frames", person_dir.name,
+                         video.stem, n)
+            except Exception:  # noqa: BLE001 — per-video isolation
+                log.exception("%s failed", video)
+                report[f"{person_dir.name}/{video.stem}"] = -1
     out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "image_edit_summary.json").write_text(
         json.dumps(report, indent=2))

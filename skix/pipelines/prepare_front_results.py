@@ -208,10 +208,24 @@ def process_video(pred, video_path: Path, out_dir: Path, cfg) -> dict:
                 np.save(out_dir / f"{prompt}_tracker_scores.npy",
                         np.stack(tscores))
             if prompt == "person":
-                # (T, 4) best-track path for front_side
-                best = np.argmax(np.where(active, scores, -1), axis=1)
-                np.save(out_dir / "person_bboxes.npy",
-                        boxes[np.arange(len(boxes)), best])
+                # (T, 4) best-track path for front_side. Frames with NO
+                # active track must not emit the slot-0 garbage row the
+                # bare argmax would pick: carry the nearest valid box
+                # (the pipeline's fill_invalid convention) and save the
+                # validity mask alongside.
+                sel = np.where(active, scores, -1.0)
+                best = np.argmax(sel, axis=1)
+                tt = np.arange(len(best))
+                valid = sel[tt, best] > -1.0
+                pb = boxes[tt, best].astype(np.float32)
+                if valid.any():
+                    idx = np.where(valid, tt, -1)
+                    ff = np.maximum.accumulate(idx)           # last valid ≤ t
+                    first = int(np.argmax(valid))
+                    ff = np.where(ff < 0, first, ff)          # backfill head
+                    pb = pb[ff]
+                np.save(out_dir / "person_bboxes.npy", pb)
+                np.save(out_dir / "person_valid.npy", valid)
             if has_masks and bool(cfg.get("overlay_video", False)):
                 # per-object masklet overlay video (the reference's
                 # visualization_utils.py save_masklet_video output)
@@ -248,10 +262,23 @@ def main(cfg):
     out_root = Path(cfg.paths.out_root)
     reports = {}
     for person_dir in iter_person_dirs(root, cfg):
-        for video in sorted(person_dir.glob("*.mp4")):
+        videos = sorted(person_dir.glob("*.mp4"))
+        for vi, video in enumerate(videos):
+            # the reference pairs ONE front video per person and writes
+            # a flat per-person layout (run.py:78 process_one_person;
+            # front_side consumes <person>/person_bboxes.npy). Extra
+            # videos in a person dir get their own <stem>/ subdir so
+            # fixed-named outputs cannot silently overwrite each other.
+            out_dir = out_root / person_dir.name
+            if vi > 0:
+                out_dir = out_dir / video.stem
+                log.warning(
+                    "%s: multiple front videos — %s outputs namespaced "
+                    "under %s (front_side reads the first video's flat "
+                    "layout)", person_dir.name, video.stem, out_dir)
             try:
                 reports[f"{person_dir.name}/{video.stem}"] = process_video(
-                    pred, video, out_root / person_dir.name, cfg)
+                    pred, video, out_dir, cfg)
                 log.info("%s/%s tracked", person_dir.name, video.stem)
             except Exception:  # noqa: BLE001
                 log.exception("%s failed", video)

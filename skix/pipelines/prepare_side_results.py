@@ -144,9 +144,17 @@ def _process_detected_people(estimator, frames, human_detector, cfg,
     outputs, prev = [], None
     for t in range(T):
         cands = [per_slot[n][t] for n in range(n_slots) if det_valid[t, n]]
-        pick = select_closest_person(cands, prev) or per_slot[0][t]
-        outputs.append(pick)
-        prev = pick
+        pick = select_closest_person(cands, prev)
+        ok = pick is not None
+        if pick is None:
+            # nobody detected this frame: carry the previous athlete
+            # forward (fill_invalid convention) instead of emitting the
+            # zero-box slot-0 output — and do NOT update `prev`, so the
+            # continuity term keeps measuring against a REAL pose
+            pick = prev if prev is not None else per_slot[0][t]
+        else:
+            prev = pick
+        outputs.append(dict(pick, det_valid=np.asarray(ok)))
     return outputs
 
 
@@ -172,10 +180,7 @@ def process_one_video(estimator, record_path: Path, out_dir: Path, cfg,
             outputs = _process_detected_people(
                 estimator, info.frames, human_detector, cfg,
                 image_focal=image_focal)
-            out_dir.mkdir(parents=True, exist_ok=True)
-            for t, out in enumerate(outputs):
-                np.savez(out_dir / f"frame_{t:06d}_sam_3d_body_outputs.npz",
-                         **out)
+            _save_frames_atomic(out_dir, outputs)
             return len(outputs)
         # reference else-branch (sam_3d_body_estimator.py:123-125): one
         # full-image box per frame, is_crop=False
@@ -199,10 +204,25 @@ def process_one_video(estimator, record_path: Path, out_dir: Path, cfg,
         image_focal=image_focal,
         inference_type=str(cfg.get("inference_type", "body")),
         masks=masks)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    for t, out in enumerate(outputs):
-        np.savez(out_dir / f"frame_{t:06d}_sam_3d_body_outputs.npz", **out)
+    _save_frames_atomic(out_dir, outputs)
     return len(outputs)
+
+
+def _save_frames_atomic(out_dir: Path, outputs) -> None:
+    """Write the per-frame npz set into a tmp dir, then rename into
+    place — the resume-by-existence skip in main() must never mistake a
+    partially-written directory (killed mid-loop) for a finished one."""
+    import shutil
+
+    tmp = out_dir.parent / (out_dir.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+    for t, out in enumerate(outputs):
+        np.savez(tmp / f"frame_{t:06d}_sam_3d_body_outputs.npz", **out)
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    tmp.rename(out_dir)
 
 
 @cli_main("sam3d_body")

@@ -112,6 +112,14 @@ def process_single_view(model, variables, video_path: Path, out_dir: Path,
     out = fwd(variables, jnp.asarray(x)[None])
     cams = cameras_from_pose_enc(np.asarray(out["pose_enc"][0]),
                                  (size, size))
+    # rescale intrinsics from the VGGT input size to the VIDEO size —
+    # the reference saves frame-resolution K (infer.py scale_intrinsics
+    # before writing), and the multi-view branch below already does
+    H, W = frames.shape[1], frames.shape[2]
+    K = cams["intrinsic"].copy()
+    K[:, 0, :] *= W / size
+    K[:, 1, :] *= H / size
+    cams["intrinsic"] = K
     out_dir.mkdir(parents=True, exist_ok=True)
     npz_path = out_dir / f"{video_path.stem}_multi_view_3d_info.npz"
     np.savez(npz_path, frame_indices=np.arange(len(sel)) * stride, **cams)
@@ -134,8 +142,8 @@ def process_multi_view(model, variables, rec_left, rec_right, out_dir: Path,
     stride = int(cfg.get("frame_stride", 30))
     kpts_l, score_l, (H, W) = load_2d_keypoints(str(rec_left),
                                                 cfg.get("kpt_source", "detectron2"))
-    kpts_r, score_r, _ = load_2d_keypoints(str(rec_right),
-                                           cfg.get("kpt_source", "detectron2"))
+    kpts_r, score_r, (H_r, W_r) = load_2d_keypoints(
+        str(rec_right), cfg.get("kpt_source", "detectron2"))
     T = min(len(kpts_l), len(kpts_r))
     idxs = np.arange(0, T, stride)
 
@@ -157,31 +165,39 @@ def process_multi_view(model, variables, rec_left, rec_right, out_dir: Path,
         out = fwd(variables, jnp.asarray(pair)[None])
         cams = cameras_from_pose_enc(np.asarray(out["pose_enc"][0]),
                                      (size, size))
-        # rescale intrinsics from the VGGT input size to the video size
-        # (reference infer.py:127 scale_intrinsics)
+        # rescale intrinsics from the VGGT input size to EACH video's
+        # own size (reference infer.py:127 scale_intrinsics) — the two
+        # records may have different resolutions/zoom
         K = cams["intrinsic"].copy()
-        K[:, 0, :] *= W / size
-        K[:, 1, :] *= H / size
+        K[0, 0, :] *= W / size
+        K[0, 1, :] *= H / size
+        K[1, 0, :] *= W_r / size
+        K[1, 1, :] *= H_r / size
         Rs.append(cams["R"])
         ts.append(cams["t"])
         Ks.append(K)
     R = np.median(np.stack(Rs), axis=0)  # robust static-camera estimate
-    # re-orthonormalize the medianed rotations via SVD
+    # re-orthonormalize the medianed rotations via SVD with the det sign
+    # correction (nearest ROTATION, not reflection)
     u, _, vt = np.linalg.svd(R)
+    det = np.linalg.det(u @ vt)
+    u[:, :, -1] *= np.sign(det)[:, None]
     R = u @ vt
     t = np.median(np.stack(ts), axis=0)
     K = np.median(np.stack(Ks), axis=0)
 
-    # relative pose right w.r.t. left: P_l = K [I|0], P_r = K [R_rel|t_rel]
+    # relative pose right w.r.t. left: P_l = K_l [I|0], P_r = K_r [R|t]
     R_rel = R[1] @ R[0].T
     t_rel = t[1] - R_rel @ t[0]
     X = triangulate_sequence(jnp.asarray(kpts_l[:T]), jnp.asarray(kpts_r[:T]),
                              jnp.asarray(K[0]), jnp.asarray(R_rel),
                              jnp.asarray(t_rel),
                              w_a=jnp.asarray(score_l[:T]),
-                             w_b=jnp.asarray(score_r[:T]))
+                             w_b=jnp.asarray(score_r[:T]),
+                             K_b=jnp.asarray(K[1]))
 
-    # bundle adjustment over (X, cameras) — alive, under jit
+    # bundle adjustment over (X, cameras) — alive, under jit; K is the
+    # per-camera (C, 3, 3) stack the solver expects
     ba_cfg = BAConfig(mode=str(cfg.get("ba_mode", "pose_only")),
                       method="lm",
                       max_steps=int(cfg.get("ba_max_steps", 30)))
@@ -189,13 +205,14 @@ def process_multi_view(model, variables, rec_left, rec_right, out_dir: Path,
     conf = np.stack([score_l[:T], score_r[:T]], axis=1)
     R_pair = np.stack([np.eye(3), R_rel])
     t_pair = np.stack([np.zeros(3), t_rel])
-    res = bundle_adjust(np.asarray(X), R_pair, t_pair, K[0], x2d, conf,
+    res = bundle_adjust(np.asarray(X), R_pair, t_pair, K, x2d, conf,
                         cfg=ba_cfg)
 
     out_dir.mkdir(parents=True, exist_ok=True)
     np.savez(out_dir / "multi_view_refined.npz",
              X3d=np.asarray(res.X), R=np.asarray(res.R), t=np.asarray(res.t),
-             K=K[0], initial_cost=float(res.initial_cost),
+             K=K[0], K_right=K[1],
+             initial_cost=float(res.initial_cost),
              final_cost=float(res.final_cost))
     return {"frames": int(T), "vggt_pairs": int(len(idxs)),
             "ba_initial_cost": float(res.initial_cost),
@@ -418,9 +435,17 @@ def load_or_init_track_head(head, taps_shape, cfg):
 @cli_main("vggt")
 def main(cfg):
     logging.basicConfig(level=logging.INFO)
+    mode = str(cfg.get("mode", "single"))
+    if mode not in ("single", "multi", "sfm"):
+        raise ValueError(f"unknown vggt mode {mode!r} — expected "
+                         "'single', 'multi', or 'sfm'")
     model = build_model(cfg)
     variables = load_or_init_variables(model, cfg)
-    mode = str(cfg.get("mode", "single"))
+    if mode in ("single", "multi"):
+        # these modes read only pose_enc — skip the (dominant) DPT
+        # point/depth heads instead of computing and discarding them
+        # (extra params in `variables` are ignored by flax apply)
+        model = model.clone(enable_point=False, enable_depth=False)
     out_root = Path(cfg.paths.out_root)
     reports = {}
     if mode in ("single", "sfm"):
