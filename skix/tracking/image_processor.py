@@ -100,9 +100,14 @@ class Sam3Processor:
 
     def set_text_prompt(self, prompt: str, state: _ImageState) -> Dict:
         if self.clip is not None:
+            from skix.utils.jitapply import apply_model
+
             tokenizer, encoder, variables = self.clip
             tokens = jnp.asarray(tokenizer([prompt]))
-            valid_mask, resized, _ = encoder.apply(variables, tokens)
+            # jitted — a 24-layer tower run eagerly is hundreds of
+            # per-op relay dispatches through the axon tunnel
+            valid_mask, resized, _ = apply_model(encoder, None, variables,
+                                                 tokens)
             state.text_memory = resized
             # VETextEncoder returns True=VALID; the detector pad mask is
             # True=PAD (torch convention) — invert

@@ -471,15 +471,22 @@ def _upsample_masks(logits, out_h: int, out_w: int):
 def _full_frame_step(detector, tracker, cfg: MaskletConfig,
                      fill_holes: bool, is_u8: bool, det_size: int,
                      trk_size: int, det_vars, trk_vars, frame, text,
-                     state: MaskletState, banks):
+                     state: MaskletState, banks, text_pad=None):
     """prep → detector → tracker/lifecycle/memory as ONE program.
 
     One dispatch per frame: the 3-dispatch version (prep / detect / core)
     measured 349 ms/frame where the parts sum to 146 ms — each dispatch
     whose arguments depend on the previous call's outputs serializes a
-    round-trip through the axon relay (scripts/bench_masklet_video.py)."""
+    round-trip through the axon relay (scripts/bench_masklet_video.py).
+
+    ``text_pad (L,)`` bool (True = PAD): the CLIP tower's token validity,
+    forwarded to the detector's fusion encoder so PAD embeddings don't
+    enter the text memory (Sam3Detector text_pad_mask)."""
     det_in, tin = _prep_frame(frame, is_u8, det_size, trk_size)
-    det = detector.apply(det_vars, det_in, text[None])
+    if text_pad is not None:
+        det = detector.apply(det_vars, det_in, text[None], text_pad[None])
+    else:
+        det = detector.apply(det_vars, det_in, text[None])
     return _masklet_frame_core(tracker, cfg, fill_holes, trk_vars, tin,
                                det.boxes_cxcywh[0], det.scores[0],
                                det.mask_logits[0], state, banks)
@@ -489,7 +496,7 @@ def _full_frame_step(detector, tracker, cfg: MaskletConfig,
 def _scan_frame_chunk(detector, tracker, cfg: MaskletConfig,
                       fill_holes: bool, is_u8: bool, det_size: int,
                       trk_size: int, det_vars, trk_vars, frames, valid,
-                      text, state: MaskletState, banks):
+                      text, state: MaskletState, banks, text_pad=None):
     """C frames as ONE program: ``lax.scan`` over the fused frame step.
 
     ``valid (C,)`` masks tail padding — an invalid step still computes
@@ -505,7 +512,7 @@ def _scan_frame_chunk(detector, tracker, cfg: MaskletConfig,
         ns, nb, out = _full_frame_step(detector, tracker, cfg, fill_holes,
                                        is_u8, det_size, trk_size,
                                        det_vars, trk_vars, frame, text,
-                                       state, banks)
+                                       state, banks, text_pad=text_pad)
         ns = jax.tree.map(lambda a, b: jnp.where(ok, a, b), ns, state)
         nb = jax.tree.map(lambda a, b: jnp.where(ok, a, b), nb, banks)
         return (ns, nb), out
@@ -629,12 +636,14 @@ class MaskletVideoModel:
             bank0)
         return init_masklet_state(self.cfg, start_frame), banks
 
-    def step(self, frame, prompt_tokens, state, banks, geometry=None):
+    def step(self, frame, prompt_tokens, state, banks, geometry=None,
+             text_pad=None):
         """One frame: ``frame (H, W, 3)`` uint8/float, ``prompt_tokens
         (L, d_model)`` from the CLIP tower (or hash smoke embedding).
         ``geometry``: optional fixed-slot point/box prompt dict for THIS
-        frame (session ``add_prompt`` path). Returns
-        (state, banks, device outputs dict)."""
+        frame (session ``add_prompt`` path). ``text_pad (L,)`` bool
+        (True = PAD) masks CLIP padding tokens out of the detector's
+        text memory. Returns (state, banks, device outputs dict)."""
         size = self.detector.img_size
         trk_size = self.trk_img_size
         is_u8 = frame.dtype == np.uint8
@@ -645,8 +654,10 @@ class MaskletVideoModel:
                 self.detector, self.tracker, self.cfg, self.fill_holes,
                 is_u8, size, trk_size, self.det_variables,
                 self.trk_variables, jnp.asarray(frame), prompt_tokens,
-                state, banks)
+                state, banks, text_pad=text_pad)
         det_in, tin = _prep_frame(jnp.asarray(frame), is_u8, size, trk_size)
+        if text_pad is not None:
+            geometry = dict(geometry, text_pad_mask=text_pad[None])
         det = _detect_with_geometry(self.detector, self.det_variables,
                                     det_in, prompt_tokens[None], geometry)
         state, banks, out = _masklet_frame_core(
@@ -658,7 +669,7 @@ class MaskletVideoModel:
     def propagate(self, frames, prompt_tokens, yield_masks_at=None,
                   upload_chunk: int = 32, geometry_by_frame=None,
                   include_lowres_logits: bool = True,
-                  start_frame: int = 0):
+                  start_frame: int = 0, text_pad=None):
         """Stream per-frame outputs over ``frames (T, H, W, 3)``.
 
         Yields ``{frame_index, outputs}`` where outputs carry per-slot
@@ -711,7 +722,8 @@ class MaskletVideoModel:
             geometry = (geometry_by_frame or {}).get(t)
             state, banks, out = self.step(chunk_dev[t % upload_chunk],
                                           prompt_tokens, state, banks,
-                                          geometry=geometry)
+                                          geometry=geometry,
+                                          text_pad=text_pad)
             logits = out["out_mask_logits"]               # (K, gh, gw)
             dev = (_upsample_pack_masks(logits, *out_hw),
                    logits if include_lowres_logits else jnp.zeros(()),
@@ -726,7 +738,7 @@ class MaskletVideoModel:
 
     def propagate_clip(self, frames, prompt_tokens, yield_masks_at=None,
                        chunk: int = 8, include_lowres_logits: bool = True,
-                       start_frame: int = 0):
+                       start_frame: int = 0, text_pad=None):
         """Chunk-scanned propagation: ``chunk`` frames per dispatch.
 
         Same per-frame output dicts as :meth:`propagate`, but the frame
@@ -773,7 +785,7 @@ class MaskletVideoModel:
                 self.detector, self.tracker, self.cfg, self.fill_holes,
                 is_u8, self.detector.img_size, self.trk_img_size,
                 self.det_variables, self.trk_variables, jnp.asarray(fr),
-                ok, prompt_tokens, state, banks)
+                ok, prompt_tokens, state, banks, text_pad=text_pad)
             logits = outs["out_mask_logits"]          # (C, K, gh, gw)
             dev = (_upsample_pack_masks(logits, *out_hw),
                    logits if include_lowres_logits else jnp.zeros(()),

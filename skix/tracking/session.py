@@ -34,6 +34,10 @@ class _Session:
     removed_ids: set
     # frame_idx → geometric prompt arrays (normalized coords + validity)
     geometry: Dict[int, dict] = dataclasses.field(default_factory=dict)
+    # text → (L,) bool PAD mask (True = padding token) for the CLIP path;
+    # absent entries mean no mask (hash/encoder prompts are all-valid)
+    prompt_pads: Dict[str, np.ndarray] = dataclasses.field(
+        default_factory=dict)
 
 
 class VideoPredictor:
@@ -121,8 +125,9 @@ class VideoPredictor:
         ``request["type"]``. ``start_session`` accepts the reference's
         ``resource_path`` (decoded via skix.io.video) or a preloaded
         ``frames`` array; ``add_prompt`` takes the protocol's
-        ``bounding_boxes`` in **xywh** (sam3_video_predictor.py:157
-        ``boxes_xywh``), converted here to the xyxy our API uses."""
+        ``bounding_boxes`` in **normalized 0-1 xywh**
+        (sam3_video_inference.py:882-888 asserts the range), converted
+        here to the pixel xyxy our API uses."""
         rt = request["type"]
         if rt == "start_session":
             if "frames" in request:
@@ -136,7 +141,13 @@ class VideoPredictor:
         if rt == "add_prompt":
             boxes = request.get("bounding_boxes")
             if boxes is not None:
+                # protocol boxes are NORMALIZED 0-1 xywh
+                # (sam3_video_inference.py:882-888 asserts the range);
+                # add_prompt takes pixel xyxy — scale by the frame size
                 b = np.asarray(boxes, np.float32)
+                s = self.sessions[request["session_id"]]
+                H, W = s.frames.shape[1:3]
+                b = b * np.asarray([W, H, W, H], np.float32)
                 boxes = np.concatenate([b[:, :2], b[:, :2] + b[:, 2:]], -1)
             fi = request.get("frame_index", 0)
             self.add_prompt(request["session_id"],
@@ -249,10 +260,19 @@ class VideoPredictor:
         if text is None:
             return
         if self.clip is not None:
+            from skix.utils.jitapply import apply_model
+
             tokenizer, encoder, variables = self.clip
             tokens = jnp.asarray(tokenizer([text]))
-            _, resized, _ = encoder.apply(variables, tokens)
+            # jitted (24-layer tower eager = hundreds of relay dispatches)
+            valid_mask, resized, _ = apply_model(encoder, None, variables,
+                                                 tokens)
             s.prompts[text] = np.asarray(resized[0])       # (L, d_model)
+            # VETextEncoder returns True=VALID; the detector pad mask is
+            # True=PAD — invert (image_processor.py convention). Without
+            # it the fusion encoder attends to ~29 PAD embeddings of a
+            # 32-slot prompt
+            s.prompt_pads[text] = ~np.asarray(valid_mask[0])
         elif self.is_sam3:
             if not self.smoke_prompts:
                 raise ValueError(
@@ -279,6 +299,7 @@ class VideoPredictor:
     def reset_session(self, session_id: int) -> None:
         s = self.sessions[session_id]
         s.prompts.clear()
+        s.prompt_pads.clear()
         s.removed_ids.clear()
         s.geometry.clear()
 
@@ -286,9 +307,13 @@ class VideoPredictor:
         self.sessions.pop(session_id, None)
 
     # ---------------- propagation ----------------
-    def _detect_batch(self, variables, images, prompt, geometry=None):
+    def _detect_batch(self, variables, images, prompt, geometry=None,
+                      text_pad=None):
         if self.is_sam3:
-            geo = geometry or {}
+            geo = dict(geometry or {})
+            if text_pad is not None:
+                geo["text_pad_mask"] = jnp.broadcast_to(
+                    text_pad[None], (images.shape[0], text_pad.shape[0]))
             det = self.detector.apply(variables, images, prompt, **geo)
             cx, cy, w, h = [det.boxes_cxcywh[..., i] for i in range(4)]
             size = self.detector.img_size
@@ -299,8 +324,8 @@ class VideoPredictor:
         det = self.detector.apply(variables, images, prompt)
         return det.boxes_xyxy, det.scores
 
-    def _propagate_masklets(self, s: _Session, prompt,
-                            idx_map) -> Iterator[dict]:
+    def _propagate_masklets(self, s: _Session, prompt, idx_map,
+                            text_pad=None) -> Iterator[dict]:
         """Masklet propagation (per-object masks through the memory
         tracker — reference Sam3VideoBase._det_track_one_frame). Thin
         adapter over :meth:`MaskletVideoModel.propagate` (single source
@@ -340,12 +365,14 @@ class VideoPredictor:
             stream = mdl.propagate_clip(frames, jnp.asarray(prompt),
                                         chunk=self.scan_chunk,
                                         include_lowres_logits=False,
-                                        start_frame=int(idx_map[0]))
+                                        start_frame=int(idx_map[0]),
+                                        text_pad=text_pad)
         else:
             stream = mdl.propagate(frames, jnp.asarray(prompt),
                                    geometry_by_frame=geometry_by_frame,
                                    include_lowres_logits=False,
-                                   start_frame=int(idx_map[0]))
+                                   start_frame=int(idx_map[0]),
+                                   text_pad=text_pad)
         for item in stream:
             out = item["outputs"]
             out_np = {
@@ -393,7 +420,10 @@ class VideoPredictor:
                 self.add_prompt(session_id, "visual")
             if not s.prompts:
                 raise ValueError("no prompt added to session")
-            prompt_text = next(iter(s.prompts))
+            # the LATEST text prompt is the active one (the reference's
+            # add_prompt resets state — "since it's a semantic prompt,
+            # we start over", sam3_video_inference.py:862)
+            prompt_text = next(reversed(s.prompts))
         T = s.frames.shape[0]
         s0 = 0 if start_frame_idx is None else int(start_frame_idx)
         maxn = T if max_frame_num_to_track is None \
@@ -406,14 +436,18 @@ class VideoPredictor:
         for idx_map in segments:
             if not idx_map:
                 continue
+            pad = s.prompt_pads.get(prompt_text)
+            pad = None if pad is None else jnp.asarray(pad)
             if self.tracker is not None:
                 yield from self._propagate_masklets(
-                    s, jnp.asarray(s.prompts[prompt_text]), idx_map)
+                    s, jnp.asarray(s.prompts[prompt_text]), idx_map,
+                    text_pad=pad)
             else:
-                yield from self._propagate_boxes(s, prompt_text, idx_map)
+                yield from self._propagate_boxes(s, prompt_text, idx_map,
+                                                 text_pad=pad)
 
     def _propagate_boxes(self, s: _Session, prompt_text: str,
-                         idx_map) -> Iterator[dict]:
+                         idx_map, text_pad=None) -> Iterator[dict]:
         """Box-level tracking over one ordered frame segment."""
         prompt = jnp.asarray(s.prompts[prompt_text])[None]
         size = self.detector.img_size
@@ -453,7 +487,7 @@ class VideoPredictor:
                 self.variables, imgs,
                 jnp.broadcast_to(prompt,
                                  (self.batch_size, *prompt.shape[1:])),
-                geometry)
+                geometry, text_pad)
             boxes = np.array(boxes)[:n]  # writable host copy
             scores = np.array(scores)[:n]
             boxes[..., 0] *= sx

@@ -31,9 +31,12 @@ masks — without it, ``add_new_mask`` is the prompting surface.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Iterator, Optional
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +65,11 @@ class InteractiveVideoPredictor:
         self.trk_variables = trk_variables
         self.segmenter = segmenter
         self.seg_variables = seg_variables
+        if max_cond_frames < 2:
+            # select_closest_cond_frames asserts >= 2 deep inside the
+            # propagation loop — fail loudly at construction instead
+            raise ValueError("max_cond_frames must be >= 2 "
+                             f"(got {max_cond_frames})")
         self.max_cond_frames = int(max_cond_frames)
         self.num_recent = int(num_recent)
         self.max_points = int(max_points)
@@ -186,9 +194,17 @@ class InteractiveVideoPredictor:
         pad_p = np.zeros((1, P, 2), np.float32)
         pad_l = np.full((1, P), -1, np.int32)
         n = min(len(lab), P)
+        if n < len(lab):
+            log.warning("prompt slots full (%d clicks > %d): keeping the "
+                        "FIRST %d — box corner points (labels 2/3) sit at "
+                        "the front and must survive truncation", len(lab),
+                        P, n)
         scale = np.asarray([s / W, s / H], np.float32)
-        pad_p[0, :n] = pts[-n:] * scale
-        pad_l[0, :n] = lab[-n:]
+        # keep the HEAD: the box corner pair (labels 2/3) is placed first
+        # and a lone trailing corner would feed the SAM head a malformed
+        # half-box prompt
+        pad_p[0, :n] = pts[:n] * scale
+        pad_l[0, :n] = lab[:n]
 
         if frame_idx not in state["seg_feats"]:
             img = jnp.asarray(state["frames"][frame_idx])
@@ -261,9 +277,18 @@ class InteractiveVideoPredictor:
 
         cond_ts = sorted(obj["cond"])
         S = self.max_cond_slots
+        if len(cond_ts) > S:
+            # fixed slots: keep the S cond frames NEAREST the current
+            # frame (the earlier [:S] slice both crashed the assignment
+            # and could exclude the closest conditioning entirely)
+            log.warning("%d conditioning frames > %d slots — keeping the "
+                        "%d nearest to frame %d", len(cond_ts), S, S,
+                        frame_idx)
+            cond_ts = sorted(sorted(cond_ts,
+                                    key=lambda t: abs(t - frame_idx))[:S])
         t_slots = np.zeros(S, np.int32)
         v_slots = np.zeros(S, bool)
-        t_slots[:len(cond_ts)] = cond_ts[:S]
+        t_slots[:len(cond_ts)] = cond_ts
         v_slots[:len(cond_ts)] = True
         sel, _ = select_closest_cond_frames(
             frame_idx, t_slots, v_slots, self.max_cond_frames
@@ -311,15 +336,21 @@ class InteractiveVideoPredictor:
             for obj_id, obj in objs.items():
                 if t in obj["cond"]:
                     lg = jnp.asarray(obj["cond_logits"][t])
+                    # the conditioning memory for this frame already
+                    # lives in obj["cond"][t]: re-encoding it AND
+                    # appending to recents double-counted the frame in
+                    # subsequent banks (SAM2 keeps cond outputs out of
+                    # the non-cond list)
+                    obj["masks"][t] = lg
                 else:
                     bank = self._bank_for(state, obj, t, recents[obj_id])
                     lg2, _ = apply_model(self.tracker, "attend_decode",
                                          self.trk_variables, feats, bank)
                     lg = lg2[0]
-                obj["masks"][t] = lg
-                recents[obj_id].append(
-                    self._encode_memory(state, t, lg))
-                recents[obj_id] = recents[obj_id][-self.num_recent:]
+                    obj["masks"][t] = lg
+                    recents[obj_id].append(
+                        self._encode_memory(state, t, lg))
+                    recents[obj_id] = recents[obj_id][-self.num_recent:]
                 obj_ids.append(obj_id)
                 logits_list.append(np.asarray(lg))
                 masks_list.append(np.asarray(

@@ -286,12 +286,16 @@ class TestSession:
         frames = rng.integers(0, 255, (2, 40, 56, 3)).astype(np.uint8)
         sid = pred.handle_request({"type": "start_session",
                                    "frames": frames})["session_id"]
+        # protocol boxes are NORMALIZED 0-1 xywh (the reference asserts
+        # the range, sam3_video_inference.py:882-888) — frame is 56×40,
+        # so this is pixel xywh (10, 8, 20, 16)
         pred.handle_request({"type": "add_prompt", "session_id": sid,
                              "text": "person", "frame_index": 0,
-                             "bounding_boxes": [[10.0, 8.0, 20.0, 16.0]],
+                             "bounding_boxes": [[10 / 56, 8 / 40,
+                                                 20 / 56, 16 / 40]],
                              "bounding_box_labels": [1]})
         g = pred.sessions[sid].geometry[0]
-        # xywh (10, 8, 20, 16) → xyxy (10, 8, 30, 24) → stored as
+        # normalized xywh → pixel xyxy (10, 8, 30, 24) → stored as
         # frame-normalized cxcywh: cx=20/56, cy=16/40, w=20/56, h=16/40
         np.testing.assert_allclose(np.asarray(g["boxes"][0]),
                                    [20 / 56, 16 / 40, 20 / 56, 16 / 40],
