@@ -82,6 +82,20 @@ def main():
     pv = mlp.init(key(5), x0)
     probe("ln_mlp_res", lambda c: c + mlp.apply(pv, ln.apply(lv, c)), x0)
 
+    # TWO chained blocks: if b ~= 2x the single block, the ~0.7 ms
+    # composition overhead is per-block intrinsic; if less, the single-
+    # block probe harness overstates it
+    probe("block_x2",
+          lambda c: blk.apply(bv, blk.apply(bv, c, pos), pos), x0,
+          lengths=(8, 24, 72))
+
+    # block with the attention kernel REPLACED by identity (attn_fn):
+    # everything except the flash call — the non-kernel remainder
+    blk_na = Block(num_heads=H, mlp_ratio=4.625, qk_norm=False,
+                   dtype=jnp.bfloat16, attn_fn=lambda q, k, v: v)
+    nav = jax.jit(lambda k: blk_na.init(k, x0))(key(7))
+    probe("block_no_attn", lambda c: blk_na.apply(nav, c), x0)
+
     # the head-split relayout pair alone: (9,S,3C) -> 3x(9,H,S,hd) -> merge
     wqkv = jax.random.normal(key(6), (D, 3 * D), jnp.bfloat16) * 0.02
 

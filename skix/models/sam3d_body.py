@@ -393,11 +393,16 @@ class SAM3DBody(nn.Module):
         # mask-prompt conditioning (reference _get_mask_prompt :766-789 +
         # image_embeddings += mask_embeddings :1109). Params are created
         # unconditionally; a None mask takes the no_mask_embed path.
+        if mask_score is None:
+            # reference semantics: an externally PROVIDED mask carries
+            # score 1 (sam_3d_body_estimator.py:137-150); only the
+            # no-mask path defaults to 0 (→ no_mask_embed). Defaulting
+            # provided masks to 0 would silently ignore them.
+            mask_score = (jnp.zeros((B,), jnp.float32) if mask is None
+                          else jnp.ones((B,), jnp.float32))
         if mask is None:
             mask = jnp.zeros((B, self.crop_size, self.crop_size, 1),
                              jnp.float32)
-        if mask_score is None:
-            mask_score = jnp.zeros((B,), jnp.float32)
         memb = MaskDownscaler(self.embed_dim, dtype=self.dtype,
                               name="mask_prompt")(mask)
         memb = memb.reshape(B, -1, self.embed_dim)           # (B, P, E)
@@ -654,8 +659,13 @@ class SAM3DBodyEstimator:
                     sf = jnp.pad(sf, ((0, pad),))
             out, k2 = self._fwd(self.variables, fr, c, sc, full, mk, sf)
             n = e - s
+            # ONE batched device→host pull per batch: per-field
+            # np.asarray inside the frame loop issued ~11 small relay
+            # transfers per FRAME (CLAUDE.md: tunnel bandwidth varies
+            # 0.4-26 MB/s — transfer count dominates)
+            out, k2, sc_h = jax.device_get((out, k2, sc))
             # focal in original-image pixels (crop focal × scale ratio)
-            f_img = (np.asarray(sc)[:n, 0] / self.model.crop_size
+            f_img = (sc_h[:n, 0] / self.model.crop_size
                      * self.model.focal_length)
             for i in range(n):
                 cam_t = np.asarray(out.cam_t[i])

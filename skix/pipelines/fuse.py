@@ -22,9 +22,16 @@ from skix.config import cli_main, iter_person_dirs
 
 log = logging.getLogger(__name__)
 
-# canonicalization joint ids for MHR-70 (pelvis/hips/shoulders)
-MHR70_CANON = dict(root_idx=0, left_hip_idx=1, right_hip_idx=2,
-                   left_shoulder_idx=16, right_shoulder_idx=17)
+# Canonicalization joint ids for MHR-70 (metadata/mhr70.py mhr_names:
+# 5/6 = shoulders, 9/10 = hips; no pelvis joint exists, so the left hip
+# roots the frame — matching skix/models/mhr.py MHR70_PARENTS). NOTE a
+# deliberate deviation: the reference's constants (main_raw.py:19-23
+# IDX_PELVIS=14/LHIP=11/RHIP=12) are COCO-17 indices applied to MHR-70
+# data — in mhr_names those are right-ankle/left-knee/right-knee, a
+# leg-based frame; true hips/shoulders canonicalize the torso the
+# formula intends.
+MHR70_CANON = dict(root_idx=9, left_hip_idx=9, right_hip_idx=10,
+                   left_shoulder_idx=5, right_shoulder_idx=6)
 
 
 def load_sam3d_sequence(path: Path):
@@ -33,6 +40,8 @@ def load_sam3d_sequence(path: Path):
     fuse/load/load_raw.py:29 load_sam_data)."""
     if path.is_dir():
         frames = sorted(path.glob("frame_*.npz"))
+        if not frames:
+            raise ValueError(f"{path}: no frame_*.npz files")
         k3, k2 = [], []
         for f in frames:
             with np.load(f, allow_pickle=False) as z:
@@ -93,20 +102,29 @@ def fuse_person(left_3d, right_3d, left_2d=None, right_2d=None,
 
 def _resolve_person_views(person_dir: Path):
     """pro_*/run_* layouts: left/right per-view inputs (reference
-    main_raw.py:96 _resolve_person_paths)."""
+    main_raw.py:96 _resolve_person_paths). Matches 'left'/'right'
+    ANYWHERE in file OR directory names (the sam3d stage writes
+    per-record frame DIRECTORIES named after record stems, e.g.
+    ``cam0_left``); name matches are kept even when only one side
+    resolves, and the alphabetical fallback fills only the missing
+    side(s)."""
     cands = {}
     for name in ("left", "right"):
-        for pat in (f"*{name}*.npz", f"*{name}*.npy", f"{name}*"):
-            hits = sorted(person_dir.glob(pat))
+        for pat in (f"*{name}*.npz", f"*{name}*.npy", f"*{name}*"):
+            hits = sorted(p for p in person_dir.glob(pat)
+                          if p.suffix in (".npz", ".npy") or p.is_dir())
             if hits:
                 cands[name] = hits[0]
                 break
     if len(cands) < 2:
-        files = sorted(list(person_dir.glob("*.npz")) + list(person_dir.glob("*.npy")))
+        files = sorted(list(person_dir.glob("*.npz"))
+                       + list(person_dir.glob("*.npy")))
         dirs = sorted(d for d in person_dir.iterdir() if d.is_dir())
-        pool = files if len(files) >= 2 else dirs
-        if len(pool) >= 2:
-            cands = {"left": pool[0], "right": pool[1]}
+        pool = [p for p in (files if len(files) >= 2 else dirs)
+                if p not in cands.values()]
+        for name in ("left", "right"):
+            if name not in cands and pool:
+                cands[name] = pool.pop(0)
     return cands if len(cands) == 2 else None
 
 
@@ -121,29 +139,35 @@ def main(cfg):
         if not views:
             log.warning("person %s: could not resolve 2 views", person_dir.name)
             continue
-        L3, L2 = load_sam3d_sequence(views["left"])
-        R3, R2 = load_sam3d_sequence(views["right"])
-        T = min(len(L3), len(R3))
-        res = fuse_person(L3[:T], R3[:T],
-                          None if L2 is None else L2[:T],
-                          None if R2 is None else R2[:T],
-                          sigma_px=float(cfg.get("sigma_px", 12.0)),
-                          sigma_3d=float(cfg.get("sigma_3d", 0.08)),
-                          ema_alpha=float(cfg.get("ema_alpha", 0.7)),
-                          ema_range=(float(cfg.get("ema_alpha_min", 0.45)),
-                                     float(cfg.get("ema_alpha_max", 0.92))),
-                          ema_gain=float(cfg.get("ema_speed_gain", 0.25)))
-        out_dir = out_root / person_dir.name
-        out_dir.mkdir(parents=True, exist_ok=True)
-        np.save(out_dir / f"{person_dir.name}_fused.npy", np.asarray(res.fused))
-        np.save(out_dir / f"{person_dir.name}_smoothed.npy",
-                np.asarray(res.smoothed))
-        reports[person_dir.name] = {
-            "frames": int(T),
-            "mean_conf_l": float(np.mean(np.asarray(res.conf_l))),
-            "mean_conf_r": float(np.mean(np.asarray(res.conf_r))),
-        }
-        log.info("person %s fused (%d frames)", person_dir.name, T)
+        try:  # per-person isolation like every other stage
+            L3, L2 = load_sam3d_sequence(views["left"])
+            R3, R2 = load_sam3d_sequence(views["right"])
+            T = min(len(L3), len(R3))
+            res = fuse_person(
+                L3[:T], R3[:T],
+                None if L2 is None else L2[:T],
+                None if R2 is None else R2[:T],
+                sigma_px=float(cfg.get("sigma_px", 12.0)),
+                sigma_3d=float(cfg.get("sigma_3d", 0.08)),
+                ema_alpha=float(cfg.get("ema_alpha", 0.7)),
+                ema_range=(float(cfg.get("ema_alpha_min", 0.45)),
+                           float(cfg.get("ema_alpha_max", 0.92))),
+                ema_gain=float(cfg.get("ema_speed_gain", 0.25)))
+            out_dir = out_root / person_dir.name
+            out_dir.mkdir(parents=True, exist_ok=True)
+            np.save(out_dir / f"{person_dir.name}_fused.npy",
+                    np.asarray(res.fused))
+            np.save(out_dir / f"{person_dir.name}_smoothed.npy",
+                    np.asarray(res.smoothed))
+            reports[person_dir.name] = {
+                "frames": int(T),
+                "mean_conf_l": float(np.mean(np.asarray(res.conf_l))),
+                "mean_conf_r": float(np.mean(np.asarray(res.conf_r))),
+            }
+            log.info("person %s fused (%d frames)", person_dir.name, T)
+        except Exception:  # noqa: BLE001
+            log.exception("person %s failed", person_dir.name)
+            reports[person_dir.name] = {"frames": -1}
     out_root.mkdir(parents=True, exist_ok=True)
     (out_root / "fuse_summary.json").write_text(json.dumps(reports, indent=2))
 

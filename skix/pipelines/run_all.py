@@ -53,8 +53,13 @@ def main(cfg):
     if "prepare_dataset" in stages:
         from skix.pipelines.prepare_dataset import main as prep
 
+        video_root = cfg.paths.get("video_root")
+        if not video_root:
+            # the shipped default is null — str(None) would scan './None'
+            raise ValueError("run_all with the prepare_dataset stage needs "
+                             "paths.video_root set")
         cdir = _write_cfg(work, "prepare_dataset", {
-            "paths": {"video_root": str(cfg.paths.get("video_root", "")),
+            "paths": {"video_root": str(video_root),
                       "out_root": str(pt_root)},
             "backend": str(cfg.get("backend", "precomputed")),
             "store_frames": bool(cfg.get("store_frames", False)),
@@ -148,7 +153,11 @@ def main(cfg):
             "embed_dim": int(cfg.get("sam3d_embed_dim", 384)),
             "vit_depth": int(cfg.get("sam3d_depth", 8)),
             "batch_size": int(cfg.get("sam3d_batch_size", 8)),
-            "inference_type": str(cfg.get("sam3d_inference_type", "body")),
+            # match the standalone stage default ("full" = hand decoder +
+            # wrist refinement, configs/sam3d_body.yaml) so orchestrated
+            # and standalone runs agree
+            "inference_type": str(cfg.get("sam3d_inference_type",
+                                          "full")),
         })
         with timer.span("sam3d_body"):
             sam3d([f"--config-dir={cdir}"])
@@ -210,7 +219,10 @@ def main(cfg):
                           "out_root": str(work / "front_side")},
                 "meters_per_pixel":
                     float(cfg.get("meters_per_pixel", 0.02)),
-                "render_video": bool(cfg.get("render_video", False)),
+                # the stage reads "render3d" (front_side.py); accept either key
+                "render3d": bool(cfg.get("render3d",
+                                         cfg.get("render_video",
+                                                 False))),
             })
             with timer.span("front_side"):
                 front_side([f"--config-dir={cdir}"])
